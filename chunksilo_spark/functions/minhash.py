@@ -1,0 +1,116 @@
+"""MinHash signatures, LSH banding, SimHash — deterministic, numpy-vectorized.
+
+Used by stage-3 entity canonicalization (MinHash-LSH blocking + connected
+components, BASELINE north_star) and by the near-duplicate detection
+operators over the documents table. Same code runs in the driver oracle and
+inside mapInPandas on executors.
+
+Determinism: base shingle hash = zlib.crc32 (stable across processes, unlike
+Python's salted hash()); permutations = universal hashing (a*x + b) mod p
+with (a, b) drawn once from numpy's seeded PCG64 (seed 42).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+
+NUM_PERM = 128
+BANDS = 32
+ROWS_PER_BAND = NUM_PERM // BANDS  # 4
+_MERSENNE = np.uint64((1 << 61) - 1)
+_MAX_HASH = np.uint64((1 << 32) - 1)
+
+_rng = np.random.default_rng(42)
+_A = _rng.integers(1, int(_MERSENNE), size=NUM_PERM, dtype=np.uint64)
+_B = _rng.integers(0, int(_MERSENNE), size=NUM_PERM, dtype=np.uint64)
+
+_EMPTY_SIG = np.full(NUM_PERM, int(_MAX_HASH), dtype=np.uint64)
+
+
+def char_shingles(text: str, k: int = 3) -> list[str]:
+    """Overlapping character k-grams; texts shorter than k yield themselves."""
+    if len(text) < k:
+        return [text] if text else []
+    return [text[i : i + k] for i in range(len(text) - k + 1)]
+
+
+def word_shingles(text: str, k: int = 3) -> list[str]:
+    """Overlapping word k-grams joined by a space."""
+    words = text.split()
+    if len(words) < k:
+        return [" ".join(words)] if words else []
+    return [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
+
+
+def _base_hashes(shingles: list[str]) -> np.ndarray:
+    return np.array(
+        [zlib.crc32(s.encode("utf-8")) for s in shingles], dtype=np.uint64
+    )
+
+
+def minhash_signature(shingles: list[str]) -> np.ndarray:
+    """(NUM_PERM,) uint64 signature; empty input -> all MAX_HASH sentinel."""
+    if not shingles:
+        return _EMPTY_SIG.copy()
+    h = _base_hashes(shingles)  # (n,)
+    # (perm, n) universal hashes, clamped to 32 bits after the Mersenne mod
+    vals = (_A[:, None] * h[None, :] + _B[:, None]) % _MERSENNE & _MAX_HASH
+    return vals.min(axis=1)
+
+
+def band_keys(sig: np.ndarray) -> list[int]:
+    """One stable 64-bit key per band: crc32 over (band_idx, band rows)."""
+    keys = []
+    for b in range(BANDS):
+        chunk = sig[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND]
+        keys.append((b << 32) | zlib.crc32(chunk.tobytes()))
+    return keys
+
+
+def jaccard(a: set, b: set) -> float:
+    """Exact Jaccard similarity of two shingle sets."""
+    if not a and not b:
+        return 1.0
+    if not a or not b:
+        return 0.0
+    inter = len(a & b)
+    return inter / (len(a) + len(b) - inter)
+
+
+def simhash64(tokens: list[str]) -> int:
+    """64-bit SimHash over tokens (crc32-seeded 64-bit token hashes)."""
+    if not tokens:
+        return 0
+    acc = np.zeros(64, dtype=np.int64)
+    for tok in tokens:
+        data = tok.encode("utf-8")
+        h = (zlib.crc32(data) << 32) | zlib.crc32(data + b"\x01")
+        bits = (h >> np.arange(64)) & 1
+        acc += np.where(bits == 1, 1, -1)
+    out = 0
+    for i in range(64):
+        if acc[i] > 0:
+            out |= 1 << i
+    return out
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")
+
+
+def rolling_fingerprint(text: str, window: int = 8, keep: int = 4) -> int:
+    """Winnowing-style document fingerprint: crc32 rolling window hashes,
+    keep the ``keep`` smallest, crc-combine. Deterministic content id that
+    is robust to small local edits (unlike md5 of the full text)."""
+    data = text.encode("utf-8")
+    if len(data) <= window:
+        return zlib.crc32(data)
+    hashes = sorted(
+        zlib.crc32(data[i : i + window]) for i in range(len(data) - window + 1)
+    )[:keep]
+    out = 0
+    for h in hashes:
+        out = zlib.crc32(h.to_bytes(4, "little"), out)
+    return out
