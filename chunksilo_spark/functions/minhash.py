@@ -86,8 +86,8 @@ def simhash64(tokens: list[str]) -> int:
     acc = np.zeros(64, dtype=np.int64)
     for tok in tokens:
         data = tok.encode("utf-8")
-        h = (zlib.crc32(data) << 32) | zlib.crc32(data + b"\x01")
-        bits = (h >> np.arange(64)) & 1
+        h = np.uint64((zlib.crc32(data) << 32) | zlib.crc32(data + b"\x01"))
+        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
         acc += np.where(bits == 1, 1, -1)
     out = 0
     for i in range(64):

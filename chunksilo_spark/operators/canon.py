@@ -1,0 +1,172 @@
+"""Entity canonicalization: MinHash-LSH blocking + connected components.
+
+North-star stage 3: cluster normalized mention/alias surfaces so that
+case/punctuation/suffix variants of one entity share a canonical id, WITHOUT
+pairwise-comparing all surfaces:
+
+  1. ``lsh_bands``       — one MinHash signature per distinct surface (word
+                           shingles), exploded to 32 band keys (mapInPandas);
+  2. ``candidate_pairs`` — self-join on band key (equi-join, shuffle on the
+                           band hash — uniformly distributed by construction);
+  3. ``verify_pairs``    — exact word-set Jaccard >= threshold inside a
+                           vectorized batch UDF (kills LSH false positives);
+  4. ``connected_components`` — iterative min-label propagation over the
+                           verified edge set with localCheckpoint truncation;
+  5. ``canon_map``       — component -> lexicographically-smallest member
+                           surface as the canonical representative.
+
+Skew notes (the north rule's explicit concern):
+  * min-label aggregation is a partial-aggregable ``min`` — Spark's hash
+    aggregate does map-side combine, which IS the salting two-phase for
+    idempotent monoids (no hot reducer even if one component spans 30% of
+    rows — the hub fixture);
+  * the label join uses AQE skew-join splitting for hub vertices
+    (spark.sql.adaptive.skewJoin.enabled, set in session.py);
+  * band buckets are bounded because input surfaces are pre-deduplicated
+    (``.distinct()``), so identical strings never flood one bucket.
+
+Oracle parity: the same signature/band/jaccard functions (functions/minhash)
+run single-node in tests; vertex ids come from functions/hashing.hash64 so
+driver and executors agree exactly.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hash64
+from ..functions.minhash import band_keys, jaccard, minhash_signature
+
+JACCARD_THRESHOLD = 0.6
+
+_BANDS_SCHEMA = "nid long, norm string, band_key long"
+_EDGES_SCHEMA = "a long, b long"
+
+
+def lsh_bands(surfaces: DataFrame, col: str = "norm") -> DataFrame:
+    """distinct surfaces -> (nid, norm, band_key) rows, 32 per surface."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            nids, norms, keys = [], [], []
+            for norm in pdf[col]:
+                nid = hash64(norm)
+                sig = minhash_signature(norm.split())
+                for bk in band_keys(sig):
+                    nids.append(nid)
+                    norms.append(norm)
+                    keys.append(bk - (1 << 63))  # to signed 64-bit
+            yield pd.DataFrame({"nid": nids, "norm": norms, "band_key": keys})
+
+    return surfaces.select(F.col(col)).distinct().mapInPandas(
+        run, schema=_BANDS_SCHEMA
+    )
+
+
+def candidate_pairs(bands: DataFrame) -> DataFrame:
+    """Self-join on band key -> distinct (a, b, norm_a, norm_b), a < b."""
+    left = bands.select(
+        F.col("band_key"),
+        F.col("nid").alias("a"),
+        F.col("norm").alias("norm_a"),
+    )
+    right = bands.select(
+        F.col("band_key"),
+        F.col("nid").alias("b"),
+        F.col("norm").alias("norm_b"),
+    )
+    return (
+        left.join(right, "band_key")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", "norm_a", "norm_b")
+        .distinct()
+    )
+
+
+def verify_pairs(
+    pairs: DataFrame, threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
+    """Exact word-set Jaccard filter -> verified edges (a, b)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            keep_a, keep_b = [], []
+            for a, b, na, nb in zip(
+                pdf["a"], pdf["b"], pdf["norm_a"], pdf["norm_b"]
+            ):
+                if jaccard(set(na.split()), set(nb.split())) >= threshold:
+                    keep_a.append(a)
+                    keep_b.append(b)
+            yield pd.DataFrame({"a": keep_a, "b": keep_b})
+
+    return pairs.mapInPandas(run, schema=_EDGES_SCHEMA)
+
+
+def connected_components(
+    vertices: DataFrame, edges: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """Min-label propagation -> (nid, component) with component = min nid.
+
+    vertices: (nid long); edges: (a long, b long). Iterates until no label
+    changes (diameter-bounded; alias-variant clusters are stars, so 2-4
+    rounds). Each round: symmetric neighbor-label min, map-side-combined;
+    localCheckpoint truncates the growing plan (SURVEY §4 custom item 3).
+    """
+    sym = edges.union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint()
+    labels = vertices.select(
+        F.col("nid"), F.col("nid").alias("component")
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        neighbor = (
+            sym.join(labels, sym["a"] == labels["nid"])
+            .select(F.col("b").alias("nid"), F.col("component"))
+        )
+        new_labels = (
+            labels.unionByName(neighbor)
+            .groupBy("nid")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "nid")
+            .where(F.col("n.component") < F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def canon_map(surfaces: DataFrame, col: str = "norm",
+              threshold: float = JACCARD_THRESHOLD,
+              max_iter: int = 20) -> DataFrame:
+    """distinct surfaces -> (norm, canon_id, canon_surface).
+
+    canon_surface = min surface string in the component (deterministic
+    representative); canon_id = component id (min member hash64 — also
+    computable by the plain-Python oracle)."""
+    bands = lsh_bands(surfaces, col)
+    verts = bands.select("nid", "norm").distinct().localCheckpoint()
+    edges = verify_pairs(candidate_pairs(bands), threshold)
+    labels = connected_components(verts.select("nid"), edges, max_iter)
+    with_comp = verts.join(labels, "nid")
+    reps = (
+        with_comp.groupBy("component")
+        .agg(F.min("norm").alias("canon_surface"))
+    )
+    return (
+        with_comp.join(reps, "component")
+        .select(
+            F.col("norm"),
+            F.col("component").alias("canon_id"),
+            F.col("canon_surface"),
+        )
+    )

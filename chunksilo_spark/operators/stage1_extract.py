@@ -1,0 +1,117 @@
+"""Stage 1: pages -> documents + chunks (+ quarantine).
+
+Distributed form of the reference ingestion hot loop (index.py:1601-1679:
+load -> parse -> split -> embed), re-expressed as two mapInPandas passes over
+an url-hash-repartitioned pages table. All per-row Python lives inside
+Arrow-batched UDFs; the extraction kernel is the byte-identity oracle
+function itself (functions/extract.py).
+
+Scale notes (100 TB / 10^12 rows):
+  * ``repartition(F.xxhash64("url"))`` bounds partition skew regardless of
+    crawl ordering (one host's pages spread uniformly) — north_star's
+    "repartitioning by url-hash to bound shuffle skew";
+  * failures never kill the job: undecodable/unparseable rows land in the
+    quarantine output with the error message (reference per-file timeout/skip
+    semantics, index.py:584-602, ui.py:460-599);
+  * documents carry headings/line_offsets as typed array columns (no side
+    store, unlike the reference's HeadingStore JSON — SURVEY §1.3).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.chunk import chunk_text
+from ..functions.extract import (
+    extract_headings,
+    extract_text,
+    line_offsets,
+)
+
+DOCS_SCHEMA = (
+    "url string, warc_ts timestamp, lang string, text string, "
+    "headings array<struct<text string, position long, level int>>, "
+    "line_offsets array<long>, n_chars long, ok boolean, error string"
+)
+
+CHUNKS_SCHEMA = (
+    "url string, lang string, chunk_id int, text string, "
+    "char_start long, char_end long, n_tokens int"
+)
+
+
+def _extract_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = {k: [] for k in (
+            "url", "warc_ts", "lang", "text", "headings",
+            "line_offsets", "n_chars", "ok", "error",
+        )}
+        for url, ts, html, lang in zip(
+            pdf["url"], pdf["warc_ts"], pdf["html"], pdf["lang"]
+        ):
+            text, heads, offs, ok, err = "", [], [], True, None
+            try:
+                text = extract_text(bytes(html).decode("utf-8", errors="strict"))
+                heads = [
+                    (h["text"], h["position"], h["level"])
+                    for h in extract_headings(text)
+                ]
+                offs = line_offsets(text)
+            except Exception as e:  # quarantine, never fail the task
+                ok, err = False, f"{type(e).__name__}: {e}"
+                text, heads, offs = "", [], []
+            out["url"].append(url)
+            out["warc_ts"].append(ts)
+            out["lang"].append(lang)
+            out["text"].append(text)
+            out["headings"].append(heads)
+            out["line_offsets"].append(offs)
+            out["n_chars"].append(len(text))
+            out["ok"].append(ok)
+            out["error"].append(err)
+        yield pd.DataFrame(out)
+
+
+def extract_documents(pages: DataFrame, partitions: int | None = None) -> DataFrame:
+    """pages -> documents (text filled, headings/offsets typed, ok/error)."""
+    df = pages
+    if partitions:
+        df = df.repartition(partitions, F.xxhash64("url"))
+    else:
+        df = df.repartition(F.xxhash64("url"))
+    return df.mapInPandas(_extract_batch, schema=DOCS_SCHEMA)
+
+
+def quarantine(documents: DataFrame) -> DataFrame:
+    """Rows that failed extraction (poison-row path)."""
+    return documents.where(~F.col("ok")).select("url", "warc_ts", "lang", "error")
+
+
+def _chunk_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = {k: [] for k in (
+            "url", "lang", "chunk_id", "text", "char_start", "char_end", "n_tokens",
+        )}
+        for url, lang, text in zip(pdf["url"], pdf["lang"], pdf["text"]):
+            for cid, ctext, cs, ce in chunk_text(text):
+                rows["url"].append(url)
+                rows["lang"].append(lang)
+                rows["chunk_id"].append(cid)
+                rows["text"].append(ctext)
+                rows["char_start"].append(cs)
+                rows["char_end"].append(ce)
+                rows["n_tokens"].append(len(ctext.split()))
+        yield pd.DataFrame(rows)
+
+
+def chunk_documents(documents: DataFrame) -> DataFrame:
+    """documents -> sentence-window chunks (1->N mapInPandas explode)."""
+    return (
+        documents.where(F.col("ok"))
+        .select("url", "lang", "text")
+        .mapInPandas(_chunk_batch, schema=CHUNKS_SCHEMA)
+    )

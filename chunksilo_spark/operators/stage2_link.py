@@ -1,0 +1,115 @@
+"""Stage 2: mention detection + embedding-based entity linking.
+
+The reference's "search by meaning" retrieval (vector top-k over chunk
+embeddings, search.py:1093-1111) repurposed as an entity LINKER per the
+north_star: each detected mention is BoW-embedded and scored by cosine
+against a BROADCAST alias/embedding dictionary; top-1 above threshold links
+the mention. No per-row Python in the hot path — one numpy matmul per Arrow
+batch inside mapInPandas (reference bulk-embedding analog, index.py:1643-49).
+
+Scale notes:
+  * the alias dictionary is driver-small by design (entity dictionaries are
+    ~1e6-1e8 rows — fits a broadcast of two numpy arrays; at the top end,
+    switch to the LSH-bucketed variant in operators/similarity.py);
+  * the broadcast is a plain ``sparkContext.broadcast`` of L2-normalized
+    float32 matrices, materialized once per executor, shared by all tasks;
+  * mention detection runs per document (not per chunk) so window overlaps
+    can't double-count a mention.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.chunk import split_sentences
+from ..functions.embed import bow_embed_matrix, cosine_topk, normalize_rows
+from ..functions.triples import extract_mentions
+
+MENTIONS_SCHEMA = (
+    "url string, sent_start long, m_start long, m_end long, surface string"
+)
+LINKED_SCHEMA = (
+    "url string, sent_start long, m_start long, surface string, "
+    "alias_id long, alias string, entity_id long, score float"
+)
+
+LINK_THRESHOLD = 0.999  # cosine; BoW vectors of equal token multisets hit 1.0
+
+
+def _mention_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = {k: [] for k in ("url", "sent_start", "m_start", "m_end", "surface")}
+        for url, text in zip(pdf["url"], pdf["text"]):
+            for s, e in split_sentences(text):
+                for surface, ms, me in extract_mentions(text[s:e]):
+                    rows["url"].append(url)
+                    rows["sent_start"].append(s)
+                    rows["m_start"].append(s + ms)
+                    rows["m_end"].append(s + me)
+                    rows["surface"].append(surface)
+        yield pd.DataFrame(rows)
+
+
+def detect_mentions(documents: DataFrame) -> DataFrame:
+    """en documents -> mention rows (url, offsets, surface)."""
+    return (
+        documents.where(F.col("ok") & (F.col("lang") == "en"))
+        .select("url", "text")
+        .mapInPandas(_mention_batch, schema=MENTIONS_SCHEMA)
+    )
+
+
+def build_alias_broadcast(spark, aliases: DataFrame):
+    """Collect the (small) alias dict into broadcast numpy arrays.
+
+    Returns a Broadcast of (alias_ids, alias_strs, entity_ids, norm_matrix).
+    """
+    rows = aliases.select("entity_id", "alias", "embedding").collect()
+    alias_strs = [r["alias"] for r in rows]
+    entity_ids = np.array([r["entity_id"] for r in rows], dtype=np.int64)
+    mat = normalize_rows(
+        np.array([r["embedding"] for r in rows], dtype=np.float32)
+    )
+    alias_ids = np.arange(len(rows), dtype=np.int64)
+    return spark.sparkContext.broadcast((alias_ids, alias_strs, entity_ids, mat))
+
+
+def link_mentions(
+    mentions: DataFrame, alias_bc, threshold: float = LINK_THRESHOLD
+) -> DataFrame:
+    """Cosine top-1 of each mention's BoW embedding vs the broadcast dict.
+
+    Emits only linked mentions (score >= threshold). Batch-vectorized: one
+    (batch x 384) @ (384 x n_alias) matmul per Arrow batch.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        alias_ids, alias_strs, entity_ids, mat = alias_bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            q = normalize_rows(bow_embed_matrix(list(pdf["surface"])))
+            idx, scores = cosine_topk(q, mat, k=1)
+            top = idx[:, 0]
+            sc = scores[:, 0]
+            keep = sc >= threshold
+            out = pd.DataFrame(
+                {
+                    "url": pdf["url"].to_numpy()[keep],
+                    "sent_start": pdf["sent_start"].to_numpy()[keep],
+                    "m_start": pdf["m_start"].to_numpy()[keep],
+                    "surface": pdf["surface"].to_numpy()[keep],
+                    "alias_id": alias_ids[top[keep]],
+                    "alias": [alias_strs[i] for i in top[keep]],
+                    "entity_id": entity_ids[top[keep]],
+                    "score": sc[keep].astype(np.float32),
+                }
+            )
+            yield out
+
+    return mentions.mapInPandas(run, schema=LINKED_SCHEMA)

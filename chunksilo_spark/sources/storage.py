@@ -1,0 +1,80 @@
+"""Table storage abstraction: Iceberg when a catalog is configured, parquet
+directories otherwise (SURVEY §7.4 risk 2 — no Iceberg jars in this sandbox).
+
+The features the pipeline relies on (atomic stage commit, resumable state,
+snapshot-style change detection) have parquet-dir equivalents implemented
+here: each write goes to the final path via Spark's own atomic rename
+protocol, and stage completion is recorded in a JSON manifest written
+atomically (tmp + os.replace). On a real cluster, set
+``spark.sql.catalog.<name>`` to an Iceberg catalog and pass
+``table_format='iceberg'`` — writes become ``writeTo(...).createOrReplace``
+and the manifest becomes redundant with Iceberg snapshots (kept anyway for
+stage bookkeeping).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class TableStore:
+    def __init__(self, root: str, table_format: str = "parquet") -> None:
+        self.root = root
+        self.table_format = table_format
+        os.makedirs(root, exist_ok=True)
+        self._manifest_path = os.path.join(root, "_manifest.json")
+
+    # -- manifest (the SQLite-ledger analog, reference index.py:314-401) ----
+    def manifest(self) -> dict:
+        if os.path.exists(self._manifest_path):
+            with open(self._manifest_path) as f:
+                return json.load(f)
+        return {"stages": {}}
+
+    def _write_manifest(self, m: dict) -> None:
+        tmp = self._manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(m, f, indent=1, sort_keys=True)
+        os.replace(tmp, self._manifest_path)
+
+    def stage_complete(self, stage: str, fingerprint: str) -> bool:
+        entry = self.manifest()["stages"].get(stage)
+        return bool(
+            entry
+            and entry.get("status") == "complete"
+            and entry.get("fingerprint") == fingerprint
+        )
+
+    def mark_complete(self, stage: str, fingerprint: str, **meta) -> None:
+        m = self.manifest()
+        m["stages"][stage] = {
+            "status": "complete",
+            "fingerprint": fingerprint,
+            "completed_at": time.time(),
+            **meta,
+        }
+        self._write_manifest(m)
+
+    # -- tables --------------------------------------------------------------
+    def path(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def write(self, df: DataFrame, table: str) -> None:
+        if self.table_format == "iceberg":
+            df.writeTo(table).createOrReplace()
+        else:
+            df.write.mode("overwrite").parquet(self.path(table))
+
+    def read(self, spark: SparkSession, table: str) -> DataFrame:
+        if self.table_format == "iceberg":
+            return spark.read.table(table)
+        return spark.read.parquet(self.path(table))
+
+    def exists(self, table: str) -> bool:
+        if self.table_format == "iceberg":
+            return True
+        return os.path.exists(os.path.join(self.path(table), "_SUCCESS"))
