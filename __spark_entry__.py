@@ -1,38 +1,737 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` maps every implemented operator from SURVEY.md §2 (plus the
+training-data-pipeline operator set) to a DataFrame callable over the driver
+testdata; ``oracle_sql()`` gives the DuckDB-equivalent SQL. Column names and
+rounding are aligned on both sides so the driver's order-insensitive
+value-hash comparison is exact.
+
+Non-SQL-expressible entries (MinHash banding, SimHash, LSH-ANN, the fake
+multimodal decoder, the end-to-end KG pipeline) intentionally have no oracle
+entry — the driver records the weaker rows-only check for those.
 """
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from chunksilo_spark.functions.textstats import STOPWORDS
+from chunksilo_spark.operators import dedup as dd
+from chunksilo_spark.operators import incremental as incr
+from chunksilo_spark.operators import multimodal as mm
+from chunksilo_spark.operators import search as srch
+from chunksilo_spark.operators import similarity as sim
+
+LN2 = math.log(2.0)
+NOW = "2024-02-01"
+_SW_EN = STOPWORDS["en"]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the reference's run_search funnel as one DataFrame query."""
+    docs = _t(spark, "/root/testdata/sf0.001", "documents")
+    return srch.search_documents(docs, "spark join window table scan", k=20)
+
+
+# ---------------------------------------------------------------------------
+# query implementations
+
+
+def _q1_pricing_summary(spark, sf):  # A3/A4 agg analog; TPC-H Q1 shape
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def _j1_new_keys(spark, sf):  # J1 left-anti: "new files"
+    return (
+        _t(spark, sf, "orders")
+        .join(_t(spark, sf, "lineitem"),
+              F.col("o_orderkey") == F.col("l_orderkey"), "left_anti")
+        .select("o_orderkey")
+    )
+
+
+def _j2_deleted_keys(spark, sf):  # J2 left-anti vs a filtered state set
+    li_hi = _t(spark, sf, "lineitem").where(F.col("l_quantity") > 45)
+    return (
+        _t(spark, sf, "orders")
+        .join(li_hi, F.col("o_orderkey") == F.col("l_orderkey"), "left_anti")
+        .select("o_orderkey", "o_orderstatus")
+    )
+
+
+def _incr_change_detect(spark, sf):  # J1+J2 full classification on hashes
+    orders = _t(spark, sf, "orders")
+    state = orders.where(F.col("o_orderkey") % 10 != 0).select(
+        F.col("o_orderkey").alias("url"),
+        F.md5(
+            F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string")
+        ).alias("content_md5"),
+    )
+    snap = orders.where(F.col("o_orderkey") % 7 != 0).select(
+        F.col("o_orderkey").alias("url"),
+        F.md5(
+            (
+                F.round(F.col("o_totalprice") * 100).cast("bigint")
+                + F.when(F.col("o_orderkey") % 3 == 0, 1).otherwise(0)
+            ).cast("string")
+        ).alias("content_md5"),
+    )
+    ch = incr.classify_changes(snap, state, key="url", hash_col="content_md5")
+    parts = [
+        ch[k].select(F.lit(k).alias("change"), F.col("url").alias("o_orderkey"))
+        for k in ("new", "modified", "unchanged", "deleted")
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.groupBy("change").agg(F.count(F.lit(1)).alias("n"))
+
+
+def _a1_rollup(spark, sf):  # A1 collect_list ledger rollup
+    return (
+        _t(spark, sf, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sort_array(F.collect_list("o_orderkey")).alias("order_keys"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+def _a2_first_per_key(spark, sf):  # A2 first-per-key dedup
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type")
+    )
+
+
+def _o1_recency_boost(spark, sf):  # O1 recency boost + resort + cap
+    ev = _t(spark, sf, "events")
+    boosted = F.round(
+        F.col("value")
+        * (
+            F.lit(1.0)
+            + F.lit(0.5)
+            * F.exp(
+                F.lit(-LN2 / 30.0)
+                * F.datediff(F.lit(NOW).cast("timestamp"), F.col("ts"))
+            )
+        ),
+        6,
+    )
+    return (
+        ev.withColumn("boosted", boosted)
+        .orderBy(F.desc("boosted"), F.asc("event_id"))
+        .limit(100)
+        .select("event_id", "boosted")
+    )
+
+
+def _w1_topk_per_type(spark, sf):  # W1 vector-top-k analog: top-3 per group
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("value"), F.asc("event_id")
+    )
+    return (
+        ev.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("event_type", "event_id", F.round("value", 6).alias("value"), "rank")
+    )
+
+
+def _w4_candidate_cap(spark, sf):  # W4 recency-sort then cap 100
+    ev = _t(spark, sf, "events")
+    return (
+        ev.orderBy(F.desc("ts"), F.asc("event_id"))
+        .limit(100)
+        .select("event_id", "event_type")
+    )
+
+
+def _p3_date_filter(spark, sf):  # P3 date range, missing date passes
+    ev = _t(spark, sf, "events")
+    return srch.date_range_filter(ev, "ts", "2024-01-10", "2024-01-20").select(
+        "event_id", "user_id"
+    )
+
+
+def _p5_phrase_filter(spark, sf):  # P5 required phrases (ALL must appear)
+    docs = _t(spark, sf, "documents")
+    return srch.phrase_post_filter(docs, "text", ["spark", "join"]).select(
+        "doc_id", "n_chars"
+    )
+
+
+def _o3_except_users(spark, sf):  # O3 set difference
+    ev = _t(spark, sf, "events").where(
+        F.col("ts") < F.lit("2024-01-03").cast("timestamp")
+    )
+    clicks = ev.where(F.col("event_type") == "click").select("user_id").distinct()
+    views = ev.where(F.col("event_type") == "view").select("user_id").distinct()
+    return clicks.exceptAll(views).distinct().select("user_id")
+
+
+def _j3_union_dedup(spark, sf):  # J3 priority union, first-seen wins
+    ev = _t(spark, sf, "events")
+    a = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", F.lit(1).alias("priority")
+    )
+    b = ev.where(F.col("event_type") == "signup").select(
+        "user_id", "event_id", F.lit(2).alias("priority")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.asc("priority"), F.asc("event_id")
+    )
+    return (
+        a.unionByName(b)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_id", "priority")
+    )
+
+
+def _f1_tokenize(spark, sf):  # F1 filename-ish tokenization + explode
+    part = _t(spark, sf, "part")
+    return (
+        part.select(
+            F.explode(
+                F.split(F.lower(F.col("p_name")), r"[\s_\-.]+")
+            ).alias("token")
+        )
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _f2_line_stats(spark, sf):  # F2 line offsets analog: line counts
+    docs = _t(spark, sf, "documents")
+    n_lines = (
+        F.length("text") - F.length(F.regexp_replace("text", "\n", "")) + 1
+    )
+    return docs.select(
+        "doc_id", n_lines.alias("n_lines"), F.length("text").alias("len_chars")
+    )
+
+
+def _f5_stopword_filter(spark, sf):  # F5 stopword removal
+    docs = _t(spark, sf, "documents")
+    toks = F.array_distinct(F.split(F.lower("text"), r"\s+"))
+    kept = F.size(
+        F.filter(toks, lambda x: ~F.array_contains(F.array(*map(F.lit, _SW_EN)), x))
+    )
+    return docs.select("doc_id", kept.alias("n_content_tokens"))
+
+
+def _w5_first_match_line(spark, sf):  # W5/W6 char offset -> line number
+    docs = _t(spark, sf, "documents")
+    pos = F.instr(F.lower("text"), "spark")
+    prefix = F.substring("text", 1, pos - 1)
+    line_no = F.length(prefix) - F.length(F.regexp_replace(prefix, "\n", "")) + 1
+    return (
+        docs.withColumn("pos", pos)
+        .where(F.col("pos") > 0)
+        .select("doc_id", "pos", line_no.alias("line_no"))
+    )
+
+
+def _u5_bm25(spark, sf):  # U5 BM25 scoring, k1=1.2 b=0.75, terms fixed
+    docs = _t(spark, sf, "documents")
+    toks = F.split(F.lower("text"), r"\s+")
+    tf = lambda term: F.size(F.filter(toks, lambda x: x == F.lit(term)))  # noqa: E731
+    d = docs.select(
+        "doc_id",
+        F.size(toks).alias("dl"),
+        tf("spark").alias("tf_spark"),
+        tf("join").alias("tf_join"),
+    )
+    stats = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        F.sum((F.col("tf_spark") > 0).cast("int")).alias("df_spark"),
+        F.sum((F.col("tf_join") > 0).cast("int")).alias("df_join"),
+    )
+    j = d.crossJoin(F.broadcast(stats))
+    idf = lambda dfc: F.log(  # noqa: E731
+        (F.col("n_docs") - dfc + 0.5) / (dfc + 0.5) + 1.0
+    )
+    bm = lambda tfc, dfc: idf(dfc) * (  # noqa: E731
+        tfc * 2.2 / (tfc + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl")))
+    )
+    scored = j.select(
+        "doc_id",
+        F.round(
+            bm(F.col("tf_spark"), F.col("df_spark"))
+            + bm(F.col("tf_join"), F.col("df_join")),
+            4,
+        ).alias("bm25"),
+    )
+    return scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(20)
+
+
+def _flagship_search(spark, sf):  # the run_search funnel (U6/P4/P5/O2)
+    docs = _t(spark, sf, "documents")
+    return srch.search_documents(docs, "spark join window table scan", k=20)
+
+
+def _t_lang_id(spark, sf):  # language ID via stopword votes
+    docs = _t(spark, sf, "documents")
+    toks = F.split(F.lower("text"), r"\s+")
+    votes = {
+        lang: F.size(
+            F.array_intersect(toks, F.array(*map(F.lit, STOPWORDS[lang])))
+        )
+        for lang in sorted(STOPWORDS)
+    }
+    langs = sorted(STOPWORDS)  # de, en, es, fr, sv
+    expr = None
+    for lang in langs:
+        cond = F.lit(True)
+        for other in langs:
+            if other != lang:
+                cond = cond & (votes[lang] >= votes[other])
+        expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
+    return docs.select("doc_id", expr.otherwise(F.lit("und")).alias("lang_pred"))
+
+
+def _t_token_counts(spark, sf):  # whitespace + BPE-ish token counting
+    docs = _t(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split("text", r"\s+")).alias("ws_tokens"),
+        F.size(
+            F.regexp_extract_all(
+                "text", F.lit(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"), 0
+            )
+        ).alias("bpeish_tokens"),
+    )
+
+
+def _t_quality(spark, sf):  # quality scoring
+    docs = _t(spark, sf, "documents")
+    words = F.split(F.lower("text"), r"\s+")
+    n_words = F.size(words)
+    len_score = F.least(n_words / F.lit(100.0), F.lit(1.0))
+    n_punct = F.size(F.regexp_extract_all("text", F.lit(r"[^\w\s]"), 0))
+    punct_score = F.greatest(
+        F.lit(0.0), F.lit(1.0) - F.lit(5.0) * n_punct / F.length("text")
+    )
+    n_stop = F.size(
+        F.filter(words, lambda x: F.array_contains(F.array(*map(F.lit, _SW_EN)), x))
+    )
+    stop_ratio = n_stop / n_words
+    q = F.round(
+        F.lit(0.4) * len_score + F.lit(0.3) * punct_score + F.lit(0.3) * stop_ratio,
+        4,
+    )
+    return docs.select("doc_id", q.alias("quality"))
+
+
+def _t_fingerprints(spark, sf):  # content fingerprint (md5 of normalized)
+    docs = _t(spark, sf, "documents")
+    return docs.select(
+        "doc_id", F.md5(F.encode(F.trim(F.lower("text")), "utf-8")).alias("fp")
+    )
+
+
+def _d_exact(spark, sf):  # exact dedup via hash-groupBy
+    return dd.exact_dedup(_t(spark, sf, "documents"))
+
+
+def _d_token_jaccard(spark, sf):  # blocked pairwise Jaccard
+    return dd.ngram_jaccard_pairs(
+        _t(spark, sf, "documents"), ["source", "n_chars"], threshold=0.2
+    )
+
+
+def _d_minhash_lsh(spark, sf):  # MinHash-LSH candidates (rows-only)
+    return dd.minhash_lsh_pairs(_t(spark, sf, "documents"))
+
+
+def _d_simhash(spark, sf):  # SimHash fingerprints (rows-only)
+    return dd.simhash_fingerprints(_t(spark, sf, "documents"))
+
+
+def _s_knn_bruteforce(spark, sf):  # exact cosine top-5 for 10 queries
+    emb = _t(spark, sf, "embeddings")
+    return sim.brute_force_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
+
+
+def _s_knn_lsh(spark, sf):  # LSH-bucketed ANN (rows-only)
+    emb = _t(spark, sf, "embeddings")
+    return sim.lsh_topk(emb, emb.where(F.col("vec_id") < 10), dim=64, k=5)
+
+
+def _m_binary_meta(spark, sf):  # multimodal: opaque binary metadata
+    docs = _t(spark, sf, "documents").select(
+        F.col("doc_id").alias("asset_id"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    return mm.binary_metadata(docs).select("asset_id", "n_bytes", "content_md5")
+
+
+def _m_decode_features(spark, sf):  # multimodal: stubbed decoder (rows-only)
+    docs = _t(spark, sf, "documents").select(
+        F.col("doc_id").alias("asset_id"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    return mm.decode_features(docs)
+
+
+def _kg_pipeline_mini(spark, sf):  # end-to-end KG DAG (rows-only)
+    from chunksilo_spark.operators import stage1_extract as s1
+    from chunksilo_spark.operators import stage2_link as s2
+    from chunksilo_spark.operators import stage3_triples as s3
+    from chunksilo_spark.operators.canon import canon_map
+    from chunksilo_spark.sources.corpus import aliases_df, pages_df
+    from chunksilo_spark.functions.triples import normalize_surface
+    import pandas as pd
+
+    pages = pages_df(spark, 100, partitions=8)
+    aliases = aliases_df(spark)
+    documents = s1.extract_documents(pages, partitions=8)
+    alias_bc = s2.build_alias_broadcast(spark, aliases)
+    linked = s2.link_mentions(s2.detect_mentions(documents), alias_bc)
+    raw = s3.extract_raw_triples(documents)
+
+    def norm_batch(batches):
+        for pdf in batches:
+            yield pd.DataFrame({"norm": [normalize_surface(s) for s in pdf["s"]]})
+
+    surfaces = (
+        aliases.select(F.col("alias").alias("s"))
+        .unionByName(linked.select(F.col("surface").alias("s")))
+        .distinct()
+        .mapInPandas(norm_batch, schema="norm string")
+        .distinct()
+    )
+    canon = canon_map(surfaces)
+    triples = s3.canonical_triples(raw, s3.linked_surfaces(linked), canon)
+    return (
+        triples.groupBy("subj_canon", "pred", "obj_canon")
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q1_pricing_summary": _q1_pricing_summary,
+        "j1_new_keys": _j1_new_keys,
+        "j2_deleted_keys": _j2_deleted_keys,
+        "incr_change_detect": _incr_change_detect,
+        "a1_rollup": _a1_rollup,
+        "a2_first_per_key": _a2_first_per_key,
+        "o1_recency_boost": _o1_recency_boost,
+        "w1_topk_per_type": _w1_topk_per_type,
+        "w4_candidate_cap": _w4_candidate_cap,
+        "p3_date_filter": _p3_date_filter,
+        "p5_phrase_filter": _p5_phrase_filter,
+        "o3_except_users": _o3_except_users,
+        "j3_union_dedup": _j3_union_dedup,
+        "f1_tokenize": _f1_tokenize,
+        "f2_line_stats": _f2_line_stats,
+        "f5_stopword_filter": _f5_stopword_filter,
+        "w5_first_match_line": _w5_first_match_line,
+        "u5_bm25": _u5_bm25,
+        "flagship_search": _flagship_search,
+        "t_lang_id": _t_lang_id,
+        "t_token_counts": _t_token_counts,
+        "t_quality": _t_quality,
+        "t_fingerprints": _t_fingerprints,
+        "d_exact": _d_exact,
+        "d_token_jaccard": _d_token_jaccard,
+        "d_minhash_lsh": _d_minhash_lsh,
+        "d_simhash": _d_simhash,
+        "s_knn_bruteforce": _s_knn_bruteforce,
+        "s_knn_lsh": _s_knn_lsh,
+        "m_binary_meta": _m_binary_meta,
+        "m_decode_features": _m_decode_features,
+        "kg_pipeline_mini": _kg_pipeline_mini,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+
+
+def _sw_list(lang: str) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
+
+
+def _lang_case() -> str:
+    langs = sorted(STOPWORDS)
+    votes = {
+        lang: (
+            "len(list_intersect(string_split_regex(lower(text), '\\s+'), "
+            + _sw_list(lang)
+            + "))"
+        )
+        for lang in langs
+    }
+    branches = []
+    for lang in langs:
+        conds = " AND ".join(
+            f"{votes[lang]} >= {votes[o]}" for o in langs if o != lang
+        )
+        branches.append(f"WHEN {conds} THEN '{lang}'")
+    return "CASE " + " ".join(branches) + " ELSE 'und' END"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sw = _sw_list("en")
+    q_tokens = "['spark', 'join', 'window', 'table', 'scan']"
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "j1_new_keys": """
+            SELECT o_orderkey FROM orders
+            WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)
+        """,
+        "j2_deleted_keys": """
+            SELECT o_orderkey, o_orderstatus FROM orders
+            WHERE o_orderkey NOT IN
+                (SELECT l_orderkey FROM lineitem WHERE l_quantity > 45)
+        """,
+        "incr_change_detect": """
+            WITH state AS (
+                SELECT o_orderkey AS url,
+                       md5(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR)) AS h
+                FROM orders WHERE o_orderkey % 10 <> 0
+            ), snap AS (
+                SELECT o_orderkey AS url,
+                       md5(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                           + CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END AS VARCHAR)) AS h
+                FROM orders WHERE o_orderkey % 7 <> 0
+            ), classified AS (
+                SELECT 'new' AS change FROM snap
+                WHERE url NOT IN (SELECT url FROM state)
+                UNION ALL
+                SELECT 'modified' FROM snap JOIN state USING (url)
+                WHERE snap.h <> state.h
+                UNION ALL
+                SELECT 'unchanged' FROM snap JOIN state USING (url)
+                WHERE snap.h = state.h
+                UNION ALL
+                SELECT 'deleted' FROM state
+                WHERE url NOT IN (SELECT url FROM snap)
+            )
+            SELECT change, count(*) AS n FROM classified GROUP BY change
+        """,
+        "a1_rollup": """
+            SELECT o_custkey,
+                   list_sort(list(o_orderkey)) AS order_keys,
+                   count(*) AS n_orders
+            FROM orders GROUP BY o_custkey
+        """,
+        "a2_first_per_key": """
+            SELECT user_id, event_id, event_type
+            FROM (SELECT user_id, event_id, event_type,
+                         row_number() OVER (PARTITION BY user_id
+                                            ORDER BY ts ASC, event_id ASC) AS rn
+                  FROM events) WHERE rn = 1
+        """,
+        "o1_recency_boost": f"""
+            SELECT event_id,
+                   round(value * (1 + 0.5 * exp(-{LN2 / 30.0!r} *
+                       date_diff('day', ts, TIMESTAMP '{NOW}'))), 6) AS boosted
+            FROM events
+            ORDER BY boosted DESC, event_id ASC LIMIT 100
+        """,
+        "w1_topk_per_type": """
+            SELECT event_type, event_id, round(value, 6) AS value, rank
+            FROM (SELECT event_type, event_id, value,
+                         row_number() OVER (PARTITION BY event_type
+                                            ORDER BY value DESC, event_id ASC) AS rank
+                  FROM events) WHERE rank <= 3
+        """,
+        "w4_candidate_cap": """
+            SELECT event_id, event_type FROM events
+            ORDER BY ts DESC, event_id ASC LIMIT 100
+        """,
+        "p3_date_filter": """
+            SELECT event_id, user_id FROM events
+            WHERE (ts IS NULL OR ts >= TIMESTAMP '2024-01-10')
+              AND (ts IS NULL OR ts <= TIMESTAMP '2024-01-20')
+        """,
+        "p5_phrase_filter": """
+            SELECT doc_id, n_chars FROM documents
+            WHERE contains(lower(text), 'spark') AND contains(lower(text), 'join')
+        """,
+        "o3_except_users": """
+            SELECT DISTINCT user_id FROM events
+            WHERE event_type = 'click' AND ts < TIMESTAMP '2024-01-03'
+            EXCEPT
+            SELECT DISTINCT user_id FROM events
+            WHERE event_type = 'view' AND ts < TIMESTAMP '2024-01-03'
+        """,
+        "j3_union_dedup": """
+            WITH u AS (
+                SELECT user_id, event_id, 1 AS priority FROM events
+                WHERE event_type = 'purchase'
+                UNION ALL
+                SELECT user_id, event_id, 2 AS priority FROM events
+                WHERE event_type = 'signup'
+            )
+            SELECT user_id, event_id, priority
+            FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                       ORDER BY priority ASC, event_id ASC) AS rn FROM u)
+            WHERE rn = 1
+        """,
+        "f1_tokenize": """
+            SELECT token, count(*) AS n FROM (
+                SELECT unnest(string_split_regex(lower(p_name), '[\\s_\\-.]+')) AS token
+                FROM part
+            ) WHERE token <> '' GROUP BY token
+        """,
+        "f2_line_stats": """
+            SELECT doc_id,
+                   length(text) - length(replace(text, chr(10), '')) + 1 AS n_lines,
+                   length(text) AS len_chars
+            FROM documents
+        """,
+        "f5_stopword_filter": f"""
+            SELECT doc_id,
+                   len(list_filter(list_distinct(string_split_regex(lower(text), '\\s+')),
+                       x -> NOT list_contains({sw}, x))) AS n_content_tokens
+            FROM documents
+        """,
+        "w5_first_match_line": """
+            SELECT doc_id, pos,
+                   length(prefix) - length(replace(prefix, chr(10), '')) + 1 AS line_no
+            FROM (SELECT doc_id, strpos(lower(text), 'spark') AS pos,
+                         substring(text, 1, strpos(lower(text), 'spark') - 1) AS prefix
+                  FROM documents)
+            WHERE pos > 0
+        """,
+        "u5_bm25": """
+            WITH d AS (
+                SELECT doc_id,
+                       len(string_split_regex(lower(text), '\\s+')) AS dl,
+                       len(list_filter(string_split_regex(lower(text), '\\s+'),
+                           x -> x = 'spark')) AS tf_spark,
+                       len(list_filter(string_split_regex(lower(text), '\\s+'),
+                           x -> x = 'join')) AS tf_join
+                FROM documents
+            ), s AS (
+                SELECT count(*) AS n_docs, avg(dl) AS avgdl,
+                       sum(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END) AS df_spark,
+                       sum(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END) AS df_join
+                FROM d
+            )
+            SELECT doc_id,
+                   round(
+                     ln((n_docs - df_spark + 0.5) / (df_spark + 0.5) + 1.0)
+                       * (tf_spark * 2.2 / (tf_spark + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+                   + ln((n_docs - df_join + 0.5) / (df_join + 0.5) + 1.0)
+                       * (tf_join * 2.2 / (tf_join + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+                   , 4) AS bm25
+            FROM d, s
+            ORDER BY bm25 DESC, doc_id ASC LIMIT 20
+        """,
+        "flagship_search": f"""
+            SELECT doc_id, lang, source, score FROM (
+                SELECT doc_id, lang, source,
+                       round(len(list_intersect(string_split_regex(lower(text), '\\s+'),
+                           {q_tokens})) / 5.0, 6) AS score
+                FROM documents
+            ) WHERE score >= 0.1
+            ORDER BY score DESC, doc_id ASC LIMIT 20
+        """,
+        "t_lang_id": f"SELECT doc_id, {_lang_case()} AS lang_pred FROM documents",
+        "t_token_counts": """
+            SELECT doc_id,
+                   len(string_split_regex(text, '\\s+')) AS ws_tokens,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]')) AS bpeish_tokens
+            FROM documents
+        """,
+        "t_quality": f"""
+            SELECT doc_id, round(
+                0.4 * least(len(string_split_regex(lower(text), '\\s+')) / 100.0, 1.0)
+              + 0.3 * greatest(0.0, 1.0 - 5.0 * len(regexp_extract_all(text, '[^\\w\\s]'))
+                                   / length(text))
+              + 0.3 * (len(list_filter(string_split_regex(lower(text), '\\s+'),
+                           x -> list_contains({sw}, x)))
+                       / len(string_split_regex(lower(text), '\\s+')))
+            , 4) AS quality FROM documents
+        """,
+        "t_fingerprints": """
+            SELECT doc_id, md5(trim(lower(text))) AS fp FROM documents
+        """,
+        "d_exact": """
+            SELECT md5(text) AS text_md5, count(*) AS n_docs,
+                   min(doc_id) AS keep_doc_id
+            FROM documents GROUP BY md5(text)
+        """,
+        "d_token_jaccard": """
+            WITH t AS (
+                SELECT doc_id, source, n_chars,
+                       list_distinct(string_split_regex(lower(text), '\\s+')) AS sh
+                FROM documents
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                         / greatest(len(a.sh) + len(b.sh)
+                                    - len(list_intersect(a.sh, b.sh)), 1), 6) AS jaccard
+            FROM t a JOIN t b
+              ON a.source = b.source AND a.n_chars = b.n_chars
+             AND a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                  / greatest(len(a.sh) + len(b.sh)
+                             - len(list_intersect(a.sh, b.sh)), 1) >= 0.2
+        """,
+        "s_knn_bruteforce": """
+            SELECT query_id, neighbor_id, cosine, rank FROM (
+                SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+                       round(list_cosine_similarity(q.embedding, v.embedding), 4) AS cosine,
+                       row_number() OVER (PARTITION BY q.vec_id
+                           ORDER BY round(list_cosine_similarity(q.embedding, v.embedding), 4) DESC,
+                                    v.vec_id ASC) AS rank
+                FROM embeddings q JOIN embeddings v ON q.vec_id <> v.vec_id
+                WHERE q.vec_id < 10
+            ) WHERE rank <= 5
+        """,
+        "m_binary_meta": """
+            SELECT doc_id AS asset_id,
+                   octet_length(encode(text)) AS n_bytes,
+                   md5(text) AS content_md5
+            FROM documents
+        """,
+    }

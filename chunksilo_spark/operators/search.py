@@ -1,0 +1,93 @@
+"""The retrieval query surface — the reference's run_search funnel
+(search.py:1333-1430) re-expressed as one declarative DataFrame query.
+
+Funnel (reference stage order preserved):
+  quoted-phrase parse -> candidate scoring (token-overlap = the BoW cosine
+  analog, fully JVM-side) -> date filter (missing date passes,
+  search.py:1018-1050) -> recency boost (search.py:1053-1090) -> candidate
+  cap (search.py:1385-88) -> score threshold (search.py:1394-99) -> required
+  phrase post-filter (search.py:1401-08) -> top-k.
+
+Everything is built-in pyspark.sql.functions — predicate pushdown, column
+pruning and whole-stage codegen apply end-to-end; no Python runs per row.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+RECENCY_HALF_LIFE_DAYS = 30.0
+RECENCY_WEIGHT = 0.5
+SCORE_THRESHOLD = 0.1
+EMBED_TOP_K = 20  # reference cfgload.py:88
+RERANK_CANDIDATES = 100  # reference cfgload.py:91
+
+
+def token_overlap_score(text_col: Column, query_tokens: list[str]) -> Column:
+    """|distinct text tokens ∩ query tokens| / |query tokens| — the
+    deterministic, SQL-expressible stand-in for cosine(query, chunk) used by
+    the search queries (the KG pipeline uses the real BoW cosine linker)."""
+    toks = F.split(F.lower(text_col), r"\s+")
+    inter = F.array_intersect(toks, F.array(*[F.lit(t) for t in query_tokens]))
+    return F.size(inter) / F.lit(float(len(query_tokens)))
+
+
+def recency_boost(score_col: Column, ts_col: Column, now: str) -> Column:
+    """score * (1 + w * exp(-ln2/half_life * age_days)) — search.py:1083-85."""
+    age_days = F.datediff(F.lit(now).cast("timestamp"), ts_col)
+    decay = F.exp(F.lit(-math.log(2.0) / RECENCY_HALF_LIFE_DAYS) * age_days)
+    return score_col * (F.lit(1.0) + F.lit(RECENCY_WEIGHT) * decay)
+
+
+def date_range_filter(
+    df: DataFrame, ts_col: str, date_from: str | None, date_to: str | None
+) -> DataFrame:
+    """Missing/unparseable date PASSES the filter (search.py:1018-1050)."""
+    cond = F.lit(True)
+    if date_from:
+        cond = cond & (
+            F.col(ts_col).isNull()
+            | (F.col(ts_col) >= F.lit(date_from).cast("timestamp"))
+        )
+    if date_to:
+        cond = cond & (
+            F.col(ts_col).isNull()
+            | (F.col(ts_col) <= F.lit(date_to).cast("timestamp"))
+        )
+    return df.where(cond)
+
+
+def phrase_post_filter(df: DataFrame, text_col: str, phrases: list[str]) -> DataFrame:
+    """ALL quoted phrases must appear, case-insensitive (search.py:1401-08)."""
+    out = df
+    for p in phrases:
+        out = out.where(F.lower(F.col(text_col)).contains(p.lower()))
+    return out
+
+
+def search_documents(
+    documents: DataFrame,
+    query: str,
+    k: int = EMBED_TOP_K,
+    phrases: list[str] | None = None,
+    score_threshold: float = SCORE_THRESHOLD,
+) -> DataFrame:
+    """The flagship funnel over a (doc_id, text, ...) table.
+
+    Deterministic total order: score desc, doc_id asc (reference dedups by
+    first-seen; a tie-broken sort is the distributed equivalent, J3 note in
+    SURVEY §2.3)."""
+    tokens = [t for t in query.lower().split() if t]
+    scored = documents.withColumn(
+        "score", F.round(token_overlap_score(F.col("text"), tokens), 6)
+    )
+    out = scored.where(F.col("score") >= F.lit(score_threshold))
+    out = phrase_post_filter(out, "text", phrases or [])
+    return (
+        out.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", "lang", "source", "score")
+    )

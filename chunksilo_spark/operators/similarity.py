@@ -1,0 +1,181 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Two strategies (SURVEY training-data ops):
+
+  * brute_force_topk — exact cosine top-k via broadcast query side + window
+    (the baseline; same shape as dedup.embedding_knn but query-vector input);
+  * lsh_topk         — random-hyperplane LSH: 16-bit sign sketch per vector,
+    candidates = rows sharing a multi-probe bucket, exact re-rank inside
+    buckets. At 10^12 rows the bucket join replaces the full scan; planes
+    are a fixed seeded matrix so results are deterministic.
+
+Both keep vectors as array<float> (Arrow-friendly; no Spark-ML VectorUDT in
+the hot path — SURVEY §1.3).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+_PLANES_SEED = 42
+N_PLANES = 16
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _norm(c):
+    return F.sqrt(
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k per query id (queries = small DataFrame of the same
+    schema). Broadcast the queries; one pass over the corpus."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("q_vec"),
+    )
+    scored = vectors.withColumn(
+        "_v", F.col(vec_col).cast("array<double>")
+    ).join(F.broadcast(q), F.col(id_col) != F.col("query_id")).withColumn(
+        "cosine",
+        F.round(
+            _dot(F.col("q_vec"), F.col("_v"))
+            / (_norm(F.col("q_vec")) * _norm(F.col("_v"))),
+            4,
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col(id_col).alias("neighbor_id"), "cosine", "rank")
+    )
+
+
+N_BANDS = 4  # 4 bands x 4 bits: candidates share at least one band
+BITS_PER_BAND = N_PLANES // N_BANDS
+
+
+def _sign_sketch_batch(dim: int, vec_col: str):
+    rng = np.random.default_rng(_PLANES_SEED)
+    planes = rng.standard_normal((dim, N_PLANES)).astype(np.float32)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float32)
+            signs = (mat @ planes) > 0  # (n, N_PLANES)
+            sketch = np.zeros(len(pdf), dtype=np.int64)
+            for i in range(N_PLANES):
+                sketch |= signs[:, i].astype(np.int64) << i
+            out = pdf[["vec_id"]].copy()
+            out["sketch"] = sketch
+            yield out
+
+    return run
+
+
+def add_lsh_sketch(vectors: DataFrame, dim: int, vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, sketch) — 16-bit random-hyperplane sign sketch."""
+    return vectors.select("vec_id", vec_col).mapInPandas(
+        _sign_sketch_batch(dim, vec_col), schema="vec_id long, sketch long"
+    )
+
+
+def _band_cols(sketch_col):
+    """Split the 16-bit sketch into N_BANDS band values."""
+    mask = (1 << BITS_PER_BAND) - 1
+    return [
+        F.shiftright(sketch_col, i * BITS_PER_BAND).bitwiseAND(F.lit(mask))
+        for i in range(N_BANDS)
+    ]
+
+
+def lsh_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k: banded random-hyperplane LSH + exact re-rank in buckets.
+
+    Candidates = rows sharing >= 1 of 4 sketch bands with the query (classic
+    banding: recall ~ 1-(1-s^r)^b); exact cosine re-ranks candidates only.
+    Scale shape: the corpus is sketched once (cacheable); the expensive
+    cosine runs on the candidate subset instead of the full corpus, and the
+    band join is an equi-join on (band_idx, band_val) — AQE-splittable."""
+    sketches = add_lsh_sketch(vectors, dim, vec_col)
+    bands = sketches.select(
+        id_col,
+        F.explode(
+            F.arrays_zip(
+                F.array(*[F.lit(i) for i in range(N_BANDS)]).alias("band_idx"),
+                F.array(*_band_cols(F.col("sketch"))).alias("band_val"),
+            )
+        ).alias("bz"),
+    ).select(id_col, F.col("bz.band_idx"), F.col("bz.band_val"))
+
+    q_bands = (
+        add_lsh_sketch(queries, dim, vec_col)
+        .withColumnRenamed(id_col, "query_id")
+        .select(
+            "query_id",
+            F.explode(
+                F.arrays_zip(
+                    F.array(*[F.lit(i) for i in range(N_BANDS)]).alias("band_idx"),
+                    F.array(*_band_cols(F.col("sketch"))).alias("band_val"),
+                )
+            ).alias("bz"),
+        )
+        .select("query_id", F.col("bz.band_idx"), F.col("bz.band_val"))
+    )
+    cand_ids = (
+        bands.join(F.broadcast(q_bands), ["band_idx", "band_val"])
+        .where(F.col(id_col) != F.col("query_id"))
+        .select("query_id", id_col)
+        .distinct()
+    )
+    q_vecs = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("q_vec"),
+    )
+    scored = (
+        cand_ids.join(vectors, id_col)
+        .withColumn("_v", F.col(vec_col).cast("array<double>"))
+        .join(F.broadcast(q_vecs), "query_id")
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("q_vec"), F.col("_v"))
+                / (_norm(F.col("q_vec")) * _norm(F.col("_v"))),
+                4,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col(id_col).alias("neighbor_id"), "cosine", "rank")
+    )
