@@ -420,7 +420,7 @@ def _kg_pipeline_mini(spark, sf):  # end-to-end KG DAG (rows-only)
     aliases = aliases_df(spark)
     documents = s1.extract_documents(pages, partitions=8)
     alias_bc = s2.build_alias_broadcast(spark, aliases)
-    linked = s2.link_mentions(s2.detect_mentions(documents), alias_bc)
+    linked = s2.detect_and_link(documents, alias_bc)
     raw = s3.extract_raw_triples(documents)
 
     def norm_batch(batches):

@@ -107,7 +107,8 @@ def verify_pairs(
 
 
 def connected_components(
-    vertices: DataFrame, edges: DataFrame, max_iter: int = 20
+    vertices: DataFrame, edges: DataFrame, max_iter: int = 20,
+    partitions: int = 16,
 ) -> DataFrame:
     """Min-label propagation -> (nid, component) with component = min nid.
 
@@ -115,13 +116,20 @@ def connected_components(
     changes (diameter-bounded; alias-variant clusters are stars, so 2-4
     rounds). Each round: symmetric neighbor-label min, map-side-combined;
     localCheckpoint truncates the growing plan (SURVEY §4 custom item 3).
+
+    ``partitions`` sizes the per-iteration shuffles to the DATA, not the
+    cluster: entity-dictionary graphs are orders of magnitude smaller than
+    the corpus, and over-parallelizing the tiny iterative joins just buys
+    scheduler overhead. Scale it up with the surface count (e.g. n/100k).
     """
-    sym = edges.union(
-        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).localCheckpoint()
+    sym = (
+        edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .repartition(partitions, "a")
+        .localCheckpoint()
+    )
     labels = vertices.select(
         F.col("nid"), F.col("nid").alias("component")
-    ).localCheckpoint()
+    ).repartition(partitions, "nid").localCheckpoint()
     for _ in range(max_iter):
         neighbor = (
             sym.join(labels, sym["a"] == labels["nid"])
@@ -129,6 +137,7 @@ def connected_components(
         )
         new_labels = (
             labels.unionByName(neighbor)
+            .repartition(partitions, "nid")
             .groupBy("nid")
             .agg(F.min("component").alias("component"))
             .localCheckpoint()
@@ -147,16 +156,18 @@ def connected_components(
 
 def canon_map(surfaces: DataFrame, col: str = "norm",
               threshold: float = JACCARD_THRESHOLD,
-              max_iter: int = 20) -> DataFrame:
+              max_iter: int = 20, partitions: int = 16) -> DataFrame:
     """distinct surfaces -> (norm, canon_id, canon_surface).
 
     canon_surface = min surface string in the component (deterministic
     representative); canon_id = component id (min member hash64 — also
     computable by the plain-Python oracle)."""
-    bands = lsh_bands(surfaces, col)
+    bands = lsh_bands(surfaces, col).repartition(partitions, "band_key")
     verts = bands.select("nid", "norm").distinct().localCheckpoint()
     edges = verify_pairs(candidate_pairs(bands), threshold)
-    labels = connected_components(verts.select("nid"), edges, max_iter)
+    labels = connected_components(
+        verts.select("nid"), edges, max_iter, partitions
+    )
     with_comp = verts.join(labels, "nid")
     reps = (
         with_comp.groupBy("component")

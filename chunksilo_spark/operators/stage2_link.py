@@ -79,6 +79,54 @@ def build_alias_broadcast(spark, aliases: DataFrame):
     return spark.sparkContext.broadcast((alias_ids, alias_strs, entity_ids, mat))
 
 
+def detect_and_link(
+    documents: DataFrame, alias_bc, threshold: float = LINK_THRESHOLD
+) -> DataFrame:
+    """Fused stage 2: mention detection + linking in ONE Arrow pass.
+
+    Avoids shipping the (large) mention table JVM->Python a second time:
+    per batch of documents, detect mentions, BoW-embed all surfaces, one
+    matmul against the broadcast dict, emit linked rows. Functionally equal
+    to link_mentions(detect_mentions(docs)) — tested equivalent."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        alias_ids, alias_strs, entity_ids, mat = alias_bc.value
+        for pdf in batches:
+            rows = {k: [] for k in ("url", "sent_start", "m_start", "surface")}
+            for url, text in zip(pdf["url"], pdf["text"]):
+                for s, e in split_sentences(text):
+                    for surface, ms, _me in extract_mentions(text[s:e]):
+                        rows["url"].append(url)
+                        rows["sent_start"].append(s)
+                        rows["m_start"].append(s + ms)
+                        rows["surface"].append(surface)
+            if not rows["url"]:
+                continue
+            q = normalize_rows(bow_embed_matrix(rows["surface"]))
+            idx, scores = cosine_topk(q, mat, k=1)
+            top, sc = idx[:, 0], scores[:, 0]
+            keep = sc >= threshold
+            yield pd.DataFrame(
+                {
+                    "url": np.asarray(rows["url"], dtype=object)[keep],
+                    "sent_start": np.asarray(rows["sent_start"])[keep],
+                    "m_start": np.asarray(rows["m_start"])[keep],
+                    "surface": np.asarray(rows["surface"], dtype=object)[keep],
+                    "alias_id": alias_ids[top[keep]],
+                    "alias": [alias_strs[i] for i in top[keep]],
+                    "entity_id": entity_ids[top[keep]],
+                    "score": sc[keep].astype(np.float32),
+                }
+            )
+
+    return (
+        documents.where(F.col("ok") & (F.col("lang") == "en"))
+        .select("url", "text")
+        .mapInPandas(run, schema=LINKED_SCHEMA)
+    )
+
+
 def link_mentions(
     mentions: DataFrame, alias_bc, threshold: float = LINK_THRESHOLD
 ) -> DataFrame:

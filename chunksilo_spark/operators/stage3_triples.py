@@ -25,14 +25,17 @@ from ..functions.triples import extract_triples_from_text, normalize_surface
 
 RAW_TRIPLES_SCHEMA = (
     "url string, subj_surface string, pred string, obj_surface string, "
-    "char_pos long"
+    "char_pos long, subj_norm string, obj_norm string"
 )
 
 
 def _triple_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    # normalization fused here: one Arrow pass instead of two over the
+    # (large) triples relation
     for pdf in batches:
         rows = {k: [] for k in (
             "url", "subj_surface", "pred", "obj_surface", "char_pos",
+            "subj_norm", "obj_norm",
         )}
         for url, text in zip(pdf["url"], pdf["text"]):
             for subj, pred, obj, pos in extract_triples_from_text(text):
@@ -41,6 +44,8 @@ def _triple_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 rows["pred"].append(pred)
                 rows["obj_surface"].append(obj)
                 rows["char_pos"].append(pos)
+                rows["subj_norm"].append(normalize_surface(subj))
+                rows["obj_norm"].append(normalize_surface(obj))
         yield pd.DataFrame(rows)
 
 
@@ -51,14 +56,6 @@ def extract_raw_triples(documents: DataFrame) -> DataFrame:
         .select("url", "text")
         .mapInPandas(_triple_batch, schema=RAW_TRIPLES_SCHEMA)
     )
-
-
-def _norm_udf_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    for pdf in batches:
-        pdf = pdf.copy()
-        pdf["subj_norm"] = [normalize_surface(s) for s in pdf["subj_surface"]]
-        pdf["obj_norm"] = [normalize_surface(s) for s in pdf["obj_surface"]]
-        yield pdf
 
 
 def linked_surfaces(linked_mentions: DataFrame) -> DataFrame:
@@ -78,10 +75,7 @@ def canonical_triples(
     surfaces resolve through the canon map. All four joins broadcast the
     small dictionary side.
     """
-    with_norms = raw_triples.mapInPandas(
-        _norm_udf_batch,
-        schema=RAW_TRIPLES_SCHEMA + ", subj_norm string, obj_norm string",
-    )
+    with_norms = raw_triples  # norms are fused into extraction
     smap = F.broadcast(surface_map.select(F.col("surface")).distinct())
     cmap = F.broadcast(
         canon.select(

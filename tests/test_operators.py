@@ -1,0 +1,225 @@
+"""Operator-level Spark tests: canon, dedup, similarity, incremental,
+multimodal, search funnel, streaming ingest, generation determinism."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from chunksilo_spark.operators import dedup as dd
+from chunksilo_spark.operators import incremental as incr
+from chunksilo_spark.operators import multimodal as mm
+from chunksilo_spark.operators import search as srch
+from chunksilo_spark.operators import similarity as sim
+from chunksilo_spark.operators.canon import canon_map
+from chunksilo_spark.sources.corpus import pages_df
+
+
+class TestCanon:
+    def test_variants_cluster_cross_entities_dont(self, spark):
+        surfaces = spark.createDataFrame(
+            [
+                ("acme corp",), ("acme corp inc",), ("acme corp ltd",),
+                ("vertex collective",), ("apex collective",),
+            ],
+            schema="norm string",
+        )
+        got = {r["norm"]: r["canon_surface"] for r in canon_map(surfaces).collect()}
+        assert got["acme corp"] == got["acme corp inc"] == got["acme corp ltd"]
+        assert got["vertex collective"] != got["apex collective"]
+        assert got["vertex collective"] == "vertex collective"
+
+
+class TestDedup:
+    def test_exact_dedup_groups(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "same text"), (2, "same text"), (3, "other")],
+            schema="doc_id long, text string",
+        )
+        rows = {r["keep_doc_id"]: r["n_docs"] for r in dd.exact_dedup(docs).collect()}
+        assert rows == {1: 2, 3: 1}
+
+    def test_minhash_lsh_finds_near_dup(self, spark):
+        base = "the quick brown fox jumps over the lazy dog " * 8
+        docs = spark.createDataFrame(
+            [(1, base), (2, base + "extra tail words here"),
+             (3, "完全 different content " + "unrelated words " * 10)],
+            schema="doc_id long, text string",
+        )
+        pairs = {(r["doc_a"], r["doc_b"]) for r in dd.minhash_lsh_pairs(docs).collect()}
+        assert (1, 2) in pairs
+        assert (1, 3) not in pairs and (2, 3) not in pairs
+
+    def test_simhash_near_dup_closer(self, spark):
+        from chunksilo_spark.functions.minhash import hamming64
+
+        docs = spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+             (2, "alpha beta gamma delta epsilon zeta eta iota"),
+             (3, "one two three four five six seven eight")],
+            schema="doc_id long, text string",
+        )
+        fp = {r["doc_id"]: r["simhash"] + (1 << 63) for r in
+              dd.simhash_fingerprints(docs).collect()}
+        assert hamming64(fp[1], fp[2]) < hamming64(fp[1], fp[3])
+
+    def test_embedding_neardup(self, spark):
+        docs = spark.createDataFrame(
+            [(1, [1.0, 0.0, 0.0]), (2, [0.99, 0.1, 0.0]), (3, [0.0, 1.0, 0.0])],
+            schema="vec_id long, embedding array<float>",
+        )
+        out = dd.embedding_neardup(docs, docs.where("vec_id = 1"), threshold=0.9)
+        rows = out.collect()
+        assert len(rows) == 1 and rows[0]["neighbor_id"] == 2
+
+
+class TestSimilarity:
+    def test_bruteforce_topk_exact(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        vecs = [(i, [float(x) for x in rng.standard_normal(16)]) for i in range(50)]
+        df = spark.createDataFrame(vecs, schema="vec_id long, embedding array<float>")
+        out = sim.brute_force_topk(df, df.where("vec_id < 3"), k=4).collect()
+        assert len(out) == 12
+        # verify against numpy
+        mat = np.array([v for _, v in vecs])
+        matn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = matn @ matn.T
+        for q in range(3):
+            order = [i for i in np.argsort(-sims[q]) if i != q][:4]
+            got = [r["neighbor_id"] for r in out if r["query_id"] == q]
+            assert got == order
+
+    def test_lsh_topk_subset_of_corpus(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(11)
+        vecs = [(i, [float(x) for x in rng.standard_normal(16)]) for i in range(80)]
+        df = spark.createDataFrame(vecs, schema="vec_id long, embedding array<float>")
+        out = sim.lsh_topk(df, df.where("vec_id < 3"), dim=16, k=3).collect()
+        assert out  # banding must produce candidates
+        for r in out:
+            assert r["neighbor_id"] != r["query_id"]
+
+
+class TestIncremental:
+    def test_classify_changes(self, spark):
+        state = spark.createDataFrame(
+            [("u1", "h1"), ("u2", "h2"), ("u3", "h3")],
+            schema="url string, content_md5 string",
+        )
+        snap = spark.createDataFrame(
+            [("u1", "h1"), ("u2", "HX"), ("u4", "h4")],
+            schema="url string, content_md5 string",
+        )
+        ch = incr.classify_changes(snap, state)
+        assert {r["url"] for r in ch["new"].collect()} == {"u4"}
+        assert {r["url"] for r in ch["modified"].collect()} == {"u2"}
+        assert {r["url"] for r in ch["unchanged"].collect()} == {"u1"}
+        assert {r["url"] for r in ch["deleted"].collect()} == {"u3"}
+
+    def test_incremental_plan_frontier(self, spark):
+        pages = spark.createDataFrame(
+            [("u1", bytearray(b"aaa")), ("u2", bytearray(b"bbb"))],
+            schema="url string, html binary",
+        )
+        state = incr.with_content_hash(pages.where("url = 'u1'")).select(
+            "url", "content_md5"
+        )
+        frontier = incr.incremental_plan(pages, state)
+        assert {r["url"] for r in frontier.collect()} == {"u2"}
+
+
+class TestMultimodal:
+    def test_binary_metadata(self, spark):
+        assets = spark.createDataFrame(
+            [(1, bytearray(b"RIFFxxxx")), (2, bytearray(b"\x89PNGdata"))],
+            schema="asset_id long, payload binary",
+        )
+        rows = {r["asset_id"]: r for r in mm.binary_metadata(assets).collect()}
+        assert rows[1]["n_bytes"] == 8
+        assert bytes(rows[1]["magic"]) == b"RIFF"
+
+    def test_decode_features_deterministic(self, spark):
+        assets = spark.createDataFrame(
+            [(1, bytearray(b"payload-bytes-here"))],
+            schema="asset_id long, payload binary",
+        )
+        a = mm.decode_features(assets).collect()[0]
+        b = mm.decode_features(assets).collect()[0]
+        assert a["features"] == b["features"]
+        assert len(a["features"]) == mm.FEATURE_DIM
+
+    def test_real_decoder_is_marked_stub(self, spark):
+        assets = spark.createDataFrame(
+            [(1, bytearray(b"x"))], schema="asset_id long, payload binary"
+        )
+        with pytest.raises(NotImplementedError):
+            mm.decode_features(assets, real=True)
+
+
+class TestSearchFunnel:
+    def test_date_filter_null_passes(self, spark):
+        df = spark.createDataFrame(
+            [(1, "2024-01-05"), (2, None), (3, "2025-01-01")],
+            schema="id long, d string",
+        ).withColumn("ts", F.col("d").cast("timestamp"))
+        out = srch.date_range_filter(df, "ts", "2024-01-01", "2024-12-31")
+        assert {r["id"] for r in out.collect()} == {1, 2}
+
+    def test_phrase_filter_all_required(self, spark):
+        df = spark.createDataFrame(
+            [(1, "Spark and JOIN here"), (2, "only spark")],
+            schema="doc_id long, text string",
+        )
+        out = srch.phrase_post_filter(df, "text", ["spark", "join"])
+        assert [r["doc_id"] for r in out.collect()] == [1]
+
+
+class TestFusedLinker:
+    def test_fused_equals_two_stage(self, spark):
+        from chunksilo_spark.operators import stage1_extract as s1
+        from chunksilo_spark.operators import stage2_link as s2
+        from chunksilo_spark.sources.corpus import aliases_df
+
+        docs = s1.extract_documents(pages_df(spark, 80, partitions=4), partitions=4)
+        bc = s2.build_alias_broadcast(spark, aliases_df(spark))
+        two_stage = s2.link_mentions(s2.detect_mentions(docs), bc)
+        fused = s2.detect_and_link(docs, bc)
+        key = lambda r: (r["url"], r["m_start"], r["surface"], r["alias_id"])  # noqa: E731
+        assert sorted(map(key, two_stage.collect())) == sorted(
+            map(key, fused.collect())
+        )
+
+
+class TestGenerationDeterminism:
+    def test_pages_df_partition_independent(self, spark):
+        a = pages_df(spark, 50, partitions=2).select("url", "html", "lang")
+        b = pages_df(spark, 50, partitions=7).select("url", "html", "lang")
+        ra = sorted((r["url"], bytes(r["html"])) for r in a.collect())
+        rb = sorted((r["url"], bytes(r["html"])) for r in b.collect())
+        assert ra == rb
+
+
+class TestStreamingIngest:
+    def test_stream_matches_batch(self, spark, tmp_path):
+        from chunksilo_spark.streaming.ingest import start_ingest
+        from chunksilo_spark.operators.stage1_extract import extract_documents
+
+        pages = pages_df(spark, 60, partitions=3)
+        src = str(tmp_path / "pages_src")
+        out = str(tmp_path / "stream_out")
+        ckpt = str(tmp_path / "ckpt")
+        pages.write.mode("overwrite").parquet(src)
+
+        q = start_ingest(spark, src, out, ckpt, available_now=True)
+        q.awaitTermination(120)
+
+        stream_docs = spark.read.parquet(f"{out}/documents")
+        batch_docs = extract_documents(spark.read.parquet(src), partitions=4)
+        got = sorted(
+            (r["url"], r["text"]) for r in stream_docs.where("ok").collect()
+        )
+        want = sorted(
+            (r["url"], r["text"]) for r in batch_docs.where("ok").collect()
+        )
+        assert got == want
