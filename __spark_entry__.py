@@ -303,6 +303,33 @@ def _flagship_search(spark, sf):  # the run_search funnel (U6/P4/P5/O2)
     return srch.search_documents(docs, "spark join window table scan", k=20)
 
 
+def _w2_rerank_topk(spark, sf):  # U4/W2 rerank stage (rows-only: stub model)
+    docs = _t(spark, sf, "documents")
+    cands = srch.search_documents(
+        docs, "spark join window table scan", k=srch.RERANK_CANDIDATES
+    ).join(docs.select("doc_id", "text"), "doc_id")
+    return srch.rerank(cands, "spark join window table scan", k=5).select(
+        "doc_id", "rerank_score"
+    )
+
+
+def _f13_json_props(spark, sf):  # JSON metadata extraction (F13 shaping)
+    ev = _t(spark, sf, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+
+
+def _f8_date_strings(spark, sf):  # F7/F8 date <-> string round-trip
+    o = _t(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"),
+        F.year("o_orderdate").alias("yr"),
+    )
+
+
 def _t_lang_id(spark, sf):  # language ID via stopword votes
     docs = _t(spark, sf, "documents")
     toks = F.split(F.lower("text"), r"\s+")
@@ -463,6 +490,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w5_first_match_line": _w5_first_match_line,
         "u5_bm25": _u5_bm25,
         "flagship_search": _flagship_search,
+        "w2_rerank_topk": _w2_rerank_topk,
+        "f13_json_props": _f13_json_props,
+        "f8_date_strings": _f8_date_strings,
         "t_lang_id": _t_lang_id,
         "t_token_counts": _t_token_counts,
         "t_quality": _t_quality,
@@ -674,6 +704,15 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             ) WHERE score >= 0.1
             ORDER BY score DESC, doc_id ASC LIMIT 20
+        """,
+        "f13_json_props": """
+            SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+            FROM events
+        """,
+        "f8_date_strings": """
+            SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS day,
+                   CAST(year(o_orderdate) AS INTEGER) AS yr
+            FROM orders
         """,
         "t_lang_id": f"SELECT doc_id, {_lang_case()} AS lang_pred FROM documents",
         "t_token_counts": """

@@ -89,10 +89,16 @@ def _pipeline_job(spark, pages, cores: int):
     from chunksilo_spark.operators.canon import canon_map
     from chunksilo_spark.sources.corpus import aliases_df
 
+    from pyspark import StorageLevel
+
     parts = 2 * cores
-    documents = s1.extract_documents(pages, partitions=parts).localCheckpoint()
+    documents = s1.extract_documents(pages, partitions=parts).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     alias_bc = s2.build_alias_broadcast(spark, aliases_df(spark))
-    linked = s2.detect_and_link(documents, alias_bc).localCheckpoint()
+    linked = s2.detect_and_link(documents, alias_bc).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     raw = s3.extract_raw_triples(documents)
 
     def norm_batch(batches):
@@ -136,6 +142,25 @@ def _run_pipeline(cores: int, pages_dir: str, n_pages: int) -> dict:
         spark.stop()
 
 
+def _run_pipeline_pinned(cores: int, pages_dir: str, n_pages: int) -> dict:
+    """Run the pipeline in a subprocess pinned (taskset) to exactly
+    ``cores`` CPUs — the local-mode emulation of a cluster with N executor
+    cores. Without pinning, a local[4] JVM freerides its GC/shuffle/serde
+    threads on the idle cores and the scaling ratio is meaningless."""
+    import subprocess
+
+    cmd = [
+        "taskset", "-c", f"0-{cores - 1}",
+        sys.executable, os.path.abspath(__file__),
+        "--pipeline-run", str(cores), pages_dir, str(n_pages),
+    ]
+    out = subprocess.run(
+        cmd, capture_output=True, text=True, check=True,
+        env={**os.environ, "SPARK_GRAFT_DRIVER_MEM": "24g"},
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -167,13 +192,24 @@ def main() -> None:
     }
 
     if os.environ.get("BENCH_SCALING") == "1":
+        # scaling evidence runs on a larger corpus so per-core compute
+        # dominates the fixed driver/canon costs (which amortize at real
+        # scale); same job, N vs 4N cores
+        # sized so corpus-proportional work dominates the dictionary-sized
+        # canon fixed cost (Amdahl): the efficiency then reflects the
+        # per-executor stages, which is what scales to 10^12 docs
+        n_scale = int(os.environ.get("BENCH_SCALING_PAGES", "1600000"))
+        scale_dir = os.path.join(tempfile.gettempdir(), f"bench_pages_{n_scale}")
+        if not os.path.exists(os.path.join(scale_dir, "_SUCCESS")):
+            _stage_pages(scale_dir, n_scale)
         lo = max(1, hi // 4)
-        pipe_lo = _run_pipeline(lo, pages_dir, n_pages)
-        thr_hi = pipe["docs_per_sec"] / pipe["cores"]
+        pipe_hi = _run_pipeline_pinned(hi, scale_dir, n_scale)
+        pipe_lo = _run_pipeline_pinned(lo, scale_dir, n_scale)
+        thr_hi = pipe_hi["docs_per_sec"] / pipe_hi["cores"]
         thr_lo = pipe_lo["docs_per_sec"] / pipe_lo["cores"]
         result["scaling"] = {
             "low": pipe_lo,
-            "high": pipe,
+            "high": pipe_hi,
             "efficiency": round(thr_hi / thr_lo, 3),
         }
 
@@ -182,4 +218,11 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--pipeline-run":
+        print(
+            json.dumps(
+                _run_pipeline(int(sys.argv[2]), sys.argv[3], int(sys.argv[4]))
+            )
+        )
+    else:
+        main()

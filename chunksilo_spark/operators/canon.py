@@ -130,18 +130,23 @@ def connected_components(
     labels = vertices.select(
         F.col("nid"), F.col("nid").alias("component")
     ).repartition(partitions, "nid").localCheckpoint()
-    for _ in range(max_iter):
+    def step(lbl):
         neighbor = (
-            sym.join(labels, sym["a"] == labels["nid"])
+            sym.join(lbl, sym["a"] == lbl["nid"])
             .select(F.col("b").alias("nid"), F.col("component"))
         )
-        new_labels = (
-            labels.unionByName(neighbor)
+        return (
+            lbl.unionByName(neighbor)
             .repartition(partitions, "nid")
             .groupBy("nid")
             .agg(F.min("component").alias("component"))
-            .localCheckpoint()
         )
+
+    for _ in range(max_iter):
+        # two propagation hops per convergence check: alias-variant clusters
+        # are stars (diameter <= 3), so this halves the action count while
+        # localCheckpoint still truncates lineage every round
+        new_labels = step(step(labels)).localCheckpoint()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "nid")

@@ -68,6 +68,46 @@ def phrase_post_filter(df: DataFrame, text_col: str, phrases: list[str]) -> Data
     return out
 
 
+def rerank(
+    candidates: DataFrame,
+    query: str,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-encoder rerank stage (reference search.py:1184-1248, U4).
+
+    FlashRank is not available here; the deterministic stand-in (sanctioned
+    by the reference's own MockReranker, test/conftest.py:58-69) scores by
+    per-term frequency-weighted overlap inside an Arrow batch — a real
+    cross-encoder plugs into the same mapInPandas slot with a per-worker
+    model cache. Keeps scores in-row (the reference's index/text
+    re-association dance, J4, is unnecessary by construction)."""
+    import pandas as pd
+
+    q_tokens = [t for t in query.lower().split() if t]
+
+    def run(batches):
+        for pdf in batches:
+            scores = []
+            for text in pdf[text_col]:
+                toks = text.lower().split()
+                n = max(len(toks), 1)
+                s = sum(toks.count(t) for t in q_tokens) / n
+                scores.append(round(s * 100.0, 6))
+            out = pdf.copy()
+            out["rerank_score"] = pd.Series(scores, index=pdf.index)
+            yield out
+
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in candidates.schema.fields
+    ) + ", rerank_score double"
+    reranked = candidates.mapInPandas(run, schema=schema)
+    return reranked.orderBy(
+        F.desc("rerank_score"), F.asc(id_col)
+    ).limit(k)
+
+
 def search_documents(
     documents: DataFrame,
     query: str,

@@ -103,9 +103,14 @@ def detect_and_link(
                         rows["surface"].append(surface)
             if not rows["url"]:
                 continue
-            q = normalize_rows(bow_embed_matrix(rows["surface"]))
+            # score each DISTINCT surface once (mentions repeat heavily:
+            # the matmul is the linker's cost, so dedup first)
+            uniq, inv = np.unique(
+                np.asarray(rows["surface"], dtype=object), return_inverse=True
+            )
+            q = normalize_rows(bow_embed_matrix(list(uniq)))
             idx, scores = cosine_topk(q, mat, k=1)
-            top, sc = idx[:, 0], scores[:, 0]
+            top, sc = idx[inv, 0], scores[inv, 0]
             keep = sc >= threshold
             yield pd.DataFrame(
                 {
@@ -141,10 +146,13 @@ def link_mentions(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            q = normalize_rows(bow_embed_matrix(list(pdf["surface"])))
+            uniq, inv = np.unique(
+                pdf["surface"].to_numpy(dtype=object), return_inverse=True
+            )
+            q = normalize_rows(bow_embed_matrix(list(uniq)))
             idx, scores = cosine_topk(q, mat, k=1)
-            top = idx[:, 0]
-            sc = scores[:, 0]
+            top = idx[inv, 0]
+            sc = scores[inv, 0]
             keep = sc >= threshold
             out = pd.DataFrame(
                 {

@@ -12,6 +12,12 @@ import os
 
 from pyspark.sql import SparkSession
 
+# one BLAS thread per Python worker: parallelism comes from Spark tasks;
+# nested OMP threading just fights the other workers for the same cores
+# (reference analog: ONNX threads pinned, SURVEY §4)
+for _var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+    os.environ.setdefault(_var, "1")
+
 
 def cpu_count() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))

@@ -1,0 +1,99 @@
+"""Incremental ingest semantics (reference test_incremental_ingest.py
+analog): a second pages snapshot with new/modified/deleted rows must be
+classified exactly, and only the changed frontier may reach the expensive
+stage-1 UDF."""
+
+import pyspark.sql.functions as F
+
+from chunksilo_spark.operators import incremental as incr
+from chunksilo_spark.operators import stage1_extract as s1
+from chunksilo_spark.sources.corpus import pages_df
+
+
+def _snapshots(spark):
+    """snapshot1 = pages 0..199; snapshot2 = drop 3% (deleted), modify 5%
+    (html perturbed), add 5% new (ids 200..209)."""
+    p1 = pages_df(spark, 200, partitions=4)
+    p2_base = pages_df(spark, 210, partitions=4)  # ids 0..209 (200.. are new)
+    # deterministic classes keyed on a stable hash of url
+    h = F.abs(F.xxhash64("url")) % 100
+    deleted = (h < 3) & ~F.col("url").rlike("-20[0-9]$")
+    modified = (h >= 3) & (h < 8) & ~F.col("url").rlike("-20[0-9]$")
+    p2 = (
+        p2_base.where(~deleted)
+        .withColumn(
+            "html",
+            F.when(
+                modified, F.concat(F.col("html"), F.lit(b"<p>edit</p>"))
+            ).otherwise(F.col("html")),
+        )
+    )
+    return p1, p2
+
+
+class TestChangeClassification:
+    def test_classes_are_exact(self, spark):
+        p1, p2 = _snapshots(spark)
+        state = incr.with_content_hash(p1).select("url", "content_md5")
+        snap = incr.with_content_hash(p2).select("url", "content_md5")
+        ch = incr.classify_changes(snap, state)
+
+        new = {r["url"] for r in ch["new"].collect()}
+        modified = {r["url"] for r in ch["modified"].collect()}
+        deleted = {r["url"] for r in ch["deleted"].collect()}
+        unchanged = {r["url"] for r in ch["unchanged"].collect()}
+
+        p1_urls = {r["url"] for r in p1.select("url").collect()}
+        p2_urls = {r["url"] for r in p2.select("url").collect()}
+
+        assert new == p2_urls - p1_urls and len(new) == 10
+        assert deleted == p1_urls - p2_urls and len(deleted) > 0
+        assert modified and modified <= (p1_urls & p2_urls)
+        # partition is exact: every snapshot url in exactly one class
+        assert new | modified | unchanged == p2_urls
+        assert not (new & modified) and not (modified & unchanged)
+
+    def test_frontier_only_reaches_stage1(self, spark):
+        p1, p2 = _snapshots(spark)
+        state = incr.with_content_hash(p1).select("url", "content_md5")
+        frontier = incr.incremental_plan(p2, state)
+        n_frontier = frontier.count()
+        ch = incr.classify_changes(
+            incr.with_content_hash(p2).select("url", "content_md5"), state
+        )
+        assert n_frontier == ch["new"].count() + ch["modified"].count()
+        # and the frontier is processable by stage 1 end-to-end
+        docs = s1.extract_documents(frontier, partitions=4)
+        assert docs.count() == n_frontier
+
+    def test_incremental_equals_full_rebuild(self, spark):
+        """Old docs minus deleted/modified, plus re-extracted frontier ==
+        full extraction of snapshot 2 (the reference's invariant)."""
+        p1, p2 = _snapshots(spark)
+        docs1 = s1.extract_documents(p1, partitions=4)
+        state = incr.with_content_hash(p1).select("url", "content_md5")
+        snap_hashed = incr.with_content_hash(p2)
+        ch = incr.classify_changes(
+            snap_hashed.select("url", "content_md5"), state
+        )
+        keep = docs1.join(
+            ch["deleted"].select("url").unionByName(ch["modified"].select("url")),
+            "url",
+            "left_anti",
+        )
+        frontier_docs = s1.extract_documents(
+            incr.incremental_plan(p2, state), partitions=4
+        ).drop("content_md5")
+        merged = {
+            (r["url"], r["text"])
+            for r in keep.select("url", "text")
+            .unionByName(frontier_docs.select("url", "text"))
+            .collect()
+        }
+        full = {
+            (r["url"], r["text"])
+            for r in s1.extract_documents(p2, partitions=4)
+            .select("url", "text")
+            .collect()
+        }
+        assert merged == full
