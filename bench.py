@@ -78,42 +78,33 @@ def _stage_pages(pages_dir: str, n_pages: int) -> None:
 
 
 def _pipeline_job(spark, pages, cores: int):
-    """The measured DAG: parquet pages -> canonical triples (lazy)."""
-    import pandas as pd
+    """The measured DAG: parquet pages -> canonical triples (lazy).
+
+    Uses the fused execution mode (operators/fused.py): the corpus flows
+    through Python once; only the ~20x-smaller triple relation persists.
+    Equivalence with the staged pipeline is tested in tests/test_fused.py."""
+    from pyspark import StorageLevel
     from pyspark.sql import functions as F
 
-    from chunksilo_spark.functions.triples import normalize_surface
-    from chunksilo_spark.operators import stage1_extract as s1
+    from chunksilo_spark.operators import fused as fz
     from chunksilo_spark.operators import stage2_link as s2
-    from chunksilo_spark.operators import stage3_triples as s3
-    from chunksilo_spark.operators.canon import canon_map
+    from chunksilo_spark.operators.canon import canon_map, normalize_column
     from chunksilo_spark.sources.corpus import aliases_df
 
-    from pyspark import StorageLevel
-
-    parts = 2 * cores
-    documents = s1.extract_documents(pages, partitions=parts).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
     alias_bc = s2.build_alias_broadcast(spark, aliases_df(spark))
-    linked = s2.detect_and_link(documents, alias_bc).persist(
+    fused = fz.fused_linked_triples(pages, alias_bc).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    raw = s3.extract_raw_triples(documents)
 
-    def norm_batch(batches):
-        for pdf in batches:
-            yield pd.DataFrame({"norm": [normalize_surface(s) for s in pdf["s"]]})
-
+    alias_norms = normalize_column(aliases_df(spark), "alias")
     surfaces = (
-        aliases_df(spark).select(F.col("alias").alias("s"))
-        .unionByName(linked.select(F.col("surface").alias("s")))
-        .distinct()
-        .mapInPandas(norm_batch, schema="norm string")
+        fused.select(F.col("subj_norm").alias("norm"))
+        .unionByName(fused.select(F.col("obj_norm").alias("norm")))
+        .unionByName(alias_norms)
         .distinct()
     )
     canon = canon_map(surfaces, partitions=max(8, cores // 2))
-    return s3.canonical_triples(raw, s3.linked_surfaces(linked), canon)
+    return fz.canonical_from_fused(fused, canon)
 
 
 def _run_pipeline(cores: int, pages_dir: str, n_pages: int) -> dict:
@@ -142,23 +133,59 @@ def _run_pipeline(cores: int, pages_dir: str, n_pages: int) -> dict:
         spark.stop()
 
 
-def _run_pipeline_pinned(cores: int, pages_dir: str, n_pages: int) -> dict:
-    """Run the pipeline in a subprocess pinned (taskset) to exactly
-    ``cores`` CPUs — the local-mode emulation of a cluster with N executor
-    cores. Without pinning, a local[4] JVM freerides its GC/shuffle/serde
-    threads on the idle cores and the scaling ratio is meaningless."""
+def _run_pipeline_cluster(
+    executors: int, pages_dir: str, n_pages: int, cores_per_executor: int = 4
+) -> dict:
+    """Run the pipeline on a local-cluster[N,4] — N separate executor JVMs,
+    each with its own Python workers — the faithful single-box emulation of
+    an N-executor cluster (one big local[k] JVM hits GC/scheduler contention
+    no real cluster sees). Each run is taskset-pinned to a CPU envelope
+    proportional to its executor count (task cores + equal serde headroom),
+    so N and 4N compete for CPU on identical per-executor terms."""
     import subprocess
 
+    cpus = min(2 * executors * cores_per_executor, os.cpu_count() or 32)
     cmd = [
-        "taskset", "-c", f"0-{cores - 1}",
+        "taskset", "-c", f"0-{cpus - 1}",
         sys.executable, os.path.abspath(__file__),
-        "--pipeline-run", str(cores), pages_dir, str(n_pages),
+        "--pipeline-cluster-run", str(executors), str(cores_per_executor),
+        pages_dir, str(n_pages),
     ]
-    out = subprocess.run(
-        cmd, capture_output=True, text=True, check=True,
-        env={**os.environ, "SPARK_GRAFT_DRIVER_MEM": "24g"},
-    )
+    out = subprocess.run(cmd, capture_output=True, text=True, check=True)
     return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def _pipeline_cluster_main(
+    executors: int, cores_per_executor: int, pages_dir: str, n_pages: int
+) -> dict:
+    from chunksilo_spark.session import get_spark_cluster
+
+    total_cores = executors * cores_per_executor
+    spark = get_spark_cluster(
+        f"bench_cluster_{executors}",
+        executors=executors,
+        cores_per_executor=cores_per_executor,
+    )
+    try:
+        pages = spark.read.parquet(pages_dir)
+        _pipeline_job(spark, pages.sample(0.02, seed=1), total_cores).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        t0 = time.time()
+        n_triples = _pipeline_job(spark, pages, total_cores).count()
+        wall = time.time() - t0
+        return {
+            "executors": executors,
+            "cores_per_executor": cores_per_executor,
+            "cores": total_cores,
+            "wall_s": round(wall, 2),
+            "n_pages": n_pages,
+            "n_triples": n_triples,
+            "docs_per_sec": round(n_pages / wall, 1),
+            "triples_per_sec": round(n_triples / wall, 1),
+        }
+    finally:
+        spark.stop()
 
 
 def main() -> None:
@@ -196,17 +223,16 @@ def main() -> None:
         # dominates the fixed driver/canon costs (which amortize at real
         # scale); same job, N vs 4N cores
         # sized so corpus-proportional work dominates the dictionary-sized
-        # canon fixed cost (Amdahl): the efficiency then reflects the
+        # fixed costs (Amdahl): the efficiency then reflects the
         # per-executor stages, which is what scales to 10^12 docs
-        n_scale = int(os.environ.get("BENCH_SCALING_PAGES", "1600000"))
+        n_scale = int(os.environ.get("BENCH_SCALING_PAGES", "3000000"))
         scale_dir = os.path.join(tempfile.gettempdir(), f"bench_pages_{n_scale}")
         if not os.path.exists(os.path.join(scale_dir, "_SUCCESS")):
             _stage_pages(scale_dir, n_scale)
-        lo = max(1, hi // 4)
-        pipe_hi = _run_pipeline_pinned(hi, scale_dir, n_scale)
-        pipe_lo = _run_pipeline_pinned(lo, scale_dir, n_scale)
-        thr_hi = pipe_hi["docs_per_sec"] / pipe_hi["cores"]
-        thr_lo = pipe_lo["docs_per_sec"] / pipe_lo["cores"]
+        pipe_hi = _run_pipeline_cluster(4, scale_dir, n_scale)
+        pipe_lo = _run_pipeline_cluster(1, scale_dir, n_scale)
+        thr_hi = pipe_hi["docs_per_sec"] / pipe_hi["executors"]
+        thr_lo = pipe_lo["docs_per_sec"] / pipe_lo["executors"]
         result["scaling"] = {
             "low": pipe_lo,
             "high": pipe_hi,
@@ -222,6 +248,15 @@ if __name__ == "__main__":
         print(
             json.dumps(
                 _run_pipeline(int(sys.argv[2]), sys.argv[3], int(sys.argv[4]))
+            )
+        )
+    elif len(sys.argv) > 1 and sys.argv[1] == "--pipeline-cluster-run":
+        print(
+            json.dumps(
+                _pipeline_cluster_main(
+                    int(sys.argv[2]), int(sys.argv[3]), sys.argv[4],
+                    int(sys.argv[5]),
+                )
             )
         )
     else:

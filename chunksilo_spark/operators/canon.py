@@ -47,6 +47,19 @@ _BANDS_SCHEMA = "nid long, norm string, band_key long"
 _EDGES_SCHEMA = "a long, b long"
 
 
+def normalize_column(df: DataFrame, col: str) -> DataFrame:
+    """-> single-column ('norm') DataFrame of normalize_surface(df[col])."""
+    from ..functions.triples import normalize_surface
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"norm": [normalize_surface(s) for s in pdf[col]]}
+            )
+
+    return df.select(col).mapInPandas(run, schema="norm string")
+
+
 def lsh_bands(surfaces: DataFrame, col: str = "norm") -> DataFrame:
     """distinct surfaces -> (nid, norm, band_key) rows, 32 per surface."""
 
@@ -159,15 +172,58 @@ def connected_components(
     return labels
 
 
+SMALL_GRAPH_THRESHOLD = 200_000
+
+
+def canon_map_local(
+    spark, norms: list[str], threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
+    """Driver-side canon for dictionary-sized surface sets (< ~200k): the
+    exact same LSH + verify + union-find semantics (it IS the test oracle,
+    plans/oracle.py), one collect + one createDataFrame instead of ~8 tiny
+    distributed jobs. canon_map() auto-dispatches here below the threshold —
+    the standard small-graph fast path (GraphFrames does the same)."""
+    from ..plans.oracle import oracle_canon_map
+
+    cmap = oracle_canon_map(set(norms), threshold)
+    rows = [(n, cid, csurf) for n, (cid, csurf) in cmap.items()]
+    return spark.createDataFrame(
+        rows, schema="norm string, canon_id long, canon_surface string"
+    )
+
+
 def canon_map(surfaces: DataFrame, col: str = "norm",
               threshold: float = JACCARD_THRESHOLD,
-              max_iter: int = 20, partitions: int = 16) -> DataFrame:
+              max_iter: int = 20, partitions: int = 16,
+              auto_local: bool = True) -> DataFrame:
     """distinct surfaces -> (norm, canon_id, canon_surface).
 
     canon_surface = min surface string in the component (deterministic
     representative); canon_id = component id (min member hash64 — also
-    computable by the plain-Python oracle)."""
-    bands = lsh_bands(surfaces, col).repartition(partitions, "band_key")
+    computable by the plain-Python oracle).
+
+    With ``auto_local`` (default), dictionary-sized inputs collect to the
+    driver and run the identical union-find semantics there (one job instead
+    of ~8 tiny ones); the distributed LSH + CC path below handles web-scale
+    surface sets and is what the oracle-parity tests exercise explicitly."""
+    if auto_local:
+        sample = (
+            surfaces.select(F.col(col))
+            .distinct()
+            .limit(SMALL_GRAPH_THRESHOLD + 1)
+        )
+        norms = [r[0] for r in sample.collect()]
+        if len(norms) <= SMALL_GRAPH_THRESHOLD:
+            return canon_map_local(surfaces.sparkSession, norms, threshold)
+    # checkpoint: bands is dictionary-sized (32 rows/surface) but its
+    # upstream (distinct over corpus-derived surfaces) can be huge — it is
+    # consumed three times below (verts, candidate self-join), so cut the
+    # recompute here
+    bands = (
+        lsh_bands(surfaces, col)
+        .repartition(partitions, "band_key")
+        .localCheckpoint()
+    )
     verts = bands.select("nid", "norm").distinct().localCheckpoint()
     edges = verify_pairs(candidate_pairs(bands), threshold)
     labels = connected_components(

@@ -1,0 +1,127 @@
+"""Fused corpus pass: extract -> link -> surface-triples in ONE mapInPandas.
+
+The staged pipeline (plans/pipeline.py) materializes documents, mentions and
+raw triples separately — right for resumable production runs. This fused
+operator is the throughput-optimal execution mode: the corpus flows through
+Python exactly once (no intermediate persist of corpus-sized data), emitting
+only linked surface triples (~20x smaller than documents). Canonicalization
+then runs over the distinct normalized surfaces of this output and the final
+canon rewrite is a broadcast join.
+
+Semantics are EXACTLY the composed path (tested equivalent): a triple is
+kept iff both its subject and object surfaces link (cosine top-1 >= the
+stage-2 threshold against the broadcast alias dictionary). Linking a surface
+is decided per-surface, so linking only triple-participating surfaces equals
+linking all mentions first.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.embed import bow_embed_matrix, cosine_topk, normalize_rows
+from ..functions.extract import extract_text
+from ..functions.triples import extract_triples_from_text, normalize_surface
+from .stage2_link import LINK_THRESHOLD
+
+FUSED_SCHEMA = (
+    "url string, subj_surface string, pred string, obj_surface string, "
+    "char_pos long, subj_norm string, obj_norm string"
+)
+
+
+def fused_linked_triples(
+    pages: DataFrame, alias_bc, threshold: float = LINK_THRESHOLD
+) -> DataFrame:
+    """pages (url, html, lang) -> linked surface triples, one Arrow pass."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        _aid, _astr, _eid, mat = alias_bc.value
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "url", "subj_surface", "pred", "obj_surface", "char_pos",
+            )}
+            for url, html, lang in zip(pdf["url"], pdf["html"], pdf["lang"]):
+                if lang != "en":
+                    continue
+                try:
+                    text = extract_text(bytes(html).decode("utf-8", "strict"))
+                except Exception:
+                    continue  # quarantine path (tracked by the staged mode)
+                for subj, pred, obj, pos in extract_triples_from_text(text):
+                    rows["url"].append(url)
+                    rows["subj_surface"].append(subj)
+                    rows["pred"].append(pred)
+                    rows["obj_surface"].append(obj)
+                    rows["char_pos"].append(pos)
+            if not rows["url"]:
+                continue
+            surf = np.asarray(
+                rows["subj_surface"] + rows["obj_surface"], dtype=object
+            )
+            uniq, inv = np.unique(surf, return_inverse=True)
+            q = normalize_rows(bow_embed_matrix(list(uniq)))
+            _idx, scores = cosine_topk(q, mat, k=1)
+            linked_u = scores[:, 0] >= threshold
+            linked = linked_u[inv]
+            n = len(rows["url"])
+            keep = linked[:n] & linked[n:]
+            if not keep.any():
+                continue
+            out = pd.DataFrame(
+                {
+                    "url": np.asarray(rows["url"], dtype=object)[keep],
+                    "subj_surface": np.asarray(
+                        rows["subj_surface"], dtype=object
+                    )[keep],
+                    "pred": np.asarray(rows["pred"], dtype=object)[keep],
+                    "obj_surface": np.asarray(
+                        rows["obj_surface"], dtype=object
+                    )[keep],
+                    "char_pos": np.asarray(rows["char_pos"])[keep],
+                }
+            )
+            out["subj_norm"] = [normalize_surface(s) for s in out["subj_surface"]]
+            out["obj_norm"] = [normalize_surface(s) for s in out["obj_surface"]]
+            yield out
+
+    return pages.select("url", "html", "lang").mapInPandas(
+        run, schema=FUSED_SCHEMA
+    )
+
+
+def canonical_from_fused(
+    fused: DataFrame, canon: DataFrame
+) -> DataFrame:
+    """Rewrite fused surface triples to canonical ids (broadcast joins)."""
+    cmap = F.broadcast(
+        canon.select("norm", "canon_id", "canon_surface")
+    )
+    return (
+        fused.join(
+            cmap.select(
+                F.col("norm").alias("subj_norm"),
+                F.col("canon_id").alias("subj_canon_id"),
+                F.col("canon_surface").alias("subj_canon"),
+            ),
+            "subj_norm",
+        )
+        .join(
+            cmap.select(
+                F.col("norm").alias("obj_norm"),
+                F.col("canon_id").alias("obj_canon_id"),
+                F.col("canon_surface").alias("obj_canon"),
+            ),
+            "obj_norm",
+        )
+        .select(
+            "url", "subj_canon_id", "subj_canon", "pred",
+            "obj_canon_id", "obj_canon", "subj_surface", "obj_surface",
+            "char_pos",
+        )
+    )

@@ -23,6 +23,59 @@ def cpu_count() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def package_zip() -> str:
+    """Zip chunksilo_spark for shipping to executors (the spark-submit
+    --py-files analog for programmatic sessions)."""
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    out = os.path.join("/tmp", "chunksilo_spark_pyfiles.zip")
+    with zipfile.ZipFile(out, "w") as z:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                    z.write(full, rel)
+    return out
+
+
+def get_spark_cluster(
+    app: str = "chunksilo_spark",
+    executors: int = 2,
+    cores_per_executor: int = 4,
+    executor_mem_mb: int = 8192,
+) -> SparkSession:
+    """Multi-executor session via Spark's local-cluster mode: each executor
+    is its OWN JVM with its own python workers — the faithful single-box
+    emulation of an N-executor cluster (used for the N vs 4N scaling
+    evidence; one big local[k] JVM hits GC/scheduler contention that real
+    clusters never see). The package ships via addPyFile (--py-files)."""
+    total = executors * cores_per_executor
+    spark = (
+        SparkSession.builder.master(
+            f"local-cluster[{executors},{cores_per_executor},{executor_mem_mb}]"
+        )
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(2 * total))
+        .config("spark.default.parallelism", str(2 * total))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
+        .config("spark.driver.memory", "4g")
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .getOrCreate()
+    )
+    spark.sparkContext.addPyFile(package_zip())
+    return spark
+
+
 def get_spark(app: str = "chunksilo_spark", cores: int | None = None) -> SparkSession:
     cores = cores or cpu_count()
     return (
@@ -35,6 +88,9 @@ def get_spark(app: str = "chunksilo_spark", cores: int | None = None) -> SparkSe
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        # python-heavy scans want more, smaller splits than the JVM default
+        # (task cost is dominated by the UDF, not scan setup)
+        .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

@@ -27,6 +27,30 @@ class TestCanon:
         assert got["vertex collective"] != got["apex collective"]
         assert got["vertex collective"] == "vertex collective"
 
+    def test_distributed_path_equals_local_path(self, spark):
+        """The distributed LSH+CC path (used at dictionary scale) must agree
+        exactly with the driver union-find fast path on the full alias pool."""
+        from chunksilo_spark.functions.triples import normalize_surface
+        from chunksilo_spark.sources.corpus import build_entity_pool
+
+        norms = sorted(
+            {
+                normalize_surface(a)
+                for al in build_entity_pool()
+                for a in al
+            }
+        )
+        surfaces = spark.createDataFrame([(n,) for n in norms], "norm string")
+        dist = {
+            r["norm"]: (r["canon_id"], r["canon_surface"])
+            for r in canon_map(surfaces, auto_local=False).collect()
+        }
+        local = {
+            r["norm"]: (r["canon_id"], r["canon_surface"])
+            for r in canon_map(surfaces, auto_local=True).collect()
+        }
+        assert dist == local and len(dist) == len(norms)
+
 
 class TestDedup:
     def test_exact_dedup_groups(self, spark):
