@@ -98,8 +98,9 @@ def _pipeline_job(spark, pages, cores: int):
 
     alias_norms = normalize_column(aliases_df(spark), "alias")
     surfaces = (
-        fused.select(F.col("subj_norm").alias("norm"))
-        .unionByName(fused.select(F.col("obj_norm").alias("norm")))
+        fused.select(
+            F.explode(F.array("subj_norm", "obj_norm")).alias("norm")
+        )  # one scan of the persisted triples, not two
         .unionByName(alias_norms)
         .distinct()
     )
@@ -143,6 +144,15 @@ def _run_pipeline_cluster(
     proportional to its executor count (task cores + equal serde headroom),
     so N and 4N compete for CPU on identical per-executor terms."""
     import subprocess
+
+    # equalize page-cache state across runs: pre-read the input once
+    # (otherwise the first configuration measured pays the disk read and
+    # the comparison is cache-state, not scaling)
+    for f in sorted(os.listdir(pages_dir)):
+        if f.endswith(".parquet"):
+            with open(os.path.join(pages_dir, f), "rb") as fh:
+                while fh.read(1 << 24):
+                    pass
 
     cpus = min(2 * executors * cores_per_executor, os.cpu_count() or 32)
     cmd = [
