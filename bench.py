@@ -64,6 +64,39 @@ def _run_queries(spark, sf_dir: str) -> dict[str, float]:
     return times
 
 
+def _subprocess_json(args: list[str]) -> dict:
+    """Run a bench sub-command in a clean subprocess and parse its last
+    stdout line as JSON. The orchestrating parent never hosts a JVM — a
+    stopped SparkSession leaves its py4j JVM (and heap) alive in-process,
+    which measurably slows every later run on this box."""
+    import subprocess
+
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), *args],
+        capture_output=True, text=True, check=True,
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def _queries_main(sf_dir: str, cores: int) -> dict:
+    from chunksilo_spark.session import get_spark
+
+    spark = get_spark("bench_queries", cores=cores)
+    try:
+        return _run_queries(spark, sf_dir)
+    finally:
+        spark.stop()
+
+
+def _stage_main(pages_dir: str, n_pages: int) -> dict:
+    _stage_pages(pages_dir, n_pages)
+    return {"staged": pages_dir}
+
+
+def _pipeline_local_main(cores: int, pages_dir: str, n_pages: int) -> dict:
+    return _run_pipeline(cores, pages_dir, n_pages)
+
+
 def _stage_pages(pages_dir: str, n_pages: int) -> None:
     from chunksilo_spark.session import get_spark
     from chunksilo_spark.sources.corpus import pages_df
@@ -204,18 +237,16 @@ def main() -> None:
     n_pages = int(os.environ.get("BENCH_PAGES", "100000"))
     sf_label = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
-    from chunksilo_spark.session import get_spark
-
-    spark = get_spark("bench_queries", cores=cores)
-    qtimes = _run_queries(spark, sf_dir)
-    spark.stop()
+    qtimes = _subprocess_json(["--queries-run", sf_dir, str(cores)])
 
     pages_dir = os.path.join(tempfile.gettempdir(), f"bench_pages_{n_pages}")
     if not os.path.exists(os.path.join(pages_dir, "_SUCCESS")):
-        _stage_pages(pages_dir, n_pages)
+        _subprocess_json(["--stage-run", pages_dir, str(n_pages)])
 
     hi = min(16, cores)  # leave JVM-serde headroom in local mode
-    pipe = _run_pipeline(hi, pages_dir, n_pages)
+    pipe = _subprocess_json(
+        ["--pipeline-local-run", str(hi), pages_dir, str(n_pages)]
+    )
     qtimes["kg_pipeline"] = pipe["wall_s"]
 
     result = {
@@ -238,7 +269,7 @@ def main() -> None:
         n_scale = int(os.environ.get("BENCH_SCALING_PAGES", "800000"))
         scale_dir = os.path.join(tempfile.gettempdir(), f"bench_pages_{n_scale}")
         if not os.path.exists(os.path.join(scale_dir, "_SUCCESS")):
-            _stage_pages(scale_dir, n_scale)
+            _subprocess_json(["--stage-run", scale_dir, str(n_scale)])
         # 1 vs 4 executors of 2 cores each: both cluster sizes sit in the
         # flat region of the box's memory-bandwidth curve, so the ratio
         # reflects algorithmic scaling (no shuffle/driver serialization),
@@ -275,20 +306,26 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    if len(sys.argv) > 1 and sys.argv[1] == "--pipeline-run":
+    argv = sys.argv
+    if len(argv) > 1 and argv[1] == "--pipeline-run":
+        print(json.dumps(_run_pipeline(int(argv[2]), argv[3], int(argv[4]))))
+    elif len(argv) > 1 and argv[1] == "--pipeline-local-run":
         print(
             json.dumps(
-                _run_pipeline(int(sys.argv[2]), sys.argv[3], int(sys.argv[4]))
+                _pipeline_local_main(int(argv[2]), argv[3], int(argv[4]))
             )
         )
-    elif len(sys.argv) > 1 and sys.argv[1] == "--pipeline-cluster-run":
+    elif len(argv) > 1 and argv[1] == "--pipeline-cluster-run":
         print(
             json.dumps(
                 _pipeline_cluster_main(
-                    int(sys.argv[2]), int(sys.argv[3]), sys.argv[4],
-                    int(sys.argv[5]),
+                    int(argv[2]), int(argv[3]), argv[4], int(argv[5])
                 )
             )
         )
+    elif len(argv) > 1 and argv[1] == "--queries-run":
+        print(json.dumps(_queries_main(argv[2], int(argv[3]))))
+    elif len(argv) > 1 and argv[1] == "--stage-run":
+        print(json.dumps(_stage_main(argv[2], int(argv[3]))))
     else:
         main()
