@@ -131,9 +131,7 @@ def _pipeline_job(spark, pages, cores: int):
 
     alias_norms = normalize_column(aliases_df(spark), "alias")
     surfaces = (
-        fused.select(
-            F.explode(F.array("subj_norm", "obj_norm")).alias("norm")
-        )  # one scan of the persisted triples, not two
+        fz.distinct_norms(fused)  # per-batch pre-distinct: tiny shuffle
         .unionByName(alias_norms)
         .distinct()
     )
@@ -266,7 +264,7 @@ def main() -> None:
         # sized so corpus-proportional work dominates the dictionary-sized
         # fixed costs (Amdahl): the efficiency then reflects the
         # per-executor stages, which is what scales to 10^12 docs
-        n_scale = int(os.environ.get("BENCH_SCALING_PAGES", "800000"))
+        n_scale = int(os.environ.get("BENCH_SCALING_PAGES", "1600000"))
         scale_dir = os.path.join(tempfile.gettempdir(), f"bench_pages_{n_scale}")
         if not os.path.exists(os.path.join(scale_dir, "_SUCCESS")):
             _subprocess_json(["--stage-run", scale_dir, str(n_scale)])

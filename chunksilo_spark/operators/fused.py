@@ -95,6 +95,24 @@ def fused_linked_triples(
     )
 
 
+def distinct_norms(fused: DataFrame) -> DataFrame:
+    """Distinct subj/obj norms of the fused triples, shuffle-light: each
+    Arrow batch emits only its unique norms (dictionary-sized), so the
+    global distinct shuffles ~|batches|x|dictionary| rows instead of 2x the
+    triple count."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            uniq = set(pdf["subj_norm"]) | set(pdf["obj_norm"])
+            yield pd.DataFrame({"norm": sorted(uniq)})
+
+    return (
+        fused.select("subj_norm", "obj_norm")
+        .mapInPandas(run, schema="norm string")
+        .distinct()
+    )
+
+
 def canonical_from_fused(
     fused: DataFrame, canon: DataFrame
 ) -> DataFrame:
