@@ -469,6 +469,17 @@ def _kg_pipeline_mini(spark, sf):  # end-to-end KG DAG (rows-only)
     )
 
 
+def _kg_vector_search(spark, sf):  # U1+U2+U3+W1 end-to-end (rows-only)
+    from chunksilo_spark.operators import retrieval as rt
+    from chunksilo_spark.operators import stage1_extract as s1
+    from chunksilo_spark.sources.corpus import pages_df
+
+    docs = s1.extract_documents(pages_df(spark, 150, partitions=8), partitions=8)
+    return rt.vector_search(
+        docs, "Acme Systems acquired partnered with Vertex", k=10
+    ).select("url", "chunk_id", "char_start", "score")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": _q1_pricing_summary,
@@ -506,6 +517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m_binary_meta": _m_binary_meta,
         "m_decode_features": _m_decode_features,
         "kg_pipeline_mini": _kg_pipeline_mini,
+        "kg_vector_search": _kg_vector_search,
     }
 
 

@@ -1,0 +1,91 @@
+"""Chunk-level vector retrieval — the reference's core product
+(search.py:1093-1111: embed query, cosine top-k over chunk embeddings)
+distributed: chunk the corpus (U1), BoW-embed chunks (U2), score against
+the query vector (U3), window top-k (W1).
+
+The chunk embedding is computed inside the same Arrow pass as scoring, so
+the full retrieval pipeline is: one mapInPandas over documents -> exploded
+scored chunk rows -> global top-k. For a persistent index, materialize
+``chunks_with_embeddings`` once and reuse (the reference's VectorStoreIndex
+analog as a plain table, SURVEY §1.3).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.chunk import chunk_text
+from ..functions.embed import bow_embed, bow_embed_matrix, normalize_rows
+
+CHUNK_EMB_SCHEMA = (
+    "url string, chunk_id int, text string, char_start long, char_end long, "
+    "embedding array<float>"
+)
+SCORED_SCHEMA = (
+    "url string, chunk_id int, text string, char_start long, score float"
+)
+
+
+def chunks_with_embeddings(documents: DataFrame) -> DataFrame:
+    """documents -> chunk rows with BoW embeddings (the persisted index)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "url", "chunk_id", "text", "char_start", "char_end",
+            )}
+            for url, text in zip(pdf["url"], pdf["text"]):
+                for cid, ctext, cs, ce in chunk_text(text):
+                    rows["url"].append(url)
+                    rows["chunk_id"].append(cid)
+                    rows["text"].append(ctext)
+                    rows["char_start"].append(cs)
+                    rows["char_end"].append(ce)
+            if not rows["url"]:
+                continue
+            emb = bow_embed_matrix(rows["text"])
+            out = pd.DataFrame(rows)
+            out["embedding"] = [row.astype(np.float32) for row in emb]
+            yield out
+
+    return documents.where(F.col("ok")).select("url", "text").mapInPandas(
+        run, schema=CHUNK_EMB_SCHEMA
+    )
+
+
+def vector_search(documents: DataFrame, query: str, k: int = 20) -> DataFrame:
+    """Fused retrieval: chunk + embed + cosine-score in one pass, then a
+    global top-k (ORDER BY + LIMIT — Spark's TakeOrderedAndProject, no full
+    sort). Deterministic tie-break on (url, chunk_id)."""
+    q_vec = np.array(bow_embed(query), dtype=np.float32)
+    q_norm = np.linalg.norm(q_vec)
+    if q_norm > 0:
+        q_vec = q_vec / q_norm
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k2: [] for k2 in ("url", "chunk_id", "text", "char_start")}
+            for url, text in zip(pdf["url"], pdf["text"]):
+                for cid, ctext, cs, _ce in chunk_text(text):
+                    rows["url"].append(url)
+                    rows["chunk_id"].append(cid)
+                    rows["text"].append(ctext)
+                    rows["char_start"].append(cs)
+            if not rows["url"]:
+                continue
+            emb = normalize_rows(bow_embed_matrix(rows["text"]))
+            out = pd.DataFrame(rows)
+            out["score"] = (emb @ q_vec).astype(np.float32)
+            yield out
+
+    scored = documents.where(F.col("ok")).select("url", "text").mapInPandas(
+        run, schema=SCORED_SCHEMA
+    )
+    return scored.orderBy(
+        F.desc("score"), F.asc("url"), F.asc("chunk_id")
+    ).limit(k)
