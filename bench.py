@@ -73,8 +73,14 @@ def _subprocess_json(args: list[str]) -> dict:
 
     out = subprocess.run(
         [sys.executable, os.path.abspath(__file__), *args],
-        capture_output=True, text=True, check=True,
+        capture_output=True, text=True,
     )
+    if out.returncode != 0:
+        sys.stderr.write(out.stderr[-2000:])
+        raise RuntimeError(
+            f"bench sub-command {args[0]} failed (rc={out.returncode}); "
+            "stderr tail above"
+        )
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 

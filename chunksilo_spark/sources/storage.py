@@ -30,9 +30,21 @@ class TableStore:
 
     # -- manifest (the SQLite-ledger analog, reference index.py:314-401) ----
     def manifest(self) -> dict:
+        """Unreadable/corrupt manifest degrades to empty (= recompute all
+        stages) — a resumable pipeline must never be un-runnable because its
+        checkpoint metadata was damaged. Our own writes are atomic
+        (tmp + os.replace), so this only triggers on external damage."""
         if os.path.exists(self._manifest_path):
-            with open(self._manifest_path) as f:
-                return json.load(f)
+            try:
+                with open(self._manifest_path) as f:
+                    return json.load(f)
+            except (json.JSONDecodeError, OSError) as e:
+                import warnings
+
+                warnings.warn(
+                    f"corrupt stage manifest {self._manifest_path} "
+                    f"({e}); recomputing all stages"
+                )
         return {"stages": {}}
 
     def _write_manifest(self, m: dict) -> None:
