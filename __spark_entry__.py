@@ -408,6 +408,59 @@ def _d_simhash(spark, sf):  # SimHash fingerprints (rows-only)
     return dd.simhash_fingerprints(_t(spark, sf, "documents"))
 
 
+def _d_neardup_verified(spark, sf):  # LSH candidates -> exact verification
+    docs = _t(spark, sf, "documents")
+    cands = dd.minhash_lsh_pairs(docs).where(F.col("n_bands") >= 4)
+    toks = lambda c: F.array_distinct(F.split(F.lower(c), r"\s+"))  # noqa: E731
+    a = docs.select(F.col("doc_id").alias("doc_a"), toks(F.col("text")).alias("sh_a"))
+    b = docs.select(F.col("doc_id").alias("doc_b"), toks(F.col("text")).alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cands.join(a, "doc_a").join(b, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(inter.cast("double") / F.greatest(union, F.lit(1)), 6),
+        )
+        .where(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def _t_corpus_filter(spark, sf):  # composite training-data filter
+    docs = _t(spark, sf, "documents")
+    words = F.split(F.lower("text"), r"\s+")
+    n_words = F.size(words)
+    len_score = F.least(n_words / F.lit(100.0), F.lit(1.0))
+    n_punct = F.size(F.regexp_extract_all("text", F.lit(r"[^\w\s]"), 0))
+    punct_score = F.greatest(
+        F.lit(0.0), F.lit(1.0) - F.lit(5.0) * n_punct / F.length("text")
+    )
+    n_stop = F.size(
+        F.filter(words, lambda x: F.array_contains(F.array(*map(F.lit, _SW_EN)), x))
+    )
+    quality = F.round(
+        F.lit(0.4) * len_score + F.lit(0.3) * punct_score
+        + F.lit(0.3) * n_stop / n_words,
+        4,
+    )
+    w = Window.partitionBy(F.md5("text")).orderBy(F.asc("doc_id"))
+    return (
+        docs.withColumn("quality", quality)
+        .withColumn("dup_rank", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "quality",
+            (
+                (F.col("lang") == "en")
+                & (F.col("quality") >= 0.2)
+                & (F.col("dup_rank") == 1)
+                & (F.length("text") >= 50)
+            ).alias("keep"),
+        )
+    )
+
+
 def _s_knn_bruteforce(spark, sf):  # exact cosine top-5 for 10 queries
     emb = _t(spark, sf, "embeddings")
     return sim.brute_force_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
@@ -511,6 +564,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_exact": _d_exact,
         "d_token_jaccard": _d_token_jaccard,
         "d_minhash_lsh": _d_minhash_lsh,
+        "d_neardup_verified": _d_neardup_verified,
+        "t_corpus_filter": _t_corpus_filter,
         "d_simhash": _d_simhash,
         "s_knn_bruteforce": _s_knn_bruteforce,
         "s_knn_lsh": _s_knn_lsh,
@@ -725,6 +780,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS day,
                    CAST(year(o_orderdate) AS INTEGER) AS yr
             FROM orders
+        """,
+        "t_corpus_filter": f"""
+            WITH scored AS (
+                SELECT doc_id, lang, text,
+                       round(
+                         0.4 * least(len(string_split_regex(lower(text), '\\s+')) / 100.0, 1.0)
+                       + 0.3 * greatest(0.0, 1.0 - 5.0 * len(regexp_extract_all(text, '[^\\w\\s]'))
+                                            / length(text))
+                       + 0.3 * (len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                    x -> list_contains({sw}, x)))
+                                / len(string_split_regex(lower(text), '\\s+')))
+                       , 4) AS quality,
+                       row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id ASC) AS dup_rank
+                FROM documents
+            )
+            SELECT doc_id, quality,
+                   (lang = 'en' AND quality >= 0.2 AND dup_rank = 1
+                    AND length(text) >= 50) AS keep
+            FROM scored
         """,
         "t_lang_id": f"SELECT doc_id, {_lang_case()} AS lang_pred FROM documents",
         "t_token_counts": """

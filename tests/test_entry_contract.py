@@ -15,6 +15,7 @@ def test_oracle_keys_subset_of_queries():
     assert no_oracle == {
         "w2_rerank_topk", "d_minhash_lsh", "d_simhash", "s_knn_lsh",
         "m_decode_features", "kg_pipeline_mini", "kg_vector_search",
+        "d_neardup_verified",
     }, f"unexpected oracle-less queries: {no_oracle}"
 
 
