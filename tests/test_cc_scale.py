@@ -34,6 +34,40 @@ def test_chain_converges(spark):
     assert len(rows) == n
 
 
+def test_distributed_canon_at_20k_surfaces(spark):
+    """The web-scale path (auto_local=False): 20k synthetic entity surfaces
+    (two-word names + case/suffix/hyphen variants) must cluster identically
+    to the driver union-find — validates LSH banding + distributed CC at a
+    size where the small-graph fast path is NOT used."""
+    import random
+
+    from chunksilo_spark.operators.canon import canon_map
+
+    rng = random.Random(7)
+    first = [f"w{i}" for i in range(120)]
+    second = [f"v{i}" for i in range(120)]
+    combos = [(f, s) for f in first for s in second]
+    rng.shuffle(combos)
+    norms = set()
+    for f, s in combos[:6000]:
+        base = f"{f} {s}"
+        norms.add(base)
+        for variant in (f"{base} inc", f"{base} ltd", f"{f}{s}")[: rng.randint(0, 3)]:
+            norms.add(variant)
+    surfaces = spark.createDataFrame([(n,) for n in sorted(norms)], "norm string")
+
+    dist = {
+        r["norm"]: r["canon_surface"]
+        for r in canon_map(surfaces, auto_local=False, partitions=16).collect()
+    }
+    local = {
+        r["norm"]: r["canon_surface"]
+        for r in canon_map(surfaces, auto_local=True).collect()
+    }
+    assert len(dist) == len(norms) > 15_000
+    assert dist == local
+
+
 def test_disjoint_components_stay_apart(spark):
     edges = spark.createDataFrame(
         [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22)], "a long, b long"
