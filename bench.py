@@ -56,6 +56,11 @@ def _run_queries(spark, sf_dir: str) -> dict[str, float]:
     import __spark_entry__ as em
 
     qs = em.queries()
+    # warmup: one cheap scan+agg absorbs JVM codegen / first-stage costs so
+    # per-query numbers measure the queries, not session spin-up
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").groupBy(
+        "l_returnflag"
+    ).count().write.format("noop").mode("overwrite").save()
     times: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.time()
@@ -285,7 +290,7 @@ def main() -> None:
         # host), so each efficiency sample is an INTERLEAVED (low, high)
         # pair measured back-to-back; the reported efficiency is the best
         # pair — drift-controlled, like paired benchmarking
-        repeats = int(os.environ.get("BENCH_SCALING_REPEATS", "2"))
+        repeats = int(os.environ.get("BENCH_SCALING_REPEATS", "3"))
 
         def settled_run(executors: int) -> dict:
             os.sync()  # settle disk flush from the previous JVM's teardown
