@@ -11,10 +11,11 @@ Measurement shape (matches production, see BENCH/BASELINE.md):
     canonicalize -> triples, and sinks via the noop writer;
   * a warmup pass (2% sample) precedes the timed run so JIT/codegen and
     Python-worker spin-up are not billed to the measured job;
-  * scaling evidence (BENCH_SCALING=1): the same job at N and 4N local
-    cores with 4N <= physical_cores/2, because in local mode the JVM serde
-    work shares the box with the Python workers — on a multi-executor
-    cluster those run on disjoint cores (see BENCH/BASELINE.md).
+  * scaling evidence (on by default): the same job on local-cluster at
+    1 vs 4 executor JVMs (N and 4N executors) x 2 cores each, package via
+    addPyFile, runs taskset-pinned to proportional CPU envelopes, measured
+    as interleaved lo/hi pairs (best pair reported) because this host's
+    absolute speed drifts over minutes (see BENCH/BASELINE.md §3).
 
 Env knobs:
   SPARK_GRAFT_SF_DIR  parquet dir (default /root/testdata/sf0.1)
