@@ -113,6 +113,83 @@ def _incr_change_detect(spark, sf):  # J1+J2 full classification on hashes
     return out.groupBy("change").agg(F.count(F.lit(1)).alias("n"))
 
 
+def _q3_shipping_priority(spark, sf):  # 3-way join + agg + top-k
+    cust = _t(spark, sf, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = _t(spark, sf, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1996-01-01").cast("timestamp")
+    )
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "revenue")
+    )
+
+
+def _q5_local_supplier(spark, sf):  # 5-way join incl. broadcast dims
+    region = _t(spark, sf, "region")
+    nation = _t(spark, sf, "nation")
+    cust = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    supp = _t(spark, sf, "supplier")
+    return (
+        F.broadcast(region)
+        .join(F.broadcast(nation), F.col("r_regionkey") == F.col("n_regionkey"))
+        .join(cust, F.col("n_nationkey") == F.col("c_nationkey"))
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            supp,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("s_nationkey") == F.col("n_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def _e_sessionize(spark, sf):  # gap-based sessionization (lag + cumsum)
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    epoch = F.col("ts").cast("timestamp").cast("long")  # NTZ -> epoch secs
+    gap = epoch - F.lag(epoch).over(w)
+    new_session = F.when(
+        gap.isNull() | (gap > 1800), F.lit(1)
+    ).otherwise(F.lit(0))
+    sess = (
+        ev.withColumn("new_s", new_session)
+        .withColumn(
+            "session_id",
+            F.sum("new_s").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    return (
+        sess.groupBy("user_id")
+        .agg(
+            F.max("session_id").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
 def _a1_rollup(spark, sf):  # A1 collect_list ledger rollup
     return (
         _t(spark, sf, "orders")
@@ -539,6 +616,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j1_new_keys": _j1_new_keys,
         "j2_deleted_keys": _j2_deleted_keys,
         "incr_change_detect": _incr_change_detect,
+        "q3_shipping_priority": _q3_shipping_priority,
+        "q5_local_supplier": _q5_local_supplier,
+        "e_sessionize": _e_sessionize,
         "a1_rollup": _a1_rollup,
         "a2_first_per_key": _a2_first_per_key,
         "o1_recency_boost": _o1_recency_boost,
@@ -651,6 +731,48 @@ def oracle_sql() -> dict[str, str]:
                 WHERE url NOT IN (SELECT url FROM snap)
             )
             SELECT change, count(*) AS n FROM classified GROUP BY change
+        """,
+        "q3_shipping_priority": """
+            SELECT o_orderkey,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM customer, orders, lineitem
+            WHERE c_mktsegment = 'BUILDING'
+              AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+              AND l_shipdate > TIMESTAMP '1996-01-01'
+            GROUP BY o_orderkey, o_orderdate
+            ORDER BY revenue DESC, o_orderkey ASC LIMIT 10
+        """,
+        "q5_local_supplier": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_items
+            FROM region, nation, customer, orders, lineitem, supplier
+            WHERE r_regionkey = n_regionkey AND n_nationkey = c_nationkey
+              AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+              AND l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "e_sessionize": """
+            WITH g AS (
+                SELECT user_id, event_id, ts,
+                       CASE WHEN epoch(ts) - lag(epoch(ts)) OVER
+                                (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+                                > 1800
+                            OR lag(ts) OVER (PARTITION BY user_id
+                                ORDER BY ts ASC, event_id ASC) IS NULL
+                       THEN 1 ELSE 0 END AS new_s
+                FROM events
+            ), s AS (
+                SELECT user_id,
+                       sum(new_s) OVER (PARTITION BY user_id
+                           ORDER BY ts ASC, event_id ASC
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM g
+            )
+            SELECT user_id, max(session_id) AS n_sessions,
+                   count(*) AS n_events
+            FROM s GROUP BY user_id
         """,
         "a1_rollup": """
             SELECT o_custkey,
