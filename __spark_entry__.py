@@ -195,7 +195,9 @@ def _a1_rollup(spark, sf):  # A1 collect_list ledger rollup
         _t(spark, sf, "orders")
         .groupBy("o_custkey")
         .agg(
-            F.sort_array(F.collect_list("o_orderkey")).alias("order_keys"),
+            F.concat_ws(
+                ",", F.sort_array(F.collect_list("o_orderkey"))
+            ).alias("order_keys_csv"),  # reference ledger stores CSV ids
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
@@ -776,7 +778,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "a1_rollup": """
             SELECT o_custkey,
-                   list_sort(list(o_orderkey)) AS order_keys,
+                   array_to_string(list_sort(list(o_orderkey)), ',') AS order_keys_csv,
                    count(*) AS n_orders
             FROM orders GROUP BY o_custkey
         """,
