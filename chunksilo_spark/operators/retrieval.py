@@ -58,6 +58,37 @@ def chunks_with_embeddings(documents: DataFrame) -> DataFrame:
     )
 
 
+def search_index(chunks: DataFrame, query: str, k: int = 20) -> DataFrame:
+    """Search a MATERIALIZED chunks-with-embeddings table (the reference's
+    load-index-then-search shape, search.py:950-971 + 1093-1111): score the
+    stored embeddings against the query vector — all JVM-side arithmetic
+    (zip_with dot product), no Python per row."""
+    q = np.array(bow_embed(query), dtype=np.float32)
+    n = np.linalg.norm(q)
+    if n > 0:
+        q = q / n
+    q_lit = F.array(*[F.lit(float(x)) for x in q])
+    dot = F.aggregate(
+        F.zip_with(F.col("embedding"), q_lit, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("embedding"), lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    scored = chunks.withColumn(
+        "score",
+        F.when(norm > 0, dot / norm).otherwise(F.lit(0.0)).cast("float"),
+    )
+    return scored.orderBy(
+        F.desc("score"), F.asc("url"), F.asc("chunk_id")
+    ).limit(k).select("url", "chunk_id", "text", "char_start", "score")
+
+
 def vector_search(documents: DataFrame, query: str, k: int = 20) -> DataFrame:
     """Fused retrieval: chunk + embed + cosine-score in one pass, then a
     global top-k (ORDER BY + LIMIT — Spark's TakeOrderedAndProject, no full

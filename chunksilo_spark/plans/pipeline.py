@@ -72,9 +72,14 @@ def run_pipeline(
         store, spark, "stage1_extract", "documents", fingerprint,
         lambda: s1.extract_documents(pages, partitions), "url", resume,
     )
+    # chunks carry their embeddings: this table IS the vector index
+    # (the reference's persisted VectorStoreIndex, SURVEY §1.3) — query it
+    # with operators/retrieval.search_index
+    from ..operators.retrieval import chunks_with_embeddings
+
     chunks = _materialize(
         store, spark, "stage1_chunk", "chunks", fingerprint,
-        lambda: s1.chunk_documents(documents), "url", resume,
+        lambda: chunks_with_embeddings(documents), "url", resume,
     )
     quarantined = _materialize(
         store, spark, "stage1_quarantine", "quarantine", fingerprint,

@@ -52,3 +52,19 @@ def test_chunks_with_embeddings_schema(spark):
     row = chunks.first()
     assert len(row["embedding"]) == 384
     assert chunks.count() > 0
+
+
+def test_search_index_equals_fused_search(spark):
+    """Searching the materialized index must rank exactly like the fused
+    chunk-and-score path (same embeddings, same cosine, same tie-break)."""
+    docs = s1.extract_documents(pages_df(spark, 60, partitions=3), partitions=3)
+    chunks = rt.chunks_with_embeddings(docs).localCheckpoint()
+    a = [
+        (r["url"], r["chunk_id"], round(float(r["score"]), 5))
+        for r in rt.search_index(chunks, QUERY, k=8).collect()
+    ]
+    b = [
+        (r["url"], r["chunk_id"], round(float(r["score"]), 5))
+        for r in rt.vector_search(docs, QUERY, k=8).collect()
+    ]
+    assert a == b
