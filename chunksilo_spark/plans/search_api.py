@@ -1,0 +1,118 @@
+"""The reference's search API (run_search / MCP search_docs) over the
+materialized pipeline tables.
+
+Reference lifecycle (search.py:1333-1430, SURVEY §3.2): quoted-phrase parse
+-> preprocess -> vector top-k over the chunk index -> filename match ->
+date filter -> recency boost -> candidate cap -> rerank -> score threshold
+-> phrase post-filter -> result shaping with heading_path/line locations
+(§1.1 result schema). Everything except the final <=k-row shaping runs as
+DataFrame queries; heading paths and line numbers come from the documents
+table's typed columns via the shared kernels.
+"""
+
+from __future__ import annotations
+
+import re
+import time
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.extract import char_to_line, heading_path
+from ..functions.textstats import extract_quoted_phrases, preprocess_query
+from ..operators.retrieval import search_index
+from ..operators.search import (
+    EMBED_TOP_K,
+    RERANK_CANDIDATES,
+    SCORE_THRESHOLD,
+    date_range_filter,
+    phrase_post_filter,
+    recency_boost,
+    rerank,
+)
+
+RERANK_TOP_K = 5  # reference cfgload.py:90
+MATCHED_FILES_CAP = 5  # reference search.py:292
+
+
+def _matched_files(documents: DataFrame, query_tokens: list[str]) -> list[dict]:
+    """Filename/url match (the BM25 filename index analog, U5/W3): score
+    urls by token overlap of their slug with the query."""
+    if not query_tokens:
+        return []
+    toks = F.split(
+        F.lower(F.regexp_replace(F.col("url"), r"[^A-Za-z0-9]+", " ")), r"\s+"
+    )
+    score = F.size(
+        F.array_intersect(toks, F.array(*[F.lit(t) for t in query_tokens]))
+    )
+    rows = (
+        documents.select("url", score.alias("score"))
+        .where(F.col("score") > 0)
+        .orderBy(F.desc("score"), F.asc("url"))
+        .limit(MATCHED_FILES_CAP)
+        .collect()
+    )
+    return [{"uri": r["url"], "score": float(r["score"])} for r in rows]
+
+
+def run_search(
+    documents: DataFrame,
+    chunks: DataFrame,
+    query: str,
+    date_from: str | None = None,
+    date_to: str | None = None,
+    now: str = "2026-01-01",
+) -> dict:
+    """-> the reference's §1.1 result dict (matched_files, chunks with
+    text/score/location, counters, retrieval_time)."""
+    t0 = time.time()
+    phrases, cleaned = extract_quoted_phrases(query)
+    cleaned = preprocess_query(cleaned)
+    q_tokens = [t for t in re.split(r"\s+", cleaned.lower()) if t]
+
+    # stage 1: vector top-k over the persisted index + doc metadata join
+    hits = search_index(chunks, cleaned, k=EMBED_TOP_K).join(
+        documents.select("url", "warc_ts", "headings", "line_offsets"), "url"
+    )
+    # date filter (missing date passes) -> recency boost -> candidate cap
+    hits = date_range_filter(hits, "warc_ts", date_from, date_to)
+    hits = hits.withColumn(
+        "boosted", recency_boost(F.col("score"), F.col("warc_ts"), now)
+    ).orderBy(F.desc("boosted"), F.asc("url"), F.asc("chunk_id")).limit(
+        RERANK_CANDIDATES
+    )
+    # stage 2: rerank (stub model) -> threshold -> phrase post-filter
+    reranked = rerank(hits, cleaned, k=RERANK_TOP_K, text_col="text", id_col="url")
+    reranked = reranked.where(F.col("rerank_score") >= SCORE_THRESHOLD)
+    reranked = phrase_post_filter(reranked, "text", phrases)
+
+    out_chunks = []
+    for r in reranked.collect():
+        heads = [
+            {"text": h["text"], "position": h["position"], "level": h["level"]}
+            for h in (r["headings"] or [])
+        ]
+        out_chunks.append(
+            {
+                "text": r["text"],
+                "score": round(float(r["rerank_score"]), 4),
+                "location": {
+                    "uri": r["url"],
+                    "line": char_to_line(
+                        list(r["line_offsets"] or [0]), int(r["char_start"])
+                    ),
+                    "heading_path": heading_path(heads, int(r["char_start"])),
+                },
+            }
+        )
+
+    matched = _matched_files(documents, q_tokens)
+    return {
+        "query": query,
+        "matched_files": matched,
+        "chunks": out_chunks,
+        "num_matched_files": len(matched),
+        "num_chunks": len(out_chunks),
+        "retrieval_time": round(time.time() - t0, 3),
+    }
