@@ -224,6 +224,54 @@ class TestGenerationDeterminism:
         assert ra == rb
 
 
+class TestStreamingWindowed:
+    def test_stream_agg_matches_batch(self, spark, tmp_path):
+        from chunksilo_spark.streaming.windowed import crawl_rate_per_site
+
+        pages = pages_df(spark, 120, partitions=3)
+        src = str(tmp_path / "pages_w")
+        pages.write.mode("overwrite").parquet(src)
+
+        batch = crawl_rate_per_site(spark.read.parquet(src))
+        want = sorted(
+            (str(r["window"]), r["site"], r["n_pages"], r["n_bytes"])
+            for r in batch.collect()
+        )
+
+        stream = (
+            spark.readStream.schema(
+                "url string, warc_ts timestamp, html binary, "
+                "text string, lang string"
+            ).parquet(src)
+        )
+        out = str(tmp_path / "agg_out")
+        q = (
+            crawl_rate_per_site(stream)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "ckpt_w"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = sorted(
+            (str(r["window"]), r["site"], r["n_pages"], r["n_bytes"])
+            for r in spark.read.parquet(out).collect()
+        )
+        # append mode emits only watermark-CLOSED windows: everything except
+        # the window holding the max warc_ts (which the watermark never
+        # passes without later data) — correct late-data semantics
+        max_ts = pages.agg(F.max("warc_ts")).collect()[0][0]
+        still_open = {
+            (str(r["window"]), r["site"], r["n_pages"], r["n_bytes"])
+            for r in batch.collect()
+            if r["window"]["end"] > max_ts
+        }
+        assert sorted(set(want) - still_open) == got
+        assert len(still_open) >= 1
+
+
 class TestStreamingIngest:
     def test_stream_matches_batch(self, spark, tmp_path):
         from chunksilo_spark.streaming.ingest import start_ingest
