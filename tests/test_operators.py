@@ -272,6 +272,68 @@ class TestStreamingWindowed:
         assert len(still_open) >= 1
 
 
+class TestStatefulChangeDetection:
+    def test_state_dedups_across_microbatches(self, spark, tmp_path):
+        """Two micro-batches (maxFilesPerTrigger=1): unchanged urls in batch
+        2 are suppressed by the per-url hash state; changed + new ones emit."""
+        from chunksilo_spark.streaming.stateful import changed_pages_stream
+
+        src = str(tmp_path / "pages_state")
+        schema = (
+            "url string, warc_ts timestamp, html binary, "
+            "text string, lang string"
+        )
+        import datetime as dt
+
+        def row(url, secs, payload):
+            return (
+                url,
+                dt.datetime(2024, 1, 1) + dt.timedelta(seconds=secs),
+                bytearray(payload),
+                None,
+                "en",
+            )
+
+        batch1 = spark.createDataFrame(
+            [row("u1", 0, b"aaa"), row("u2", 1, b"bbb"), row("u3", 2, b"ccc")],
+            schema,
+        )
+        batch2 = spark.createDataFrame(
+            [row("u1", 10, b"aaa"),      # unchanged -> suppressed
+             row("u2", 11, b"BBB2"),     # modified  -> emitted
+             row("u4", 12, b"ddd")],     # new       -> emitted
+            schema,
+        )
+        batch1.coalesce(1).write.mode("overwrite").parquet(src)
+        batch2.coalesce(1).write.mode("append").parquet(src)
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        out = str(tmp_path / "changes_out")
+        q = (
+            changed_pages_stream(stream)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "ckpt_state"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {(r["url"], r["content_md5"]) for r in spark.read.parquet(out).collect()}
+        import hashlib
+
+        md5 = lambda b: hashlib.md5(b).hexdigest()  # noqa: E731
+        # u1 emitted once (batch1), u2 twice (changed), u3 once, u4 once
+        assert got == {
+            ("u1", md5(b"aaa")), ("u2", md5(b"bbb")), ("u2", md5(b"BBB2")),
+            ("u3", md5(b"ccc")), ("u4", md5(b"ddd")),
+        }
+
+
 class TestStreamingIngest:
     def test_stream_matches_batch(self, spark, tmp_path):
         from chunksilo_spark.streaming.ingest import start_ingest
