@@ -24,6 +24,9 @@ CAPTURE = [
     ("s_knn_bruteforce", "broadcast of the query side + window top-k"),
     ("d_token_jaccard", "bucket-blocked self-join (no cartesian)"),
     ("incr_change_detect", "change-classification join tree"),
+    ("q5_local_supplier", "5-way join: region/nation broadcast, "
+     "sort-merge or shuffled-hash on the fact side"),
+    ("e_sessionize", "windowed lag + running sum (single shuffle per user)"),
 ]
 
 
