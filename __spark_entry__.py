@@ -167,7 +167,9 @@ def _q5_local_supplier(spark, sf):  # 5-way join incl. broadcast dims
 def _e_sessionize(spark, sf):  # gap-based sessionization (lag + cumsum)
     ev = _t(spark, sf, "events")
     w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
-    epoch = F.col("ts").cast("timestamp").cast("long")  # NTZ -> epoch secs
+    # NTZ -> epoch secs; Spark's cast(ts AS LONG) is floorDiv(micros, 1e6),
+    # i.e. floor() — the oracle uses floor(epoch(ts)) explicitly to match
+    epoch = F.col("ts").cast("timestamp").cast("long")
     gap = epoch - F.lag(epoch).over(w)
     new_session = F.when(
         gap.isNull() | (gap > 1800), F.lit(1)
@@ -558,12 +560,25 @@ def _m_binary_meta(spark, sf):  # multimodal: opaque binary metadata
     return mm.binary_metadata(docs).select("asset_id", "n_bytes", "content_md5")
 
 
-def _m_decode_features(spark, sf):  # multimodal: stubbed decoder (rows-only)
+def _m_decode_features(spark, sf):  # multimodal: stubbed decoder
+    # features projected to scalar columns so the driver's canonicalizer can
+    # hash them; the md5-stripe fake kernel is SQL-expressible, so the DuckDB
+    # oracle re-derives the exact values (text is ASCII in the testdata, so
+    # byte stripes == char stripes on the oracle side).
     docs = _t(spark, sf, "documents").select(
         F.col("doc_id").alias("asset_id"),
         F.encode("text", "utf-8").alias("payload"),
     )
-    return mm.decode_features(docs)
+    feats = mm.decode_features(docs)
+    return feats.select(
+        "asset_id",
+        "n_bytes",
+        "codec",
+        *[
+            F.round(F.col("features")[i].cast("double"), 4).alias(f"f{i}")
+            for i in range(mm.FEATURE_DIM)
+        ],
+    )
 
 
 def _kg_pipeline_mini(spark, sf):  # end-to-end KG DAG (rows-only)
@@ -756,9 +771,14 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY n_name
         """,
         "e_sessionize": """
+            -- floor(epoch(ts)) aligns with Spark's cast(ts AS LONG), which is
+            -- floorDiv(micros, 1e6) — DuckDB's bare epoch(ts) is fractional;
+            -- CAST(... AS BIGINT) because DuckDB's windowed sum is HUGEINT,
+            -- which the driver canonicalizes as float (hash mismatch vs
+            -- Spark's bigint)
             WITH g AS (
                 SELECT user_id, event_id, ts,
-                       CASE WHEN epoch(ts) - lag(epoch(ts)) OVER
+                       CASE WHEN floor(epoch(ts)) - lag(floor(epoch(ts))) OVER
                                 (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
                                 > 1800
                             OR lag(ts) OVER (PARTITION BY user_id
@@ -772,7 +792,7 @@ def oracle_sql() -> dict[str, str]:
                            ROWS UNBOUNDED PRECEDING) AS session_id
                 FROM g
             )
-            SELECT user_id, max(session_id) AS n_sessions,
+            SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions,
                    count(*) AS n_events
             FROM s GROUP BY user_id
         """,
@@ -982,5 +1002,26 @@ def oracle_sql() -> dict[str, str]:
                    octet_length(encode(text)) AS n_bytes,
                    md5(text) AS content_md5
             FROM documents
+        """,
+        # the md5-stripe fake decoder re-derived in SQL: stripe i of the
+        # payload -> first 32 bits of md5 -> mod 1e4 / 1e4. The payload is
+        # encode(text) and the testdata text is pure ASCII (verified: no doc
+        # has octet_length(encode(text)) <> length(text)), so char stripes
+        # equal byte stripes and VARCHAR md5 matches the Python bytes md5.
+        "m_decode_features": """
+            WITH d AS (
+                SELECT doc_id AS asset_id, text,
+                       octet_length(encode(text)) AS n_bytes,
+                       greatest(1, length(text) // 8) AS stripe
+                FROM documents
+            )
+            SELECT asset_id, n_bytes, 'fake-md5/v1' AS codec,
+        """ + ",\n".join(
+            f"""round((CAST(concat('0x', substr(md5(substr(text,
+                {i} * stripe + 1, stripe)), 1, 8)) AS BIGINT)
+                % 10000) / 10000.0, 4) AS f{i}"""
+            for i in range(8)
+        ) + """
+            FROM d
         """,
     }

@@ -201,21 +201,19 @@ def extract_headings(text: str) -> list[dict]:
 
 
 def heading_path(headings: list[dict], char_pos: int) -> list[str]:
-    """Ancestor heading chain for a char offset.
-
-    Last heading with position <= char_pos, then walk backwards collecting
-    strictly-decreasing levels (reference search.py:154-172).
+    """Heading path for a char offset: the texts of ALL headings with
+    position <= char_pos, in document order (a flat prefix, NOT a
+    decreasing-level ancestor chain) — reference search.py:154-172
+    (_build_heading_path returns headings[:current_idx+1] texts; the caller
+    at search.py:1280-1281 appends the current heading only when the path
+    does not already end with it, which is a no-op for paths built here).
+    Empty-text headings are skipped (the reference's `if h.get("text")`).
     """
-    prior = [h for h in headings if h["position"] <= char_pos]
-    if not prior:
-        return []
-    path = [prior[-1]["text"]]
-    level = prior[-1]["level"]
-    for h in reversed(prior[:-1]):
-        if h["level"] < level:
-            path.append(h["text"])
-            level = h["level"]
-    return list(reversed(path))
+    return [
+        h["text"]
+        for h in headings
+        if h["position"] <= char_pos and h["text"]
+    ]
 
 
 def char_to_line(offsets: list[int], char_pos: int) -> int:

@@ -11,7 +11,7 @@ a Pillow/ffmpeg-backed kernel plugs in.
 
 from __future__ import annotations
 
-import zlib
+import hashlib
 from typing import Iterator
 
 import numpy as np
@@ -37,15 +37,19 @@ def binary_metadata(assets: DataFrame, bin_col: str = "payload") -> DataFrame:
 
 
 def _fake_decode(payload: bytes) -> np.ndarray:
-    """Deterministic stand-in feature extractor: FEATURE_DIM crc32 moments
-    over byte stripes. Replace with a real decoder (see decode_features)."""
+    """Deterministic stand-in feature extractor: FEATURE_DIM md5 moments
+    over byte stripes (feature i = first 32 bits of md5(stripe_i) mod 1e4,
+    scaled to [0,1)). md5 rather than crc32 so the exact values are
+    reproducible in ANSI SQL (the driver's DuckDB oracle re-derives them).
+    Replace with a real decoder (see decode_features)."""
     out = np.zeros(FEATURE_DIM, dtype=np.float32)
     if not payload:
         return out
     stripe = max(1, len(payload) // FEATURE_DIM)
     for i in range(FEATURE_DIM):
         chunk = payload[i * stripe : (i + 1) * stripe]
-        out[i] = (zlib.crc32(chunk) % 10_000) / 10_000.0
+        h = hashlib.md5(chunk).hexdigest()
+        out[i] = (int(h[:8], 16) % 10_000) / 10_000.0
     return out
 
 
@@ -72,7 +76,7 @@ def decode_features(
                 {
                     "asset_id": pdf["asset_id"],
                     "n_bytes": [len(bytes(p)) for p in pdf[bin_col]],
-                    "codec": ["fake/v1"] * len(pdf),
+                    "codec": ["fake-md5/v1"] * len(pdf),
                     "features": feats,
                 }
             )

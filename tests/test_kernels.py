@@ -69,11 +69,23 @@ class TestExtract:
         assert [(h["text"], h["level"]) for h in hs] == [("A", 1), ("B", 2)]
         assert text[hs[1]["position"]:].startswith("## B")
 
-    def test_heading_path_ancestors(self):
+    def test_heading_path_flat_prefix(self):
+        # reference _build_heading_path (search.py:154-172) returns the texts
+        # of ALL headings up to the position — sibling same-level headings
+        # stay in the path (it is NOT a decreasing-level ancestor chain)
         text = "# A\n\n## B\n\nbody\n\n## C\n\ntail"
         hs = extract_headings(text)
         assert heading_path(hs, text.index("body")) == ["A", "B"]
-        assert heading_path(hs, text.index("tail")) == ["A", "C"]
+        assert heading_path(hs, text.index("tail")) == ["A", "B", "C"]
+        assert heading_path(hs, 0) == ["A"]
+        assert heading_path(hs, text.index("# A") - 1 if "#" != text[0] else 0) == ["A"]
+
+    def test_heading_path_before_first_heading_empty(self):
+        text = "intro\n\n# A\n\nbody"
+        hs = extract_headings(text)
+        assert heading_path(hs, 0) == []
+        assert heading_path(hs, text.index("body")) == ["A"]
+        assert heading_path([], 10) == []
 
     def test_line_offsets_and_char_to_line(self):
         text = "ab\ncd\nef"
