@@ -481,8 +481,17 @@ def _d_token_jaccard(spark, sf):  # blocked pairwise Jaccard
     )
 
 
-def _d_minhash_lsh(spark, sf):  # MinHash-LSH candidates (rows-only)
-    return dd.minhash_lsh_pairs(_t(spark, sf, "documents"))
+def _d_minhash_lsh(spark, sf):  # MinHash-LSH candidate pairs
+    # Projected to the pair ids: the oracle is the EXACT all-pairs word-3-gram
+    # Jaccard >= 0.5 over exact-dup representatives, so a green row proves the
+    # banding has recall 1.0 AND no sub-threshold collisions on this corpus
+    # (the testdata's near-dup pairs all sit at >= 0.888; the next tier is
+    # <= 0.35 — deterministic with the seeded permutations). n_bands /
+    # est_jaccard stay on the operator and are pytest-checked vs exact
+    # Jaccard (tests/test_operators.py).
+    return dd.minhash_lsh_pairs(_t(spark, sf, "documents")).select(
+        "doc_a", "doc_b"
+    )
 
 
 def _d_simhash(spark, sf):  # SimHash fingerprints (rows-only)
@@ -490,22 +499,9 @@ def _d_simhash(spark, sf):  # SimHash fingerprints (rows-only)
 
 
 def _d_neardup_verified(spark, sf):  # LSH candidates -> exact verification
-    docs = _t(spark, sf, "documents")
-    cands = dd.minhash_lsh_pairs(docs).where(F.col("n_bands") >= 4)
-    toks = lambda c: F.array_distinct(F.split(F.lower(c), r"\s+"))  # noqa: E731
-    a = docs.select(F.col("doc_id").alias("doc_a"), toks(F.col("text")).alias("sh_a"))
-    b = docs.select(F.col("doc_id").alias("doc_b"), toks(F.col("text")).alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
-    return (
-        cands.join(a, "doc_a").join(b, "doc_b")
-        .withColumn(
-            "jaccard",
-            F.round(inter.cast("double") / F.greatest(union, F.lit(1)), 6),
-        )
-        .where(F.col("jaccard") >= 0.5)
-        .select("doc_a", "doc_b", "jaccard")
-    )
+    # exact word-3-gram Jaccard (the space the bands estimate) over the LSH
+    # candidates only; oracle = brute-force all-pairs in the same space
+    return dd.neardup_verified(_t(spark, sf, "documents"), threshold=0.5)
 
 
 def _t_corpus_filter(spark, sf):  # composite training-data filter
@@ -985,6 +981,57 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                   / greatest(len(a.sh) + len(b.sh)
                              - len(list_intersect(a.sh, b.sh)), 1) >= 0.2
+        """,
+        # exact brute-force counterpart of the LSH funnel: word-3-gram
+        # distinct-shingle Jaccard over ALL pairs of exact-dup representatives
+        # (min doc_id per md5(text) group — mirrors the operator's pre-collapse).
+        # DuckDB's 1-based list indexing: shingle i = w[i..i+2], i in
+        # range(1, len(w)-1) == len(w)-2 shingles, same as word_shingles(t, 3).
+        "d_neardup_verified": """
+            WITH reps AS (
+                SELECT min(doc_id) AS doc_id, min(text) AS text
+                FROM documents GROUP BY md5(text)
+            ), tok AS (
+                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+                FROM reps
+            ), t AS (
+                SELECT doc_id, list_distinct(
+                    CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                         ELSE list_transform(range(1, len(w) - 1),
+                              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                    END) AS sh
+                FROM tok
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                         / greatest(len(a.sh) + len(b.sh)
+                                    - len(list_intersect(a.sh, b.sh)), 1), 6)
+                       AS jaccard
+            FROM t a JOIN t b ON a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                  / greatest(len(a.sh) + len(b.sh)
+                             - len(list_intersect(a.sh, b.sh)), 1) >= 0.5
+        """,
+        "d_minhash_lsh": """
+            WITH reps AS (
+                SELECT min(doc_id) AS doc_id, min(text) AS text
+                FROM documents GROUP BY md5(text)
+            ), tok AS (
+                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+                FROM reps
+            ), t AS (
+                SELECT doc_id, list_distinct(
+                    CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                         ELSE list_transform(range(1, len(w) - 1),
+                              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                    END) AS sh
+                FROM tok
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM t a JOIN t b ON a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                  / greatest(len(a.sh) + len(b.sh)
+                             - len(list_intersect(a.sh, b.sh)), 1) >= 0.5
         """,
         "s_knn_bruteforce": """
             SELECT query_id, neighbor_id, cosine, rank FROM (

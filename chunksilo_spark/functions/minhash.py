@@ -60,6 +60,61 @@ def minhash_signature(shingles: list[str]) -> np.ndarray:
     return vals.min(axis=1)
 
 
+def minhash_signatures_batch(
+    shingle_lists: list[list[str]], max_chunk: int = 1 << 18
+) -> np.ndarray:
+    """(n_docs, NUM_PERM) uint64 signatures — bit-identical to calling
+    ``minhash_signature`` per doc (tested), but vectorized across the batch:
+
+      * shingle crc32s are cached across docs (boilerplate-heavy corpora
+        repeat shingles constantly — each distinct shingle hashes once);
+      * the (NUM_PERM, total_shingles) universal-hash matrix is built for
+        runs of docs bounded by ``max_chunk`` shingles (caps peak memory at
+        ~NUM_PERM * max_chunk * 8 bytes) and reduced to per-doc minima with
+        one ``np.minimum.reduceat`` instead of a Python loop per doc.
+    """
+    n = len(shingle_lists)
+    out = np.empty((n, NUM_PERM), dtype=np.uint64)
+    cache: dict[str, int] = {}
+    doc_hashes: list[np.ndarray | None] = []
+    for sh in shingle_lists:
+        if not sh:
+            doc_hashes.append(None)
+            continue
+        hs = np.empty(len(sh), dtype=np.uint64)
+        for j, s in enumerate(sh):
+            v = cache.get(s)
+            if v is None:
+                v = zlib.crc32(s.encode("utf-8"))
+                cache[s] = v
+            hs[j] = v
+        doc_hashes.append(hs)
+
+    nonempty = [(i, h) for i, h in enumerate(doc_hashes) if h is not None]
+    for i, h in enumerate(doc_hashes):
+        if h is None:
+            out[i] = _EMPTY_SIG
+    start = 0
+    while start < len(nonempty):
+        end, tot = start, 0
+        while end < len(nonempty) and (
+            end == start or tot + len(nonempty[end][1]) <= max_chunk
+        ):
+            tot += len(nonempty[end][1])
+            end += 1
+        concat = np.concatenate([h for _, h in nonempty[start:end]])
+        # same expression as minhash_signature (same dtypes, same wrap)
+        vals = (_A[:, None] * concat[None, :] + _B[:, None]) % _MERSENNE & _MAX_HASH
+        bounds = np.cumsum(
+            [0] + [len(h) for _, h in nonempty[start:end]]
+        )[:-1]
+        mins = np.minimum.reduceat(vals, bounds, axis=1)  # (NUM_PERM, k)
+        for k, (di, _) in enumerate(nonempty[start:end]):
+            out[di] = mins[:, k]
+        start = end
+    return out
+
+
 def band_keys(sig: np.ndarray) -> list[int]:
     """One stable 64-bit key per band: crc32 over (band_idx, band rows)."""
     keys = []
@@ -79,20 +134,36 @@ def jaccard(a: set, b: set) -> float:
     return inter / (len(a) + len(b) - inter)
 
 
+_BIT_IDX = np.arange(64, dtype=np.uint64)
+
+
 def simhash64(tokens: list[str]) -> int:
     """64-bit SimHash over tokens (crc32-seeded 64-bit token hashes)."""
-    if not tokens:
-        return 0
-    acc = np.zeros(64, dtype=np.int64)
-    for tok in tokens:
-        data = tok.encode("utf-8")
-        h = np.uint64((zlib.crc32(data) << 32) | zlib.crc32(data + b"\x01"))
-        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-        acc += np.where(bits == 1, 1, -1)
-    out = 0
-    for i in range(64):
-        if acc[i] > 0:
-            out |= 1 << i
+    return simhash64_batch([tokens])[0]
+
+
+def simhash64_batch(token_lists: list[list[str]]) -> list[int]:
+    """SimHash per token list — one (n_tokens, 64) numpy pass per doc
+    (instead of per-token numpy work) with token hashes cached across the
+    batch. Definition: bit i of the result is 1 iff the count of tokens
+    whose hash has bit i set exceeds the count of tokens that don't."""
+    cache: dict[str, int] = {}
+    out: list[int] = []
+    for tokens in token_lists:
+        if not tokens:
+            out.append(0)
+            continue
+        hs = np.empty(len(tokens), dtype=np.uint64)
+        for j, tok in enumerate(tokens):
+            v = cache.get(tok)
+            if v is None:
+                data = tok.encode("utf-8")
+                v = (zlib.crc32(data) << 32) | zlib.crc32(data + b"\x01")
+                cache[tok] = v
+            hs[j] = v
+        bits = (hs[:, None] >> _BIT_IDX[None, :]) & np.uint64(1)  # (n, 64)
+        acc = np.where(bits == 1, 1, -1).sum(axis=0)
+        out.append(int(((acc > 0).astype(np.uint64) << _BIT_IDX).sum()))
     return out
 
 

@@ -39,7 +39,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import hash64
-from ..functions.minhash import band_keys, jaccard, minhash_signature
+from ..functions.minhash import band_keys, jaccard, minhash_signatures_batch
 
 JACCARD_THRESHOLD = 0.6
 
@@ -65,10 +65,10 @@ def lsh_bands(surfaces: DataFrame, col: str = "norm") -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            sigs = minhash_signatures_batch([n.split() for n in pdf[col]])
             nids, norms, keys = [], [], []
-            for norm in pdf[col]:
+            for norm, sig in zip(pdf[col], sigs):
                 nid = hash64(norm)
-                sig = minhash_signature(norm.split())
                 for bk in band_keys(sig):
                     nids.append(nid)
                     norms.append(norm)

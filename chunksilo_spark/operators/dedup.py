@@ -28,9 +28,10 @@ from pyspark.sql import functions as F
 
 from ..functions.minhash import (
     BANDS,
+    ROWS_PER_BAND,
     band_keys,
-    minhash_signature,
-    simhash64,
+    minhash_signatures_batch,
+    simhash64_batch,
     word_shingles,
 )
 
@@ -106,13 +107,18 @@ _SIG_SCHEMA = "doc_id long, band_key long"
 
 
 def minhash_bands(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, band_key) rows — 32 per doc — from word-3-gram MinHash."""
+    """(doc_id, band_key) rows — 32 per doc — from word-3-gram MinHash.
+
+    Signatures are computed batch-vectorized (one universal-hash matrix +
+    segment-min per Arrow batch, shingle hashes cached across docs) — see
+    functions/minhash.minhash_signatures_batch."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            shingle_lists = [word_shingles(t, 3) for t in pdf[text_col]]
+            sigs = minhash_signatures_batch(shingle_lists)
             ids, keys = [], []
-            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
-                sig = minhash_signature(word_shingles(text, 3))
+            for doc_id, sig in zip(pdf["doc_id"], sigs):
                 for bk in band_keys(sig):
                     ids.append(doc_id)
                     keys.append(bk - (1 << 63))
@@ -121,12 +127,39 @@ def minhash_bands(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select("doc_id", text_col).mapInPandas(run, schema=_SIG_SCHEMA)
 
 
-def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Candidate near-duplicate pairs (band-collision count as evidence).
+def exact_dup_representatives(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """One representative row (min doc_id) per byte-identical text group.
 
-    n_bands/32 approximates Jaccard similarity; exact verification is
-    ngram_jaccard_pairs on the candidates (composed by callers)."""
-    bands = minhash_bands(docs, text_col)
+    The groupBy does a map-side partial ``first`` per md5, so the shuffle
+    carries ~one text per distinct content per input partition, not the
+    whole corpus."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("text_md5"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.first(text_col).alias(text_col),  # all texts in group identical
+        )
+        .select("doc_id", text_col)
+    )
+
+
+def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Candidate near-duplicate pairs BETWEEN exact-duplicate groups
+    (band-collision count as evidence; est_jaccard = (n_bands/BANDS)^(1/r)
+    is the moment estimator of the Jaccard similarity).
+
+    Byte-identical texts are collapsed to one representative (min doc_id)
+    BEFORE banding — k identical docs share all 32 bands, so banding them
+    raw makes the band self-join emit O(k^2) pairs per duplicate cluster
+    (a hot-bucket quadratic on boilerplate-heavy web corpora; canon.py
+    applies the same pre-distinct to surfaces). doc_a/doc_b are group
+    representatives; within-group duplicate membership is ``exact_dedup``'s
+    (linear) output, so total output stays linear in cluster size. Exact
+    verification of candidates is ``neardup_verified``."""
+    reps = exact_dup_representatives(docs, text_col)
+    bands = minhash_bands(reps, text_col)
     a = bands.select(F.col("band_key"), F.col("doc_id").alias("doc_a"))
     b = bands.select(F.col("band_key"), F.col("doc_id").alias("doc_b"))
     return (
@@ -134,7 +167,66 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .where(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_bands"))
-        .withColumn("est_jaccard", F.round(F.col("n_bands") / F.lit(float(BANDS)), 4))
+        # a band of r rows collides with probability s^r (s = Jaccard), so
+        # the moment estimator of s from the collision rate is its r-th root
+        .withColumn(
+            "est_jaccard",
+            F.round(
+                F.pow(
+                    F.col("n_bands") / F.lit(float(BANDS)),
+                    F.lit(1.0 / ROWS_PER_BAND),
+                ),
+                4,
+            ),
+        )
+    )
+
+
+def _shingles3(text_col):
+    """Distinct word-3-gram shingles as a JVM-side array expression —
+    identical semantics to functions/minhash.word_shingles(text, 3) (the
+    banding space: CASE-SENSITIVE whitespace tokens; texts with <3 words
+    yield one joined shingle)."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, i),
+            F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2),
+        ),
+    )
+    return F.array_distinct(
+        F.when(F.size(toks) >= 3, grams).otherwise(
+            F.array(F.array_join(toks, " "))
+        )
+    )
+
+
+def neardup_verified(
+    docs: DataFrame, threshold: float = 0.5, text_col: str = "text"
+) -> DataFrame:
+    """LSH candidate pairs verified by EXACT word-3-gram Jaccard >= threshold
+    -> (doc_a, doc_b, jaccard). The verification runs in the same shingle
+    space the MinHash estimates (word 3-grams), entirely JVM-side
+    (array_intersect on distinct shingle arrays), and touches only the
+    candidate pairs — the classic LSH funnel."""
+    cands = minhash_lsh_pairs(docs, text_col).select("doc_a", "doc_b")
+    sh = docs.select(F.col("doc_id"), _shingles3(text_col).alias("sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(inter.cast("double") / F.greatest(union, F.lit(1)), 6),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
     )
 
 
@@ -148,14 +240,13 @@ def simhash_fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, hashes, buckets = [], [], []
-            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
-                h = simhash64(text.lower().split())
-                ids.append(doc_id)
-                hashes.append(h - (1 << 63))
-                buckets.append(h >> 48)
+            hs = simhash64_batch([t.lower().split() for t in pdf[text_col]])
             yield pd.DataFrame(
-                {"doc_id": ids, "simhash": hashes, "bucket16": buckets}
+                {
+                    "doc_id": pdf["doc_id"],
+                    "simhash": [h - (1 << 63) for h in hs],
+                    "bucket16": [h >> 48 for h in hs],
+                }
             )
 
     return docs.select("doc_id", text_col).mapInPandas(

@@ -85,6 +85,83 @@ class TestDedup:
               dd.simhash_fingerprints(docs).collect()}
         assert hamming64(fp[1], fp[2]) < hamming64(fp[1], fp[3])
 
+    def test_minhash_skew_identical_docs_linear(self, spark):
+        # 1000 byte-identical docs + one near-dup of the group text: the
+        # exact-dup collapse must band ONE representative per group, so the
+        # band self-join emits the single rep-level pair — not the O(k^2)
+        # blow-up banding raw docs would produce (the hot-bucket quadratic).
+        base = "boilerplate footer text repeated on every page " * 6
+        rows = [(i, base) for i in range(1000)]
+        rows.append((5000, base + "tiny extra suffix appended"))
+        rows.append((6000, "entirely different words " * 12))
+        docs = spark.createDataFrame(rows, schema="doc_id long, text string")
+        pairs = dd.minhash_lsh_pairs(docs).collect()
+        assert len(pairs) == 1
+        assert (pairs[0]["doc_a"], pairs[0]["doc_b"]) == (0, 5000)
+        # band rows are per-group, not per-doc
+        reps = dd.exact_dup_representatives(docs)
+        assert dd.minhash_bands(reps).count() == 3 * 32
+        # the k-way duplicate cluster itself is exact_dedup's (linear) output
+        groups = {r["keep_doc_id"]: r["n_docs"] for r in dd.exact_dedup(docs).collect()}
+        assert groups[0] == 1000
+
+    def test_neardup_verified_est_vs_exact(self, spark):
+        base = "the quick brown fox jumps over the lazy dog " * 8
+        docs = spark.createDataFrame(
+            [(1, base), (2, base + "extra tail words here"),
+             (3, "unrelated content entirely " + "other words " * 10)],
+            schema="doc_id long, text string",
+        )
+        verified = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in dd.neardup_verified(docs, threshold=0.5).collect()
+        }
+        assert set(verified) == {(1, 2)}
+        est = {
+            (r["doc_a"], r["doc_b"]): r["est_jaccard"]
+            for r in dd.minhash_lsh_pairs(docs).collect()
+        }
+        # MinHash estimate tracks the exact 3-gram Jaccard on found pairs
+        assert abs(est[(1, 2)] - verified[(1, 2)]) <= 0.25
+
+    def test_minhash_batch_matches_single(self):
+        from chunksilo_spark.functions.minhash import (
+            minhash_signature,
+            minhash_signatures_batch,
+            word_shingles,
+        )
+
+        texts = [
+            "alpha beta gamma delta epsilon zeta",
+            "",
+            "one two",
+            "alpha beta gamma delta epsilon zeta eta " * 40,
+        ]
+        lists = [word_shingles(t, 3) for t in texts]
+        batch = minhash_signatures_batch(lists, max_chunk=16)  # force chunking
+        for sig, sh in zip(batch, lists):
+            assert (sig == minhash_signature(sh)).all()
+
+    def test_simhash_batch_matches_reference_def(self):
+        import numpy as np
+        import zlib
+        from chunksilo_spark.functions.minhash import simhash64, simhash64_batch
+
+        def ref(tokens):  # the original per-token definition
+            if not tokens:
+                return 0
+            acc = np.zeros(64, dtype=np.int64)
+            for tok in tokens:
+                data = tok.encode("utf-8")
+                h = np.uint64((zlib.crc32(data) << 32) | zlib.crc32(data + b"\x01"))
+                bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+                acc += np.where(bits == 1, 1, -1)
+            return sum(1 << i for i in range(64) if acc[i] > 0)
+
+        cases = [[], ["a"], ["alpha", "beta", "alpha"], list("abcdefgh") * 3]
+        assert simhash64_batch(cases) == [ref(c) for c in cases]
+        assert simhash64(["alpha", "beta"]) == ref(["alpha", "beta"])
+
     def test_embedding_neardup(self, spark):
         docs = spark.createDataFrame(
             [(1, [1.0, 0.0, 0.0]), (2, [0.99, 0.1, 0.0]), (3, [0.0, 1.0, 0.0])],
