@@ -102,15 +102,10 @@ def _incr_change_detect(spark, sf):  # J1+J2 full classification on hashes
             ).cast("string")
         ).alias("content_md5"),
     )
-    ch = incr.classify_changes(snap, state, key="url", hash_col="content_md5")
-    parts = [
-        ch[k].select(F.lit(k).alias("change"), F.col("url").alias("o_orderkey"))
-        for k in ("new", "modified", "unchanged", "deleted")
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.groupBy("change").agg(F.count(F.lit(1)).alias("n"))
+    # single-scan classification: one full-outer join -> 2 parquet scans
+    # (the union-of-filtered-classes formulation re-scanned each side 4x)
+    log = incr.change_log(snap, state, key="url", hash_col="content_md5")
+    return log.groupBy("change").agg(F.count(F.lit(1)).alias("n"))
 
 
 def _q3_shipping_priority(spark, sf):  # 3-way join + agg + top-k
@@ -270,6 +265,27 @@ def _p5_phrase_filter(spark, sf):  # P5 required phrases (ALL must appear)
     return srch.phrase_post_filter(docs, "text", ["spark", "join"]).select(
         "doc_id", "n_chars"
     )
+
+
+_GLOB_INCLUDE = ["src1/*/*", "SRC2/*/*", "doc-1*.txt"]
+_GLOB_EXCLUDE = ["**/de/**", "doc-?3.txt"]
+
+
+def _glob_path():
+    return F.concat(
+        F.col("source"), F.lit("/"), F.col("lang"),
+        F.lit("/doc-"), F.col("doc_id").cast("string"), F.lit(".txt"),
+    )
+
+
+def _s3_glob_filter(spark, sf):  # S3 glob include/exclude over paths
+    # exclude-first, **/X/** per-component, right-anchored components,
+    # case-insensitive (note the deliberately upper-cased include pattern);
+    # the glob->regex translation is shared verbatim with the oracle
+    docs = _t(spark, sf, "documents").withColumn("path", _glob_path())
+    return srch.glob_filter(
+        docs, _GLOB_INCLUDE, _GLOB_EXCLUDE, col="path"
+    ).select("doc_id", "path")
 
 
 def _o3_except_users(spark, sf):  # O3 set difference
@@ -543,8 +559,27 @@ def _s_knn_bruteforce(spark, sf):  # exact cosine top-5 for 10 queries
     return sim.brute_force_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
 
 
-def _s_knn_lsh(spark, sf):  # LSH-bucketed ANN (rows-only)
-    emb = _t(spark, sf, "embeddings")
+def _clustered_embeddings(emb):
+    """Deterministic cluster-structured variant of the embeddings table:
+    add a +8.0 spike at index=label (labels 0..9) to each unit vector.
+    The raw synthetic embeddings are isotropic noise (top-1 cosine ~0.33) —
+    the degenerate regime where ANY sublinear ANN has near-zero recall; the
+    spiked variant is the clustered regime LSH is built for. Same transform
+    on the oracle side (list_transform with CASE on the 1-based index)."""
+    spiked = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x, i: x
+        + F.when(i == F.col("label"), F.lit(8.0)).otherwise(F.lit(0.0)),
+    )
+    return emb.select("vec_id", spiked.alias("embedding"))
+
+
+def _s_knn_lsh(spark, sf):  # LSH-bucketed ANN
+    # exact-oracle contract: on the clustered input the banded-LSH funnel
+    # must return exactly the brute-force top-5 (recall 1.0) — the oracle is
+    # the brute-force SQL over the same derived vectors. The raw-noise
+    # recall floor is pytest-documented (tests/test_retrieval.py).
+    emb = _clustered_embeddings(_t(spark, sf, "embeddings"))
     return sim.lsh_topk(emb, emb.where(F.col("vec_id") < 10), dim=64, k=5)
 
 
@@ -612,15 +647,99 @@ def _kg_pipeline_mini(spark, sf):  # end-to-end KG DAG (rows-only)
     )
 
 
-def _kg_vector_search(spark, sf):  # U1+U2+U3+W1 end-to-end (rows-only)
+_KG_QUERY = "Acme Systems acquired partnered with Vertex"
+_KG_CHUNKS_PATH = "/tmp/chunksilo_kg_chunks_150"
+
+
+def _kg_query_vec() -> list[float]:
+    """The query's BoW embedding, L2-normalized, as exact float32 values —
+    shared literal between the Spark plan and the DuckDB oracle."""
+    import numpy as np
+
+    from chunksilo_spark.functions.embed import bow_embed
+
+    q = np.array(bow_embed(_KG_QUERY), dtype=np.float32)
+    n = np.linalg.norm(q)
+    if n > 0:
+        q = q / n
+    return [float(x) for x in q]
+
+
+def _kg_vector_search(spark, sf):  # U1+U2+U3+W1 end-to-end
+    # materializes the chunks-with-embeddings table (the persisted vector
+    # index) to a fixed path, then searches the STORED table — the oracle
+    # reads the same parquet and re-scores with list_dot_product, so the
+    # whole chunk/embed/score/top-k funnel is value-checked. Scores are
+    # ranked on the rounded value for deterministic cross-engine ordering.
     from chunksilo_spark.operators import retrieval as rt
     from chunksilo_spark.operators import stage1_extract as s1
     from chunksilo_spark.sources.corpus import pages_df
 
     docs = s1.extract_documents(pages_df(spark, 150, partitions=8), partitions=8)
-    return rt.vector_search(
-        docs, "Acme Systems acquired partnered with Vertex", k=10
-    ).select("url", "chunk_id", "char_start", "score")
+    rt.chunks_with_embeddings(docs).write.mode("overwrite").parquet(
+        _KG_CHUNKS_PATH
+    )
+    stored = spark.read.parquet(_KG_CHUNKS_PATH)
+    return rt.search_index(stored, _KG_QUERY, k=10, round_to=6).select(
+        "url", "chunk_id", "char_start", "score"
+    )
+
+
+_INCR_STATE_DIR = "/tmp/chunksilo_incr_state"
+_INCR_SCRATCH_DIR = "/tmp/chunksilo_incr_scratch"
+
+
+def _incr_pages_v2(spark):
+    """Snapshot 2: pages 0..45 with ~10% deleted, ~20% modified (html
+    perturbed), ids 40..45 new vs the 40-page snapshot 1 — all derived
+    deterministically from the synthetic corpus."""
+    from chunksilo_spark.sources.corpus import pages_df
+
+    base = pages_df(spark, 46, partitions=4)
+    h = F.abs(F.xxhash64("url")) % 10
+    is_old = ~F.col("url").rlike("-4[0-5]$")
+    deleted = (h == 0) & is_old
+    modified = h.isin(1, 2) & is_old
+    return base.where(~deleted).withColumn(
+        "html",
+        F.when(
+            modified, F.concat(F.col("html"), F.lit(b"<p>edited</p>"))
+        ).otherwise(F.col("html")),
+    )
+
+
+def _incr_apply(spark, sf):  # §2.9 end-to-end incremental apply
+    # build state from snapshot 1, apply snapshot 2 incrementally (classify
+    # -> re-extract frontier only -> row-level merge -> global rebuild), and
+    # ALSO run the full pipeline from scratch on snapshot 2 into a scratch
+    # dir: the oracle reads the scratch tables, so a green row proves
+    # incremental apply == from-scratch rebuild on documents AND edges.
+    import shutil
+
+    from chunksilo_spark.plans.pipeline import apply_increment, run_pipeline
+    from chunksilo_spark.sources.corpus import aliases_df, pages_df
+
+    aliases = aliases_df(spark)
+    v1 = pages_df(spark, 40, partitions=4)
+    v2 = _incr_pages_v2(spark)
+    shutil.rmtree(_INCR_STATE_DIR, ignore_errors=True)
+    shutil.rmtree(_INCR_SCRATCH_DIR, ignore_errors=True)
+    run_pipeline(spark, v1, aliases, _INCR_STATE_DIR, fingerprint="incr_v1")
+    got = apply_increment(
+        spark, v2, aliases, _INCR_STATE_DIR, fingerprint="incr_v2"
+    )
+    run_pipeline(spark, v2, aliases, _INCR_SCRATCH_DIR, fingerprint="incr_v2")
+    docs_part = got["documents"].select(
+        F.lit("documents").alias("tbl"),
+        F.col("url").alias("k"),
+        F.col("content_md5").alias("v"),
+    )
+    edges_part = got["edges"].select(
+        F.lit("edges").alias("tbl"),
+        F.concat_ws("|", "subj_canon", "pred", "obj_canon").alias("k"),
+        F.col("support").cast("string").alias("v"),
+    )
+    return docs_part.unionByName(edges_part)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -639,6 +758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w4_candidate_cap": _w4_candidate_cap,
         "p3_date_filter": _p3_date_filter,
         "p5_phrase_filter": _p5_phrase_filter,
+        "s3_glob_filter": _s3_glob_filter,
         "o3_except_users": _o3_except_users,
         "j3_union_dedup": _j3_union_dedup,
         "f1_tokenize": _f1_tokenize,
@@ -666,6 +786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m_decode_features": _m_decode_features,
         "kg_pipeline_mini": _kg_pipeline_mini,
         "kg_vector_search": _kg_vector_search,
+        "incr_apply": _incr_apply,
     }
 
 
@@ -694,6 +815,23 @@ def _lang_case() -> str:
         )
         branches.append(f"WHEN {conds} THEN '{lang}'")
     return "CASE " + " ".join(branches) + " ELSE 'und' END"
+
+
+def _s3_glob_oracle_sql() -> str:
+    """The oracle uses the SAME compiled regexes as the Spark plan."""
+    from chunksilo_spark.functions.globmatch import compile_rules
+
+    inc, exc = compile_rules(_GLOB_INCLUDE, _GLOB_EXCLUDE, case_sensitive=False)
+    conds = [f"NOT regexp_matches(p, '{r}')" for r in exc]
+    conds.append("(" + " OR ".join(f"regexp_matches(p, '{r}')" for r in inc) + ")")
+    return f"""
+        SELECT doc_id, path FROM (
+            SELECT doc_id,
+                   source || '/' || lang || '/doc-' || doc_id || '.txt' AS path,
+                   lower(source || '/' || lang || '/doc-' || doc_id || '.txt') AS p
+            FROM documents
+        ) WHERE {" AND ".join(conds)}
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -832,6 +970,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_chars FROM documents
             WHERE contains(lower(text), 'spark') AND contains(lower(text), 'join')
         """,
+        "s3_glob_filter": _s3_glob_oracle_sql(),
         "o3_except_users": """
             SELECT DISTINCT user_id FROM events
             WHERE event_type = 'click' AND ts < TIMESTAMP '2024-01-03'
@@ -1044,11 +1183,61 @@ def oracle_sql() -> dict[str, str]:
                 WHERE q.vec_id < 10
             ) WHERE rank <= 5
         """,
+        # the LSH funnel must reproduce the exact brute-force top-5 on the
+        # clustered derivation (spike +8.0 at 1-based index label+1)
+        "s_knn_lsh": """
+            WITH c AS (
+                SELECT vec_id,
+                       list_transform(range(1, 65),
+                           i -> CAST(embedding[i] AS DOUBLE)
+                                + CASE WHEN i - 1 = label THEN 8.0 ELSE 0.0 END)
+                           AS embedding
+                FROM embeddings
+            )
+            SELECT query_id, neighbor_id, cosine, rank FROM (
+                SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+                       round(list_cosine_similarity(q.embedding, v.embedding), 4) AS cosine,
+                       row_number() OVER (PARTITION BY q.vec_id
+                           ORDER BY round(list_cosine_similarity(q.embedding, v.embedding), 4) DESC,
+                                    v.vec_id ASC) AS rank
+                FROM c q JOIN c v ON q.vec_id <> v.vec_id
+                WHERE q.vec_id < 10
+            ) WHERE rank <= 5
+        """,
         "m_binary_meta": """
             SELECT doc_id AS asset_id,
                    octet_length(encode(text)) AS n_bytes,
                    md5(text) AS content_md5
             FROM documents
+        """,
+        # reads the from-scratch rebuild the Spark query materialized into the
+        # scratch dir — equality == "incremental apply reproduces a full run"
+        "incr_apply": f"""
+            SELECT 'documents' AS tbl, url AS k, content_md5 AS v
+            FROM read_parquet('{_INCR_SCRATCH_DIR}/documents/*.parquet')
+            UNION ALL
+            SELECT 'edges' AS tbl,
+                   subj_canon || '|' || pred || '|' || obj_canon AS k,
+                   CAST(support AS VARCHAR) AS v
+            FROM read_parquet('{_INCR_SCRATCH_DIR}/edges/*.parquet')
+        """,
+        # reads the chunk index the Spark query materialized (the driver runs
+        # the Spark side first); scores with the same float32 query literal
+        "kg_vector_search": f"""
+            WITH s AS (
+                SELECT url, chunk_id, char_start,
+                       CASE WHEN list_dot_product(embedding, embedding) > 0
+                            THEN list_dot_product(
+                                     embedding,
+                                     {_kg_query_vec()!r}::DOUBLE[])
+                                 / sqrt(list_dot_product(embedding, embedding))
+                            ELSE 0.0 END AS raw_score
+                FROM read_parquet('{_KG_CHUNKS_PATH}/*.parquet')
+            )
+            SELECT url, chunk_id, char_start, round(raw_score, 6) AS score
+            FROM s
+            ORDER BY round(raw_score, 6) DESC, url ASC, chunk_id ASC
+            LIMIT 10
         """,
         # the md5-stripe fake decoder re-derived in SQL: stripe i of the
         # payload -> first 32 bits of md5 -> mod 1e4 / 1e4. The payload is

@@ -14,8 +14,9 @@ Measurement shape (matches production, see BENCH/BASELINE.md):
   * scaling evidence (on by default): the same job on local-cluster at
     1 vs 4 executor JVMs (N and 4N executors) x 2 cores each, package via
     addPyFile, runs taskset-pinned to proportional CPU envelopes, measured
-    as interleaved lo/hi pairs (best pair reported) because this host's
-    absolute speed drifts over minutes (see BENCH/BASELINE.md §3).
+    as >=5 interleaved lo/hi pairs; the reported efficiency is the MEDIAN
+    pair with samples clamped at 1.0 (this host's absolute speed drifts
+    over minutes — see BENCH/BASELINE.md §3).
 
 Env knobs:
   SPARK_GRAFT_SF_DIR  parquet dir (default /root/testdata/sf0.1)
@@ -62,6 +63,14 @@ def _run_queries(spark, sf_dir: str) -> dict[str, float]:
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").groupBy(
         "l_returnflag"
     ).count().write.format("noop").mode("overwrite").save()
+    # ...and one trivial mapInPandas pass spins up the Python workers, which
+    # otherwise bill 3-9 s of daemon/Arrow startup to the FIRST python-UDF
+    # query in the list (measured; JVM-only warmup does not cover this)
+    spark.range(0, 256, numPartitions=int(spark.conf.get(
+        "spark.sql.shuffle.partitions", "32"
+    ))).mapInPandas(
+        lambda it: it, schema="id long"
+    ).write.format("noop").mode("overwrite").save()
     times: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.time()
@@ -283,15 +292,14 @@ def main() -> None:
         # 1 vs 4 executors of 2 cores each: both cluster sizes sit in the
         # flat region of the box's memory-bandwidth curve, so the ratio
         # reflects algorithmic scaling (no shuffle/driver serialization),
-        # not shared-DRAM contention that separate machines would not have
-        # best-of-N per configuration: single-box run-to-run noise (page
-        # cache, executor placement) is ~±15%, larger than the margin to
-        # the 0.8 gate — best-of filters it (standard bench practice)
-        # this box's absolute throughput drifts over minutes (shared cloud
+        # not shared-DRAM contention that separate machines would not have.
+        # This box's absolute throughput drifts over minutes (shared cloud
         # host), so each efficiency sample is an INTERLEAVED (low, high)
-        # pair measured back-to-back; the reported efficiency is the best
-        # pair — drift-controlled, like paired benchmarking
-        repeats = int(os.environ.get("BENCH_SCALING_REPEATS", "3"))
+        # pair measured back-to-back. The reported efficiency is the MEDIAN
+        # of >=5 pairs, with each sample clamped at 1.0 (a >1.0 sample is
+        # physically impossible — pure drift — and must not be selected or
+        # averaged in); the full pair list is kept in the output.
+        repeats = int(os.environ.get("BENCH_SCALING_REPEATS", "5"))
 
         def settled_run(executors: int) -> dict:
             os.sync()  # settle disk flush from the previous JVM's teardown
@@ -302,13 +310,20 @@ def main() -> None:
         for _ in range(repeats):
             lo_run = settled_run(1)
             hi_run = settled_run(4)
-            eff = (hi_run["docs_per_sec"] / 4) / lo_run["docs_per_sec"]
+            eff = min(1.0, (hi_run["docs_per_sec"] / 4) / lo_run["docs_per_sec"])
             pairs.append((round(eff, 3), lo_run, hi_run))
-        best_eff, pipe_lo, pipe_hi = max(pairs, key=lambda p: p[0])
+        pairs_sorted = sorted(pairs, key=lambda p: p[0])
+        median_pair = pairs_sorted[len(pairs_sorted) // 2]
+        med_eff, pipe_lo, pipe_hi = median_pair
+        if len(pairs_sorted) % 2 == 0:
+            med_eff = round(
+                (pairs_sorted[len(pairs_sorted) // 2 - 1][0] + med_eff) / 2, 3
+            )
         result["scaling"] = {
             "low": pipe_lo,
             "high": pipe_hi,
-            "efficiency": best_eff,
+            "efficiency": med_eff,
+            "method": "median of interleaved lo/hi pairs, samples clamped at 1.0",
             "pair_efficiencies": [p[0] for p in pairs],
             "all_walls": {
                 "low": [p[1]["wall_s"] for p in pairs],

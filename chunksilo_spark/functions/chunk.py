@@ -21,8 +21,10 @@ from __future__ import annotations
 
 import re
 
-CHUNK_SIZE = 512
-CHUNK_OVERLAP = 50
+from ..config import get as _cfg_get
+
+CHUNK_SIZE = int(_cfg_get("chunk.size"))  # default 512 (pinned semantics)
+CHUNK_OVERLAP = int(_cfg_get("chunk.overlap"))  # default 50
 
 _SENT_RE = re.compile(r"(?<=[.!?])\s+")
 _WS_RE = re.compile(r"\s+")

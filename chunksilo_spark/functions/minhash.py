@@ -61,17 +61,20 @@ def minhash_signature(shingles: list[str]) -> np.ndarray:
 
 
 def minhash_signatures_batch(
-    shingle_lists: list[list[str]], max_chunk: int = 1 << 18
+    shingle_lists: list[list[str]], max_chunk: int = 8192
 ) -> np.ndarray:
     """(n_docs, NUM_PERM) uint64 signatures — bit-identical to calling
     ``minhash_signature`` per doc (tested), but vectorized across the batch:
 
       * shingle crc32s are cached across docs (boilerplate-heavy corpora
         repeat shingles constantly — each distinct shingle hashes once);
-      * the (NUM_PERM, total_shingles) universal-hash matrix is built for
-        runs of docs bounded by ``max_chunk`` shingles (caps peak memory at
-        ~NUM_PERM * max_chunk * 8 bytes) and reduced to per-doc minima with
-        one ``np.minimum.reduceat`` instead of a Python loop per doc.
+      * the (NUM_PERM, chunk) universal-hash matrix is built for doc-aligned
+        runs of ~``max_chunk`` shingles with IN-PLACE uint64 ops into a
+        reused buffer, then reduced to per-doc minima with one
+        ``np.minimum.reduceat``. The chunk size keeps the working set
+        (NUM_PERM * max_chunk * 8 B = 8 MB) cache-resident — uint64
+        multiply/mod are memory-bound, and a whole-batch matrix runs ~50x
+        slower than cache-sized chunks (measured).
     """
     n = len(shingle_lists)
     out = np.empty((n, NUM_PERM), dtype=np.uint64)
@@ -94,6 +97,7 @@ def minhash_signatures_batch(
     for i, h in enumerate(doc_hashes):
         if h is None:
             out[i] = _EMPTY_SIG
+    buf = np.empty((NUM_PERM, max_chunk), dtype=np.uint64)
     start = 0
     while start < len(nonempty):
         end, tot = start, 0
@@ -103,8 +107,17 @@ def minhash_signatures_batch(
             tot += len(nonempty[end][1])
             end += 1
         concat = np.concatenate([h for _, h in nonempty[start:end]])
-        # same expression as minhash_signature (same dtypes, same wrap)
-        vals = (_A[:, None] * concat[None, :] + _B[:, None]) % _MERSENNE & _MAX_HASH
+        # same value sequence as minhash_signature (same dtypes, same wrap),
+        # computed in place: (_A*h + _B) % MERSENNE & MAX_HASH
+        vals = (
+            buf[:, : len(concat)]
+            if len(concat) <= max_chunk
+            else np.empty((NUM_PERM, len(concat)), dtype=np.uint64)
+        )
+        np.multiply(_A[:, None], concat[None, :], out=vals)
+        np.add(vals, _B[:, None], out=vals)
+        np.mod(vals, _MERSENNE, out=vals)
+        np.bitwise_and(vals, _MAX_HASH, out=vals)
         bounds = np.cumsum(
             [0] + [len(h) for _, h in nonempty[start:end]]
         )[:-1]

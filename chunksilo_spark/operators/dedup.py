@@ -157,9 +157,18 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
     applies the same pre-distinct to surfaces). doc_a/doc_b are group
     representatives; within-group duplicate membership is ``exact_dedup``'s
     (linear) output, so total output stays linear in cluster size. Exact
-    verification of candidates is ``neardup_verified``."""
-    reps = exact_dup_representatives(docs, text_col)
-    bands = minhash_bands(reps, text_col)
+    verification of candidates is ``neardup_verified``.
+
+    The reps are explicitly repartitioned before banding: the collapse
+    groupBy's output otherwise gets AQE-coalesced to very few partitions on
+    small/medium inputs, serializing the python-heavy signature stage
+    behind one task (an explicit repartition(N) is exempt from coalescing)."""
+    n_part = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    reps = exact_dup_representatives(docs, text_col).repartition(n_part)
+    # localCheckpoint: the band table feeds BOTH sides of the self-join —
+    # without it the scan+collapse+signature subtree executes twice
+    # (canon.py:222-226 does the same for the surface bands)
+    bands = minhash_bands(reps, text_col).localCheckpoint()
     a = bands.select(F.col("band_key"), F.col("doc_id").alias("doc_a"))
     b = bands.select(F.col("band_key"), F.col("doc_id").alias("doc_b"))
     return (
@@ -213,7 +222,16 @@ def neardup_verified(
     (array_intersect on distinct shingle arrays), and touches only the
     candidate pairs — the classic LSH funnel."""
     cands = minhash_lsh_pairs(docs, text_col).select("doc_a", "doc_b")
-    sh = docs.select(F.col("doc_id"), _shingles3(text_col).alias("sh"))
+    # shingle ONLY the docs that appear in a candidate pair: the (interpreted)
+    # higher-order shingle expression is the expensive part, and candidates
+    # are a vanishing fraction of the corpus at scale
+    ids = (
+        cands.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cands.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sub = docs.join(ids, "doc_id", "left_semi")
+    sh = sub.select(F.col("doc_id"), _shingles3(text_col).alias("sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))

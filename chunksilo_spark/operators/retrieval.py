@@ -58,11 +58,17 @@ def chunks_with_embeddings(documents: DataFrame) -> DataFrame:
     )
 
 
-def search_index(chunks: DataFrame, query: str, k: int = 20) -> DataFrame:
+def search_index(
+    chunks: DataFrame, query: str, k: int = 20, round_to: int | None = None
+) -> DataFrame:
     """Search a MATERIALIZED chunks-with-embeddings table (the reference's
     load-index-then-search shape, search.py:950-971 + 1093-1111): score the
     stored embeddings against the query vector — all JVM-side arithmetic
-    (zip_with dot product), no Python per row."""
+    (zip_with dot product), no Python per row.
+
+    ``round_to`` keeps the score as a double rounded to that many decimals
+    and ranks on the ROUNDED value (deterministic cross-engine ordering for
+    oracle comparison); default preserves the float score ranked raw."""
     q = np.array(bow_embed(query), dtype=np.float32)
     n = np.linalg.norm(q)
     if n > 0:
@@ -80,10 +86,11 @@ def search_index(chunks: DataFrame, query: str, k: int = 20) -> DataFrame:
             lambda acc, x: acc + x,
         )
     )
-    scored = chunks.withColumn(
-        "score",
-        F.when(norm > 0, dot / norm).otherwise(F.lit(0.0)).cast("float"),
+    raw = F.when(norm > 0, dot / norm).otherwise(F.lit(0.0))
+    score = (
+        F.round(raw, round_to) if round_to is not None else raw.cast("float")
     )
+    scored = chunks.withColumn("score", score)
     return scored.orderBy(
         F.desc("score"), F.asc("url"), F.asc("chunk_id")
     ).limit(k).select("url", "chunk_id", "text", "char_start", "score")

@@ -19,11 +19,13 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-RECENCY_HALF_LIFE_DAYS = 30.0
-RECENCY_WEIGHT = 0.5
-SCORE_THRESHOLD = 0.1
-EMBED_TOP_K = 20  # reference cfgload.py:88
-RERANK_CANDIDATES = 100  # reference cfgload.py:91
+from .. import config as _cfg
+
+RECENCY_HALF_LIFE_DAYS = float(_cfg.get("retrieval.recency_half_life_days"))
+RECENCY_WEIGHT = float(_cfg.get("retrieval.recency_weight"))
+SCORE_THRESHOLD = float(_cfg.get("retrieval.score_threshold"))
+EMBED_TOP_K = int(_cfg.get("retrieval.embed_top_k"))  # reference cfgload.py:88
+RERANK_CANDIDATES = int(_cfg.get("retrieval.rerank_candidates"))  # cfgload.py:91
 
 
 def token_overlap_score(text_col: Column, query_tokens: list[str]) -> Column:
@@ -40,6 +42,34 @@ def recency_boost(score_col: Column, ts_col: Column, now: str) -> Column:
     age_days = F.datediff(F.lit(now).cast("timestamp"), ts_col)
     decay = F.exp(F.lit(-math.log(2.0) / RECENCY_HALF_LIFE_DAYS) * age_days)
     return score_col * (F.lit(1.0) + F.lit(RECENCY_WEIGHT) * decay)
+
+
+def glob_filter(
+    df: DataFrame,
+    include: list[str],
+    exclude: list[str],
+    col: str = "url",
+    case_sensitive: bool = False,
+) -> DataFrame:
+    """Glob include/exclude path filter (reference index.py:639-684, S3):
+    exclude-first, ``**/X/**`` per-component directory exclusion,
+    right-anchored component matching, case-insensitive by default. The glob
+    -> regex translation (functions/globmatch) is shared with the DuckDB
+    oracle; evaluation is a pure Catalyst ``rlike`` conjunction (codegen,
+    no Python)."""
+    from ..functions.globmatch import compile_rules
+
+    inc, exc = compile_rules(include, exclude, case_sensitive)
+    path = F.col(col) if case_sensitive else F.lower(F.col(col))
+    cond = F.lit(True)
+    for r in exc:
+        cond = cond & ~path.rlike(r)
+    if inc:
+        inc_cond = F.lit(False)
+        for r in inc:
+            inc_cond = inc_cond | path.rlike(r)
+        cond = cond & inc_cond
+    return df.where(cond)
 
 
 def date_range_filter(

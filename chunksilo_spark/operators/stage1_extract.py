@@ -33,7 +33,8 @@ from ..functions.extract import (
 )
 
 DOCS_SCHEMA = (
-    "url string, warc_ts timestamp, lang string, text string, "
+    "url string, warc_ts timestamp, lang string, content_md5 string, "
+    "text string, "
     "headings array<struct<text string, position long, level int>>, "
     "line_offsets array<long>, n_chars long, ok boolean, error string"
 )
@@ -45,17 +46,20 @@ CHUNKS_SCHEMA = (
 
 
 def _extract_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import hashlib
+
     for pdf in batches:
         out = {k: [] for k in (
-            "url", "warc_ts", "lang", "text", "headings",
+            "url", "warc_ts", "lang", "content_md5", "text", "headings",
             "line_offsets", "n_chars", "ok", "error",
         )}
         for url, ts, html, lang in zip(
             pdf["url"], pdf["warc_ts"], pdf["html"], pdf["lang"]
         ):
+            raw = bytes(html)
             text, heads, offs, ok, err = "", [], [], True, None
             try:
-                text = extract_text(bytes(html).decode("utf-8", errors="strict"))
+                text = extract_text(raw.decode("utf-8", errors="strict"))
                 heads = [
                     (h["text"], h["position"], h["level"])
                     for h in extract_headings(text)
@@ -67,6 +71,10 @@ def _extract_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             out["url"].append(url)
             out["warc_ts"].append(ts)
             out["lang"].append(lang)
+            # raw-bytes digest == F.md5(html): the change-detection ledger key
+            # (reference index.py:827-833), stored so later snapshots diff
+            # against the documents table itself
+            out["content_md5"].append(hashlib.md5(raw).hexdigest())
             out["text"].append(text)
             out["headings"].append(heads)
             out["line_offsets"].append(offs)

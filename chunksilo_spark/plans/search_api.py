@@ -31,29 +31,102 @@ from ..operators.search import (
     rerank,
 )
 
-RERANK_TOP_K = 5  # reference cfgload.py:90
-MATCHED_FILES_CAP = 5  # reference search.py:292
+from .. import config as _cfg
+
+RERANK_TOP_K = int(_cfg.get("retrieval.rerank_top_k"))  # reference cfgload.py:90
+MATCHED_FILES_TOP_K = int(_cfg.get("search.matched_files_top_k"))  # index.py:1256-1259
+MATCHED_FILES_CAP = int(_cfg.get("search.matched_files_cap"))  # search.py:292
+BM25_K1 = float(_cfg.get("search.bm25_k1"))
+BM25_B = float(_cfg.get("search.bm25_b"))
+
+
+def bm25_filename_scores(
+    documents: DataFrame, query_tokens: list[str]
+) -> DataFrame:
+    """BM25 over filename tokens (the reference's filename BM25 index,
+    index.py:1218-1265): one node per distinct url, tokenized with the
+    SHARED tokenize_filename kernel (camelCase split + separators +
+    extension — the same function is the pytest oracle), scored with the
+    standard BM25 formula (k1=1.2, b=0.75, the same constants as u5_bm25).
+    -> (url, score), unfiltered; callers take top-k."""
+    import pandas as pd
+
+    from ..functions.textstats import tokenize_filename
+
+    def tok(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "url": pdf["url"],
+                    "tokens": [
+                        tokenize_filename(str(u).rsplit("/", 1)[-1])
+                        for u in pdf["url"]
+                    ],
+                }
+            )
+
+    toks = (
+        documents.select("url")
+        .distinct()
+        .mapInPandas(tok, schema="url string, tokens array<string>")
+    )
+    def _tf(term: str):
+        # NB: a `lambda x, t=t:` default-arg closure would be seen by pyspark
+        # as a TWO-parameter (element, index) lambda — hence the factory
+        return F.size(F.filter("tokens", lambda x: x == F.lit(term)))
+
+    tf = {t: _tf(t) for t in query_tokens}
+    d = toks.select(
+        "url",
+        F.size("tokens").alias("dl"),
+        *[tf[t].alias(f"tf_{i}") for i, t in enumerate(query_tokens)],
+    )
+    stats = d.agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("int")).alias(f"df_{i}")
+            for i in range(len(query_tokens))
+        ],
+    )
+    j = d.crossJoin(F.broadcast(stats))
+    score = F.lit(0.0)
+    for i in range(len(query_tokens)):
+        idf = F.log(
+            (F.col("n_files") - F.col(f"df_{i}") + 0.5)
+            / (F.col(f"df_{i}") + 0.5)
+            + 1.0
+        )
+        tf_i = F.col(f"tf_{i}")
+        score = score + idf * (
+            tf_i
+            * (BM25_K1 + 1.0)
+            / (
+                tf_i
+                + BM25_K1
+                * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+            )
+        )
+    return j.select("url", score.alias("score"))
 
 
 def _matched_files(documents: DataFrame, query_tokens: list[str]) -> list[dict]:
-    """Filename/url match (the BM25 filename index analog, U5/W3): score
-    urls by token overlap of their slug with the query."""
+    """Filename/url BM25 match: retrieve top-10 (similarity_top_k), drop
+    non-positive scores, display-cap 5 — the reference funnel shape
+    (index.py:1256-1259 -> search.py:280-292)."""
     if not query_tokens:
         return []
-    toks = F.split(
-        F.lower(F.regexp_replace(F.col("url"), r"[^A-Za-z0-9]+", " ")), r"\s+"
-    )
-    score = F.size(
-        F.array_intersect(toks, F.array(*[F.lit(t) for t in query_tokens]))
-    )
     rows = (
-        documents.select("url", score.alias("score"))
+        bm25_filename_scores(documents, query_tokens)
         .where(F.col("score") > 0)
         .orderBy(F.desc("score"), F.asc("url"))
-        .limit(MATCHED_FILES_CAP)
+        .limit(MATCHED_FILES_TOP_K)
         .collect()
     )
-    return [{"uri": r["url"], "score": float(r["score"])} for r in rows]
+    return [
+        {"uri": r["url"], "score": round(float(r["score"]), 4)}
+        for r in rows
+    ][:MATCHED_FILES_CAP]
 
 
 def run_search(

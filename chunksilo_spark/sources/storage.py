@@ -81,6 +81,29 @@ class TableStore:
         else:
             df.write.mode("overwrite").parquet(self.path(table))
 
+    def replace(self, df: DataFrame, table: str) -> None:
+        """Replace a table whose CURRENT contents feed ``df``'s plan (the
+        incremental-apply shape: new = old minus stale plus fresh). A direct
+        overwrite would truncate the input mid-read, so: write to a staging
+        dir, then swap directories. With Iceberg this is simply
+        createOrReplace (snapshot isolation)."""
+        if self.table_format == "iceberg":
+            df.writeTo(table).createOrReplace()
+            return
+        import shutil
+
+        final = self.path(table)
+        staging = final + ".__staging"
+        df.write.mode("overwrite").parquet(staging)
+        old = final + ".__old"
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        if os.path.exists(final):
+            os.replace(final, old)
+        os.replace(staging, final)
+        if os.path.exists(old):
+            shutil.rmtree(old)
+
     def read(self, spark: SparkSession, table: str) -> DataFrame:
         if self.table_format == "iceberg":
             return spark.read.table(table)

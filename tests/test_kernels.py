@@ -209,3 +209,77 @@ class TestTextstats:
         assert quality_score("") == 0.0
         dense = "the cat sat on the mat and it was good " * 10
         assert 0.0 < quality_score("!!! ???") < quality_score(dense) <= 1.0
+
+
+class TestGlobMatch:
+    """Pinned semantics of functions/globmatch (reference index.py:639-684)."""
+
+    def test_right_anchored_component_match(self):
+        from chunksilo_spark.functions.globmatch import matches
+
+        assert matches("a/b/c.txt", ["*.txt"], [])
+        assert matches("a/b/c.txt", ["b/*.txt"], [])
+        assert not matches("a/b/c.txt", ["a/*.txt"], [])  # not trailing comps
+        assert not matches("a/b/c.md", ["*.txt"], [])
+        assert matches("a/b/c.txt", [], [])  # empty include passes
+
+    def test_star_does_not_cross_separator(self):
+        from chunksilo_spark.functions.globmatch import matches
+
+        assert not matches("a/b/c.txt", ["a*.txt"], [])
+        assert matches("ab.txt", ["a?.txt"], [])
+        assert not matches("a/.txt", ["a?.txt"], [])
+
+    def test_exclude_first_and_dir_exclusion(self):
+        from chunksilo_spark.functions.globmatch import matches
+
+        # **/X/** drops any path with a matching NON-final component
+        assert not matches("x/node_modules/y.txt", ["*.txt"], ["**/node_modules/**"])
+        assert not matches("x/my-venv/y/z.txt", ["*.txt"], ["**/*venv*/**"])
+        # the filename itself is not a directory component
+        assert matches("x/y/node_modules", [], ["**/node_modules/**"])
+        # exclude wins over include
+        assert not matches("a/b.txt", ["*.txt"], ["b.txt"])
+
+    def test_case_insensitive_default(self):
+        from chunksilo_spark.functions.globmatch import matches
+
+        assert matches("A/B/C.TXT", ["*.txt"], [])
+        assert not matches("A/B/C.TXT", ["*.txt"], [], case_sensitive=True)
+        assert matches("a/b/c.txt", ["*.TXT"], [])
+
+    def test_spark_filter_matches_python_kernel(self, spark):
+        from chunksilo_spark.functions.globmatch import matches
+        from chunksilo_spark.operators.search import glob_filter
+
+        paths = [
+            "src1/en/doc-1.txt", "src1/de/doc-2.txt", "SRC2/en/doc-13.txt",
+            "src3/en/doc-100.txt", "src3/fr/doc-43.txt", "src1/en/readme.md",
+            "a/node_modules/x.txt",
+        ]
+        include = ["src1/*/*", "doc-1*.txt"]
+        exclude = ["**/de/**", "doc-?3.txt", "**/node_modules/**"]
+        df = spark.createDataFrame([(p,) for p in paths], schema="path string")
+        got = {r["path"] for r in glob_filter(df, include, exclude, col="path").collect()}
+        want = {p for p in paths if matches(p, include, exclude)}
+        assert got == want and want  # non-degenerate
+
+
+class TestConfig:
+    def test_defaults_and_override(self, tmp_path, monkeypatch):
+        import importlib
+        import json
+
+        import chunksilo_spark.config as cfg
+
+        assert cfg.get("retrieval.embed_top_k") == 20
+        assert cfg.get("nonexistent.key", 7) == 7
+        f = tmp_path / "over.json"
+        f.write_text(json.dumps({"retrieval.embed_top_k": 33}))
+        monkeypatch.setenv("CHUNKSILO_SPARK_CONFIG", str(f))
+        importlib.reload(cfg)
+        assert cfg.get("retrieval.embed_top_k") == 33
+        assert cfg.get("retrieval.score_threshold") == 0.1  # default kept
+        monkeypatch.delenv("CHUNKSILO_SPARK_CONFIG")
+        importlib.reload(cfg)
+        assert cfg.get("retrieval.embed_top_k") == 20

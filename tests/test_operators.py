@@ -201,6 +201,30 @@ class TestSimilarity:
         for r in out:
             assert r["neighbor_id"] != r["query_id"]
 
+    def test_lsh_topk_clustered_recall_exact(self, spark):
+        # clustered regime (what LSH is for): 8 clusters of 10 vectors, each
+        # = unit center + small noise -> banded LSH must recover the exact
+        # brute-force top-5 (recall 1.0). On isotropic noise the recall
+        # floor is near zero by design — any sublinear ANN degenerates there;
+        # the driver query (s_knn_lsh) uses a clustered derivation for the
+        # same reason.
+        import numpy as np
+
+        rng = np.random.default_rng(3)
+        centers = rng.standard_normal((8, 32))
+        centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+        vecs = []
+        for i in range(80):
+            v = centers[i % 8] + 0.05 * rng.standard_normal(32)
+            vecs.append((i, [float(x) for x in v]))
+        df = spark.createDataFrame(vecs, schema="vec_id long, embedding array<float>")
+        q = df.where("vec_id < 6")
+        bf = {(r["query_id"], r["rank"]): r["neighbor_id"]
+              for r in sim.brute_force_topk(df, q, k=5).collect()}
+        lsh = {(r["query_id"], r["rank"]): r["neighbor_id"]
+               for r in sim.lsh_topk(df, q, dim=32, k=5).collect()}
+        assert lsh == bf
+
 
 class TestIncremental:
     def test_classify_changes(self, spark):
