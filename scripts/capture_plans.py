@@ -23,7 +23,16 @@ CAPTURE = [
     ("j1_new_keys", "left-anti join strategy"),
     ("s_knn_bruteforce", "broadcast of the query side + window top-k"),
     ("d_token_jaccard", "bucket-blocked self-join (no cartesian)"),
-    ("incr_change_detect", "change-classification join tree"),
+    ("incr_change_detect", "single-scan classification: ONE full-outer join, "
+     "2 parquet scans total (was 8 with the per-class join formulation)"),
+    ("s3_glob_filter", "glob include/exclude as a pure rlike conjunction "
+     "inside whole-stage codegen"),
+    ("d_minhash_lsh", "exact-dup collapse (groupBy md5) -> repartitioned "
+     "banding -> band-key equi-join; localCheckpoint stops the double "
+     "compute of the python signature stage"),
+    ("d_neardup_verified", "verification joins only candidate docs "
+     "(left_semi before the shingle projection)"),
+    ("s_knn_lsh", "banded sketch equi-join + exact re-rank on candidates"),
     ("q5_local_supplier", "5-way join: region/nation broadcast, "
      "sort-merge or shuffled-hash on the fact side"),
     ("e_sessionize", "windowed lag + running sum (single shuffle per user)"),

@@ -458,3 +458,36 @@ class TestStreamingIngest:
             (r["url"], r["text"]) for r in batch_docs.where("ok").collect()
         )
         assert got == want
+
+
+class TestRerank:
+    def test_rerank_matches_python_oracle(self, spark):
+        """w2's stub rerank kernel (sanctioned MockReranker analog) scores
+        and orders exactly like the plain-python definition: per-term
+        frequency-weighted overlap, desc score then id asc, cap k."""
+        from chunksilo_spark.operators.search import rerank
+
+        rows = [
+            (1, "spark joins tables with spark speed"),
+            (2, "window functions over tables"),
+            (3, "spark spark spark joins joins"),
+            (4, "nothing relevant here at all"),
+            (5, "join table scan spark window"),
+        ]
+        q = "spark join window"
+        df = spark.createDataFrame(rows, schema="doc_id long, text string")
+        got = [
+            (r["doc_id"], r["rerank_score"])
+            for r in rerank(df, q, k=3).collect()
+        ]
+
+        def oracle(text):
+            toks = text.lower().split()
+            qt = q.lower().split()
+            return round(sum(toks.count(t) for t in qt) / max(len(toks), 1) * 100.0, 6)
+
+        want = sorted(
+            ((d, oracle(t)) for d, t in rows),
+            key=lambda x: (-x[1], x[0]),
+        )[:3]
+        assert got == want
