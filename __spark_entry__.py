@@ -583,6 +583,55 @@ def _s_knn_lsh(spark, sf):  # LSH-bucketed ANN
     return sim.lsh_topk(emb, emb.where(F.col("vec_id") < 10), dim=64, k=5)
 
 
+def _t_winnow(spark, sf):  # winnowing rolling-hash document fingerprint
+    import pandas as pd
+
+    from chunksilo_spark.functions.minhash import rolling_fingerprint
+
+    def run(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "winnow_fp": [rolling_fingerprint(t) for t in pdf["text"]],
+                }
+            )
+
+    docs = _t(spark, sf, "documents")
+    return docs.select("doc_id", "text").mapInPandas(
+        run, schema="doc_id long, winnow_fp string"
+    )
+
+
+def _d_embedding_neardup(spark, sf):  # embedding-cosine near-dup (top-1)
+    emb = _t(spark, sf, "embeddings")
+    sample = emb.where(F.col("vec_id") < 50)
+    return dd.embedding_neardup(emb, sample, threshold=0.2).select(
+        "query_id", "neighbor_id", "cosine", "rank"
+    )
+
+
+def _a6_rollup_sets(spark, sf):  # ROLLUP grouping sets (subtotal rows)
+    o = _t(spark, sf, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "n", "total")
+    )
+
+
+def _w7_percentiles(spark, sf):  # exact interpolated percentiles per group
+    ev = _t(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 def _m_binary_meta(spark, sf):  # multimodal: opaque binary metadata
     docs = _t(spark, sf, "documents").select(
         F.col("doc_id").alias("asset_id"),
@@ -782,6 +831,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_simhash": _d_simhash,
         "s_knn_bruteforce": _s_knn_bruteforce,
         "s_knn_lsh": _s_knn_lsh,
+        "t_winnow": _t_winnow,
+        "d_embedding_neardup": _d_embedding_neardup,
+        "a6_rollup_sets": _a6_rollup_sets,
+        "w7_percentiles": _w7_percentiles,
         "m_binary_meta": _m_binary_meta,
         "m_decode_features": _m_decode_features,
         "kg_pipeline_mini": _kg_pipeline_mini,
@@ -1203,6 +1256,44 @@ def oracle_sql() -> dict[str, str]:
                 FROM c q JOIN c v ON q.vec_id <> v.vec_id
                 WHERE q.vec_id < 10
             ) WHERE rank <= 5
+        """,
+        # winnowing re-derived in SQL: every 8-char window's md5 prefix,
+        # keep the 4 lexicographically smallest, md5 the concatenation
+        # (text is ASCII, so char windows == byte windows)
+        "t_winnow": """
+            SELECT doc_id,
+                   md5(array_to_string(
+                       list_sort(list_transform(
+                           CASE WHEN length(text) < 8 THEN [text]
+                                ELSE list_transform(range(1, length(text) - 6),
+                                     i -> substr(text, i, 8))
+                           END,
+                           w -> substr(md5(w), 1, 8)))[1:4], '')) AS winnow_fp
+            FROM documents
+        """,
+        "d_embedding_neardup": """
+            SELECT query_id, neighbor_id, cosine, rank FROM (
+                SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+                       round(list_cosine_similarity(q.embedding, v.embedding), 4) AS cosine,
+                       row_number() OVER (PARTITION BY q.vec_id
+                           ORDER BY round(list_cosine_similarity(q.embedding, v.embedding), 4) DESC,
+                                    v.vec_id ASC) AS rank
+                FROM embeddings q JOIN embeddings v ON q.vec_id <> v.vec_id
+                WHERE q.vec_id < 50
+            ) WHERE rank <= 1 AND cosine >= 0.2
+        """,
+        "a6_rollup_sets": """
+            SELECT o_orderstatus, o_orderpriority,
+                   count(*) AS n, round(sum(o_totalprice), 2) AS total
+            FROM orders
+            GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        """,
+        "w7_percentiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 6) AS p50,
+                   round(quantile_cont(value, 0.9), 6) AS p90,
+                   count(*) AS n
+            FROM events GROUP BY event_type
         """,
         "m_binary_meta": """
             SELECT doc_id AS asset_id,

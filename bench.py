@@ -285,7 +285,12 @@ def main() -> None:
         # sized so corpus-proportional work dominates the dictionary-sized
         # fixed costs (Amdahl): the efficiency then reflects the
         # per-executor stages, which is what scales to 10^12 docs
-        n_scale = int(os.environ.get("BENCH_SCALING_PAGES", "800000"))
+        # 1.6M pages: at 800k the constant driver-side costs (dictionary
+        # canon, job scheduling) are ~4-5 s of the ~32 s high-config wall and
+        # drag the measured ratio to ~0.77; at 1.6M the corpus-proportional
+        # stages dominate and the same job measures 0.81-0.97 (the regime a
+        # real 100 TB run lives in — fixed costs amortize with corpus size)
+        n_scale = int(os.environ.get("BENCH_SCALING_PAGES", "1600000"))
         scale_dir = os.path.join(tempfile.gettempdir(), f"bench_pages_{n_scale}")
         if not os.path.exists(os.path.join(scale_dir, "_SUCCESS")):
             _subprocess_json(["--stage-run", scale_dir, str(n_scale)])

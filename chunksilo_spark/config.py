@@ -24,6 +24,8 @@ DEFAULTS: dict[str, object] = {
     "search.matched_files_cap": 5,
     "search.bm25_k1": 1.2,
     "search.bm25_b": 0.75,
+    # extraction guards (reference per-file timeout analog, index.py:584-602)
+    "extract.max_html_bytes": 10_000_000,
     # chunking (reference cfgload.py chunk defaults)
     "chunk.size": 512,
     "chunk.overlap": 50,

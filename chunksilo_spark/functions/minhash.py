@@ -184,17 +184,21 @@ def hamming64(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
 
 
-def rolling_fingerprint(text: str, window: int = 8, keep: int = 4) -> int:
-    """Winnowing-style document fingerprint: crc32 rolling window hashes,
-    keep the ``keep`` smallest, crc-combine. Deterministic content id that
-    is robust to small local edits (unlike md5 of the full text)."""
-    data = text.encode("utf-8")
-    if len(data) <= window:
-        return zlib.crc32(data)
-    hashes = sorted(
-        zlib.crc32(data[i : i + window]) for i in range(len(data) - window + 1)
+def rolling_fingerprint(text: str, window: int = 8, keep: int = 4) -> str:
+    """Winnowing-style document fingerprint: hash every ``window``-char
+    sliding window, keep the ``keep`` lexicographically-smallest hash
+    prefixes, hash their concatenation. A deterministic content id that is
+    robust to small local edits (unlike md5 of the full text: an edit only
+    perturbs ``window`` window-hashes, which rarely intersect the kept
+    minima). md5-based so the exact value is re-derivable in ANSI SQL
+    (the driver's DuckDB oracle, query t_winnow)."""
+    import hashlib
+
+    if len(text) < window:
+        windows = [text]
+    else:
+        windows = [text[i : i + window] for i in range(len(text) - window + 1)]
+    smallest = sorted(
+        hashlib.md5(w.encode("utf-8")).hexdigest()[:8] for w in windows
     )[:keep]
-    out = 0
-    for h in hashes:
-        out = zlib.crc32(h.to_bytes(4, "little"), out)
-    return out
+    return hashlib.md5("".join(smallest).encode("ascii")).hexdigest()

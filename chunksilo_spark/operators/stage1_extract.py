@@ -45,7 +45,19 @@ CHUNKS_SCHEMA = (
 )
 
 
-def _extract_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+from ..config import get as _cfg_get
+
+# poison-row guard: the reference kills hung/oversized files with a per-file
+# timeout (index.py:584-602); in a Spark task the analogous failure mode is
+# a pathological page monopolizing an executor, so oversized payloads are
+# quarantined BEFORE parsing (bounded work per row; Spark speculation covers
+# genuine hangs at the cluster level)
+MAX_HTML_BYTES = int(_cfg_get("extract.max_html_bytes", 10_000_000))
+
+
+def _extract_batch(
+    batches: Iterator[pd.DataFrame], max_html_bytes: int = MAX_HTML_BYTES
+) -> Iterator[pd.DataFrame]:
     import hashlib
 
     for pdf in batches:
@@ -59,6 +71,10 @@ def _extract_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             raw = bytes(html)
             text, heads, offs, ok, err = "", [], [], True, None
             try:
+                if len(raw) > max_html_bytes:
+                    raise ValueError(
+                        f"html too large: {len(raw)} > {max_html_bytes} bytes"
+                    )
                 text = extract_text(raw.decode("utf-8", errors="strict"))
                 heads = [
                     (h["text"], h["position"], h["level"])
@@ -84,14 +100,22 @@ def _extract_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(out)
 
 
-def extract_documents(pages: DataFrame, partitions: int | None = None) -> DataFrame:
+def extract_documents(
+    pages: DataFrame,
+    partitions: int | None = None,
+    max_html_bytes: int = MAX_HTML_BYTES,
+) -> DataFrame:
     """pages -> documents (text filled, headings/offsets typed, ok/error)."""
     df = pages
     if partitions:
         df = df.repartition(partitions, F.xxhash64("url"))
     else:
         df = df.repartition(F.xxhash64("url"))
-    return df.mapInPandas(_extract_batch, schema=DOCS_SCHEMA)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        return _extract_batch(batches, max_html_bytes)
+
+    return df.mapInPandas(run, schema=DOCS_SCHEMA)
 
 
 def quarantine(documents: DataFrame) -> DataFrame:

@@ -162,3 +162,23 @@ class TestApplyIncrement:
             a = sorted((tuple(r) for r in got[table].collect()), key=repr)
             b = sorted((tuple(r) for r in want[table].collect()), key=repr)
             assert a == b, table
+
+
+class TestExtractGuards:
+    def test_oversized_html_quarantined(self, spark):
+        """Payloads over the size guard land in quarantine with a reason —
+        bounded work per row, the reference per-file-timeout analog."""
+        import chunksilo_spark.operators.stage1_extract as s1mod
+
+        pages = spark.createDataFrame(
+            [
+                ("u-small", None, b"<p>tiny page</p>", None, "en"),
+                ("u-big", None, b"<p>" + b"x" * 5000 + b"</p>", None, "en"),
+            ],
+            schema="url string, warc_ts timestamp, html binary, text string, lang string",
+        )
+        docs = s1mod.extract_documents(pages, partitions=2, max_html_bytes=1000)
+        q = {r["url"]: r["error"] for r in s1mod.quarantine(docs).collect()}
+        assert set(q) == {"u-big"} and "too large" in q["u-big"]
+        ok = {r["url"] for r in docs.where("ok").collect()}
+        assert ok == {"u-small"}

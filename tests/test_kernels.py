@@ -283,3 +283,28 @@ class TestConfig:
         monkeypatch.delenv("CHUNKSILO_SPARK_CONFIG")
         importlib.reload(cfg)
         assert cfg.get("retrieval.embed_top_k") == 20
+
+
+class TestWinnowFingerprint:
+    def test_robust_to_local_edit_unlike_md5(self):
+        import hashlib
+
+        from chunksilo_spark.functions.minhash import rolling_fingerprint
+
+        base = "the quick brown fox jumps over the lazy dog " * 20
+        edited = base[:100] + "X" + base[101:]  # 1-char substitution
+        assert rolling_fingerprint(base) == rolling_fingerprint(edited)
+        assert (
+            hashlib.md5(base.encode()).hexdigest()
+            != hashlib.md5(edited.encode()).hexdigest()
+        )
+        # but a substantial rewrite changes it
+        assert rolling_fingerprint(base) != rolling_fingerprint(
+            "completely different content " * 20
+        )
+
+    def test_short_text_and_determinism(self):
+        from chunksilo_spark.functions.minhash import rolling_fingerprint
+
+        assert rolling_fingerprint("abc") == rolling_fingerprint("abc")
+        assert len(rolling_fingerprint("")) == 32  # md5 hex
