@@ -1,0 +1,70 @@
+"""Format readers normalize into the canonical pages schema and feed the
+SAME stage-1 extraction — round-trip equality against the parquet path."""
+
+import os
+
+import pyspark.sql.functions as F
+
+from chunksilo_spark.operators.stage1_extract import extract_documents
+from chunksilo_spark.sources.corpus import pages_df
+from chunksilo_spark.sources.readers import (
+    read_csv_pages,
+    read_jsonl_pages,
+    read_text_dir,
+)
+
+
+def _docs_by_url(docs):
+    return {
+        r["url"]: (r["text"], r["ok"])
+        for r in docs.select("url", "text", "ok").collect()
+    }
+
+
+def test_jsonl_roundtrip_same_extraction(spark, tmp_path):
+    pages = pages_df(spark, 40, partitions=2)
+    # jsonl carries html as a UTF-8 string: restrict to decodable rows
+    decodable = pages.withColumn(
+        "h", F.expr("try_validate_utf8(html)")
+    ).where(F.col("h").isNotNull())
+    out = str(tmp_path / "pages_jsonl")
+    decodable.select(
+        "url", "warc_ts", F.col("h").alias("html"), "text", "lang"
+    ).write.mode("overwrite").json(out)
+
+    got = _docs_by_url(extract_documents(read_jsonl_pages(spark, out), 2))
+    want = _docs_by_url(extract_documents(decodable.drop("h"), 2))
+    assert got == want and len(got) > 30
+
+
+def test_csv_roundtrip_same_extraction(spark, tmp_path):
+    pages = pages_df(spark, 25, partitions=2)
+    decodable = pages.withColumn(
+        "h", F.expr("try_validate_utf8(html)")
+    ).where(F.col("h").isNotNull())
+    out = str(tmp_path / "pages_csv")
+    decodable.select(
+        "url", "warc_ts", F.col("h").alias("html"), "text", "lang"
+    ).write.mode("overwrite").option("header", True).option(
+        "escape", '"'
+    ).csv(out)
+
+    got = _docs_by_url(extract_documents(read_csv_pages(spark, out), 2))
+    want = _docs_by_url(extract_documents(decodable.drop("h"), 2))
+    assert got == want and len(got) > 15
+
+
+def test_text_dir_one_row_per_file(spark, tmp_path):
+    d = tmp_path / "site"
+    d.mkdir()
+    (d / "a.html").write_text("<h1>Alpha</h1><p>one two three</p>")
+    (d / "b.html").write_text("<p>beta page</p>")
+    pages = read_text_dir(spark, str(d), lang="en")
+    docs = extract_documents(pages, 2)
+    by_name = {
+        os.path.basename(r["url"]): r["text"] for r in docs.collect()
+    }
+    assert by_name == {
+        "a.html": "# Alpha\n\none two three",
+        "b.html": "beta page",
+    }
