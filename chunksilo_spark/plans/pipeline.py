@@ -167,6 +167,7 @@ def apply_increment(
     out_dir: str,
     fingerprint: str,
     partitions: int | None = None,
+    delete_missing: bool = True,
 ) -> dict[str, DataFrame]:
     """Apply a new page snapshot to an existing materialized pipeline state —
     the reference's incremental reindex (index.py:1491-1585: classify vs the
@@ -187,7 +188,13 @@ def apply_increment(
          and cheap choice at any scale.
 
     The result is equal to running the full pipeline from scratch on the new
-    snapshot (tested row-for-row in tests/test_incremental.py)."""
+    snapshot (tested row-for-row in tests/test_incremental.py).
+
+    ``delete_missing=False`` switches to DELTA semantics (upsert): the input
+    is a batch of new/re-crawled pages rather than a complete snapshot, so
+    absence proves nothing and no rows are deleted — the mode used by the
+    streaming maintenance surface (streaming.ingest
+    .start_incremental_maintenance), where each micro-batch is a delta."""
     from ..operators import incremental as incr
     from ..operators.retrieval import chunks_with_embeddings
 
@@ -202,9 +209,8 @@ def apply_increment(
     frontier_urls = log.where(
         F.col("change").isin("new", "modified")
     ).select("url")
-    gone_urls = log.where(
-        F.col("change").isin("modified", "deleted")
-    ).select("url")
+    gone_classes = ["modified", "deleted"] if delete_missing else ["modified"]
+    gone_urls = log.where(F.col("change").isin(*gone_classes)).select("url")
 
     frontier_pages = new_pages.join(frontier_urls, "url", "left_semi")
     from pyspark import StorageLevel

@@ -72,3 +72,51 @@ def start_ingest(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_incremental_maintenance(
+    spark: SparkSession,
+    pages_dir: str,
+    tables_dir: str,
+    checkpoint_dir: str,
+    aliases: DataFrame,
+    available_now: bool = True,
+):
+    """Streaming maintenance of the FULL materialized table set: each
+    micro-batch of pages (new or re-crawled urls) is applied with
+    plans.pipeline.apply_increment in DELTA mode (upsert — a delta cannot
+    prove absence, so nothing is deleted; full-snapshot deletions stay a
+    batch operation, reference index.py:1536-1544).
+
+    Per batch: classify vs the stored documents ledger, re-extract only the
+    changed frontier, row-level merge, rebuild the corpus-global tables
+    (canon/triples/nodes/edges — canonicalization is a global fixpoint).
+    The streaming checkpoint gives exactly-once per micro-batch on top of
+    apply_increment's idempotence (re-applying a delta is a no-op
+    frontier), so a crash between offset commit and table swap is safe.
+
+    Requires ``tables_dir`` to hold a prior run_pipeline output (the
+    initial state). Returns the StreamingQuery."""
+    from ..plans.pipeline import apply_increment
+
+    stream = stream_pages(spark, pages_dir)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        apply_increment(
+            spark,
+            batch_df,
+            aliases,
+            tables_dir,
+            fingerprint=f"stream_{batch_id}",
+            delete_missing=False,
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

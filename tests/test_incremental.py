@@ -182,3 +182,59 @@ class TestExtractGuards:
         assert set(q) == {"u-big"} and "too large" in q["u-big"]
         ok = {r["url"] for r in docs.where("ok").collect()}
         assert ok == {"u-small"}
+
+
+class TestStreamingMaintenance:
+    def test_streamed_deltas_equal_batch_rebuild(self, spark, tmp_path):
+        """Two streamed micro-batches (new pages + re-crawled modified
+        pages) maintained via apply_increment in delta mode produce the
+        same final tables as one batch pipeline over the merged corpus."""
+        import pyspark.sql.functions as F
+
+        from chunksilo_spark.plans.pipeline import run_pipeline
+        from chunksilo_spark.sources.corpus import aliases_df
+        from chunksilo_spark.streaming.ingest import (
+            start_incremental_maintenance,
+        )
+
+        aliases = aliases_df(spark)
+        tables_dir = str(tmp_path / "tables")
+        scratch_dir = str(tmp_path / "scratch")
+        stream_dir = str(tmp_path / "incoming")
+        ckpt = str(tmp_path / "ckpt")
+
+        base = pages_df(spark, 40, partitions=2)
+        run_pipeline(spark, base, aliases, tables_dir, fingerprint="v1")
+
+        # delta 1: pages 40..59 (new) + 3 re-crawled pages with edits
+        all60 = pages_df(spark, 60, partitions=2)
+        recrawl = base.where(F.abs(F.xxhash64("url")) % 13 == 0).withColumn(
+            "html", F.concat(F.col("html"), F.lit(b"<p>recrawled</p>"))
+        )
+        d1 = all60.where(F.col("url").rlike("-[45][0-9]$")).unionByName(recrawl)
+        d1.coalesce(1).write.mode("append").parquet(stream_dir)
+        # delta 2: pages 60..79 (new)
+        all80 = pages_df(spark, 80, partitions=2)
+        d2 = all80.where(F.col("url").rlike("-[67][0-9]$"))
+        d2.coalesce(1).write.mode("append").parquet(stream_dir)
+
+        q = start_incremental_maintenance(
+            spark, stream_dir, tables_dir, ckpt, aliases, available_now=True
+        )
+        q.awaitTermination(600)
+
+        # batch reference: merged corpus = all80 with the recrawled edits
+        merged = all80.join(
+            recrawl.select("url"), "url", "left_anti"
+        ).unionByName(recrawl)
+        want = run_pipeline(spark, merged, aliases, scratch_dir, fingerprint="m")
+
+        from chunksilo_spark.sources.storage import TableStore
+
+        store = TableStore(tables_dir)
+        for table in ("documents", "triples", "nodes", "edges"):
+            a = sorted(
+                (tuple(r) for r in store.read(spark, table).collect()), key=repr
+            )
+            b = sorted((tuple(r) for r in want[table].collect()), key=repr)
+            assert a == b, table
