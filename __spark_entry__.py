@@ -361,38 +361,18 @@ def _w5_first_match_line(spark, sf):  # W5/W6 char offset -> line number
     )
 
 
-def _u5_bm25(spark, sf):  # U5 BM25 scoring, k1=1.2 b=0.75, terms fixed
+def _u5_bm25(spark, sf):  # U5 BM25 scoring (shared ranking operator)
+    from chunksilo_spark.operators.ranking import bm25_scores
+
     docs = _t(spark, sf, "documents")
-    toks = F.split(F.lower("text"), r"\s+")
-    tf = lambda term: F.size(F.filter(toks, lambda x: x == F.lit(term)))  # noqa: E731
-    d = docs.select(
-        "doc_id",
-        F.size(toks).alias("dl"),
-        tf("spark").alias("tf_spark"),
-        tf("join").alias("tf_join"),
+    scored = bm25_scores(
+        docs, "doc_id", F.split(F.lower("text"), r"\s+"), ["spark", "join"]
     )
-    stats = d.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.avg("dl").alias("avgdl"),
-        F.sum((F.col("tf_spark") > 0).cast("int")).alias("df_spark"),
-        F.sum((F.col("tf_join") > 0).cast("int")).alias("df_join"),
+    return (
+        scored.select("doc_id", F.round("score", 4).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(20)
     )
-    j = d.crossJoin(F.broadcast(stats))
-    idf = lambda dfc: F.log(  # noqa: E731
-        (F.col("n_docs") - dfc + 0.5) / (dfc + 0.5) + 1.0
-    )
-    bm = lambda tfc, dfc: idf(dfc) * (  # noqa: E731
-        tfc * 2.2 / (tfc + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl")))
-    )
-    scored = j.select(
-        "doc_id",
-        F.round(
-            bm(F.col("tf_spark"), F.col("df_spark"))
-            + bm(F.col("tf_join"), F.col("df_join")),
-            4,
-        ).alias("bm25"),
-    )
-    return scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(20)
 
 
 def _flagship_search(spark, sf):  # the run_search funnel (U6/P4/P5/O2)

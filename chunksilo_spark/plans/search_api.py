@@ -65,49 +65,16 @@ def bm25_filename_scores(
                 }
             )
 
+    from ..operators.ranking import bm25_scores
+
     toks = (
         documents.select("url")
         .distinct()
         .mapInPandas(tok, schema="url string, tokens array<string>")
     )
-    def _tf(term: str):
-        # NB: a `lambda x, t=t:` default-arg closure would be seen by pyspark
-        # as a TWO-parameter (element, index) lambda — hence the factory
-        return F.size(F.filter("tokens", lambda x: x == F.lit(term)))
-
-    tf = {t: _tf(t) for t in query_tokens}
-    d = toks.select(
-        "url",
-        F.size("tokens").alias("dl"),
-        *[tf[t].alias(f"tf_{i}") for i, t in enumerate(query_tokens)],
+    return bm25_scores(
+        toks, "url", F.col("tokens"), query_tokens, k1=BM25_K1, b=BM25_B
     )
-    stats = d.agg(
-        F.count(F.lit(1)).alias("n_files"),
-        F.avg("dl").alias("avgdl"),
-        *[
-            F.sum((F.col(f"tf_{i}") > 0).cast("int")).alias(f"df_{i}")
-            for i in range(len(query_tokens))
-        ],
-    )
-    j = d.crossJoin(F.broadcast(stats))
-    score = F.lit(0.0)
-    for i in range(len(query_tokens)):
-        idf = F.log(
-            (F.col("n_files") - F.col(f"df_{i}") + 0.5)
-            / (F.col(f"df_{i}") + 0.5)
-            + 1.0
-        )
-        tf_i = F.col(f"tf_{i}")
-        score = score + idf * (
-            tf_i
-            * (BM25_K1 + 1.0)
-            / (
-                tf_i
-                + BM25_K1
-                * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
-            )
-        )
-    return j.select("url", score.alias("score"))
 
 
 def _matched_files(documents: DataFrame, query_tokens: list[str]) -> list[dict]:
