@@ -60,6 +60,36 @@ def main() -> None:
             df.explain("formatted")
         out += [f"## {name}", "", f"*What to check: {why}*", "", "```",
                 buf.getvalue().rstrip(), "```", ""]
+
+    # the headline 100-TB DAG: fused extract+link+triples (one Arrow pass
+    # over url-hash partitions, zero corpus-sized shuffles) -> canonical
+    # triples (joins against dictionary-sized canon/linked relations)
+    from chunksilo_spark.operators import fused as fz
+    from chunksilo_spark.operators import stage2_link as s2
+    from chunksilo_spark.operators.canon import canon_map, normalize_column
+    from chunksilo_spark.sources.corpus import aliases_df, pages_df
+
+    pages = pages_df(spark, 2000, partitions=8)
+    alias_bc = s2.build_alias_broadcast(spark, aliases_df(spark))
+    fused = fz.fused_linked_triples(pages, alias_bc)
+    surfaces = (
+        fz.distinct_norms(fused)
+        .unionByName(normalize_column(aliases_df(spark), "alias"))
+        .distinct()
+    )
+    final = fz.canonical_from_fused(fused, canon_map(surfaces, auto_local=False))
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        final.explain("formatted")
+    out += [
+        "## kg_pipeline (fused mode, distributed canon path)", "",
+        "*What to check: the corpus flows through ONE MapInPandas (no "
+        "corpus-sized shuffle before it — the Exchange below it is the "
+        "url-hash repartition of the generator); everything after operates "
+        "on dictionary-sized relations (distinct norms, canon map, linked "
+        "surfaces), so shuffle volume is O(entities), not O(corpus)*",
+        "", "```", buf.getvalue().rstrip(), "```", "",
+    ]
     spark.stop()
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "PLANS.md"), "w") as f:
