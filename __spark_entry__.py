@@ -6,9 +6,12 @@ testdata; ``oracle_sql()`` gives the DuckDB-equivalent SQL. Column names and
 rounding are aligned on both sides so the driver's order-insensitive
 value-hash comparison is exact.
 
-Non-SQL-expressible entries (MinHash banding, SimHash, LSH-ANN, the fake
-multimodal decoder, the end-to-end KG pipeline) intentionally have no oracle
-entry — the driver records the weaker rows-only check for those.
+Of the 47 queries, 44 have DuckDB oracles. The 3 without
+(w2_rerank_topk: stub rerank model, reference-sanctioned; d_simhash:
+fingerprint bits not SQL-derivable; kg_pipeline_mini: full DAG) each have a
+quantitative pytest instead — rerank vs a plain-python oracle, simhash
+batch==per-token-definition parity, pipeline P/R == 1.0 vs the golden
+corpus (tests/test_operators.py, tests/test_pipeline.py).
 """
 
 from __future__ import annotations

@@ -86,6 +86,67 @@ def decode_features(
     )
 
 
+RESIZED_SCHEMA = (
+    "asset_id long, src_w int, src_h int, dst_w int, dst_h int, "
+    "resized binary, resized_md5 string"
+)
+
+
+def resize_assets(
+    assets: DataFrame,
+    dst_w: int = 64,
+    dst_h: int = 64,
+    bin_col: str = "payload",
+    real: bool = False,
+) -> DataFrame:
+    """binary image assets -> resized binary + dimension metadata via
+    mapInPandas (1:1 Arrow batch shape). The Spark plumbing — schema,
+    batching, binary-out column — is real; the decoder/resampler is STUBBED
+    (``real=True`` is the Pillow integration point, not available here):
+    the fake treats the payload as a row-major byte image with deterministic
+    source dims derived from its length, and "resizes" by nearest-neighbor
+    byte sampling, so output bytes are deterministic and testable."""
+    if real:
+        raise NotImplementedError(
+            "real image resampling (Pillow) is not installed in this "
+            "environment; wire Image.open/resize here — the Spark plumbing "
+            "(schema, batching, binary columns) is already in place"
+        )
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "asset_id", "src_w", "src_h", "dst_w", "dst_h",
+                "resized", "resized_md5",
+            )}
+            for aid, p in zip(pdf["asset_id"], pdf[bin_col]):
+                raw = bytes(p)
+                # fake source dims: squarish factorization of the length
+                n = max(len(raw), 1)
+                src_w = max(1, int(n ** 0.5))
+                src_h = max(1, n // src_w)
+                img = np.frombuffer(
+                    raw[: src_w * src_h].ljust(src_w * src_h, b"\0"),
+                    dtype=np.uint8,
+                ).reshape(src_h, src_w)
+                ys = (np.arange(dst_h) * src_h // dst_h).clip(0, src_h - 1)
+                xs = (np.arange(dst_w) * src_w // dst_w).clip(0, src_w - 1)
+                resized = img[ys][:, xs].tobytes()
+                rows["asset_id"].append(aid)
+                rows["src_w"].append(src_w)
+                rows["src_h"].append(src_h)
+                rows["dst_w"].append(dst_w)
+                rows["dst_h"].append(dst_h)
+                rows["resized"].append(resized)
+                rows["resized_md5"].append(hashlib.md5(resized).hexdigest())
+            yield pd.DataFrame(rows)
+
+    return assets.select("asset_id", bin_col).mapInPandas(
+        run, schema=RESIZED_SCHEMA
+    )
+
+
 def frame_sample_plan(assets: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame-sampling plumbing: expands each asset into frame-index
     rows (decode stubbed the same way). Shows the 1->N batch shape for frame

@@ -280,6 +280,30 @@ class TestMultimodal:
         )
         with pytest.raises(NotImplementedError):
             mm.decode_features(assets, real=True)
+        with pytest.raises(NotImplementedError):
+            mm.resize_assets(assets, real=True)
+
+    def test_resize_shape_and_determinism(self, spark):
+        # 200-byte payload -> fake 14x14 source, resized to 8x4 = 32 bytes
+        assets = spark.createDataFrame(
+            [(1, bytearray(bytes(range(200)))), (2, bytearray(b"tiny"))],
+            schema="asset_id long, payload binary",
+        )
+        rows = {
+            r["asset_id"]: r
+            for r in mm.resize_assets(assets, dst_w=8, dst_h=4).collect()
+        }
+        r1 = rows[1]
+        assert (r1["src_w"], r1["src_h"]) == (14, 14)
+        assert (r1["dst_w"], r1["dst_h"]) == (8, 4)
+        assert len(bytes(r1["resized"])) == 8 * 4
+        again = {
+            r["asset_id"]: r["resized_md5"]
+            for r in mm.resize_assets(assets, dst_w=8, dst_h=4).collect()
+        }
+        assert again[1] == r1["resized_md5"] and again[2] == rows[2]["resized_md5"]
+        # 4-byte payload: 2x2 source still resizes to the full target grid
+        assert len(bytes(rows[2]["resized"])) == 8 * 4
 
 
 class TestSearchFunnel:
