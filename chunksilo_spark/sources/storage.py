@@ -104,12 +104,24 @@ class TableStore:
         if os.path.exists(old):
             shutil.rmtree(old)
 
+    def _heal(self, table: str) -> None:
+        """Recover from a crash inside replace(): if the final dir is gone
+        but the displaced previous version (.__old) survives, restore it —
+        the swap window (final renamed away, staging not yet renamed in)
+        must never lose the table."""
+        final = self.path(table)
+        old = final + ".__old"
+        if not os.path.exists(final) and os.path.exists(old):
+            os.replace(old, final)
+
     def read(self, spark: SparkSession, table: str) -> DataFrame:
         if self.table_format == "iceberg":
             return spark.read.table(table)
+        self._heal(table)
         return spark.read.parquet(self.path(table))
 
     def exists(self, table: str) -> bool:
         if self.table_format == "iceberg":
             return True
+        self._heal(table)
         return os.path.exists(os.path.join(self.path(table), "_SUCCESS"))

@@ -130,3 +130,27 @@ class TestLineageAndSkew:
         rows.sort()
         median = rows[len(rows) // 2]
         assert max(rows) <= max(4 * median, 64), (max(rows), median)
+
+
+def test_replace_crash_window_heals(spark, tmp_path):
+    """A crash between the two renames inside TableStore.replace leaves the
+    table displaced to .__old; the next read/exists must restore it."""
+    import os
+    import shutil
+
+    from chunksilo_spark.sources.storage import TableStore
+
+    store = TableStore(str(tmp_path))
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    store.write(df, "t")
+    # simulate the crash window: final renamed away, staging lost
+    final = store.path("t")
+    os.replace(final, final + ".__old")
+    assert not os.path.exists(final)
+    assert store.exists("t")  # heals
+    got = sorted(tuple(r) for r in store.read(spark, "t").collect())
+    assert got == [(1, "a"), (2, "b")]
+    # replace still works afterwards
+    store.replace(store.read(spark, "t").where("id = 1"), "t")
+    assert store.read(spark, "t").count() == 1
+    shutil.rmtree(str(tmp_path), ignore_errors=True)
