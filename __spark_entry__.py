@@ -615,6 +615,17 @@ def _w7_percentiles(spark, sf):  # exact interpolated percentiles per group
     )
 
 
+def _s_knn_ivf(spark, sf):  # IVF coarse-quantizer ANN
+    # same exact-oracle contract as s_knn_lsh: on the clustered derivation
+    # the IVF probe funnel must return exactly the brute-force top-5 (the
+    # 10 spike clusters are recovered by the seeded spherical k-means, and
+    # n_probe=2 covers the boundary cases)
+    emb = _clustered_embeddings(_t(spark, sf, "embeddings"))
+    return sim.ivf_topk(
+        emb, emb.where(F.col("vec_id") < 10), k=5, n_centroids=16, n_probe=2
+    )
+
+
 def _m_binary_meta(spark, sf):  # multimodal: opaque binary metadata
     docs = _t(spark, sf, "documents").select(
         F.col("doc_id").alias("asset_id"),
@@ -814,6 +825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_simhash": _d_simhash,
         "s_knn_bruteforce": _s_knn_bruteforce,
         "s_knn_lsh": _s_knn_lsh,
+        "s_knn_ivf": _s_knn_ivf,
         "t_winnow": _t_winnow,
         "d_embedding_neardup": _d_embedding_neardup,
         "a6_rollup_sets": _a6_rollup_sets,
@@ -1219,8 +1231,28 @@ def oracle_sql() -> dict[str, str]:
                 WHERE q.vec_id < 10
             ) WHERE rank <= 5
         """,
-        # the LSH funnel must reproduce the exact brute-force top-5 on the
-        # clustered derivation (spike +8.0 at 1-based index label+1)
+        # both sublinear ANN paths (banded LSH and IVF probe) must reproduce
+        # the exact brute-force top-5 on the clustered derivation
+        # (spike +8.0 at 1-based index label+1)
+        "s_knn_ivf": """
+            WITH c AS (
+                SELECT vec_id,
+                       list_transform(range(1, 65),
+                           i -> CAST(embedding[i] AS DOUBLE)
+                                + CASE WHEN i - 1 = label THEN 8.0 ELSE 0.0 END)
+                           AS embedding
+                FROM embeddings
+            )
+            SELECT query_id, neighbor_id, cosine, rank FROM (
+                SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+                       round(list_cosine_similarity(q.embedding, v.embedding), 4) AS cosine,
+                       row_number() OVER (PARTITION BY q.vec_id
+                           ORDER BY round(list_cosine_similarity(q.embedding, v.embedding), 4) DESC,
+                                    v.vec_id ASC) AS rank
+                FROM c q JOIN c v ON q.vec_id <> v.vec_id
+                WHERE q.vec_id < 10
+            ) WHERE rank <= 5
+        """,
         "s_knn_lsh": """
             WITH c AS (
                 SELECT vec_id,

@@ -225,6 +225,26 @@ class TestSimilarity:
                for r in sim.lsh_topk(df, q, dim=32, k=5).collect()}
         assert lsh == bf
 
+    def test_ivf_topk_clustered_recall_exact(self, spark):
+        # IVF: seeded spherical k-means recovers the 8 planted clusters and
+        # probing 2 lists returns the exact brute-force top-5
+        import numpy as np
+
+        rng = np.random.default_rng(5)
+        centers = rng.standard_normal((8, 32))
+        centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+        vecs = []
+        for i in range(80):
+            v = centers[i % 8] + 0.05 * rng.standard_normal(32)
+            vecs.append((i, [float(x) for x in v]))
+        df = spark.createDataFrame(vecs, schema="vec_id long, embedding array<float>")
+        q = df.where("vec_id < 6")
+        bf = {(r["query_id"], r["rank"]): r["neighbor_id"]
+              for r in sim.brute_force_topk(df, q, k=5).collect()}
+        ivf = {(r["query_id"], r["rank"]): r["neighbor_id"]
+               for r in sim.ivf_topk(df, q, k=5, n_centroids=8, n_probe=2).collect()}
+        assert ivf == bf
+
 
 class TestIncremental:
     def test_classify_changes(self, spark):
