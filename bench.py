@@ -50,6 +50,8 @@ HEADLINE = [
     "d_minhash_lsh",
     "s_knn_bruteforce",
     "s_knn_lsh",
+    "s_knn_ivf",
+    "d_neardup_verified",
     "incr_change_detect",
 ]
 
