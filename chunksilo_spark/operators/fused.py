@@ -24,9 +24,10 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.embed import bow_embed_matrix, cosine_topk, normalize_rows
+from ..functions.embed import cosine_topk, normalize_rows
 from ..functions.extract import extract_text
 from ..functions.triples import extract_triples_from_text, normalize_surface
+from ..models import DEFAULT_EMBEDDER, ModelSpec
 from .stage2_link import LINK_THRESHOLD
 
 FUSED_SCHEMA = (
@@ -36,12 +37,17 @@ FUSED_SCHEMA = (
 
 
 def fused_linked_triples(
-    pages: DataFrame, alias_bc, threshold: float = LINK_THRESHOLD
+    pages: DataFrame,
+    alias_bc,
+    threshold: float = LINK_THRESHOLD,
+    embedder: ModelSpec | None = None,
 ) -> DataFrame:
     """pages (url, html, lang) -> linked surface triples, one Arrow pass."""
+    spec = embedder or DEFAULT_EMBEDDER
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         _aid, _astr, _eid, mat = alias_bc.value
+        model = spec.resolve()  # one construction per worker process
         for pdf in batches:
             rows = {k: [] for k in (
                 "url", "subj_surface", "pred", "obj_surface", "char_pos",
@@ -65,7 +71,7 @@ def fused_linked_triples(
                 rows["subj_surface"] + rows["obj_surface"], dtype=object
             )
             uniq, inv = np.unique(surf, return_inverse=True)
-            q = normalize_rows(bow_embed_matrix(list(uniq)))
+            q = normalize_rows(model.embed(list(uniq)))
             _idx, scores = cosine_topk(q, mat, k=1)
             linked_u = scores[:, 0] >= threshold
             linked = linked_u[inv]

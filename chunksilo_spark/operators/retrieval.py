@@ -20,7 +20,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.chunk import chunk_text
-from ..functions.embed import bow_embed, bow_embed_matrix, normalize_rows
+from ..functions.embed import normalize_rows
+from ..models import DEFAULT_EMBEDDER, ModelSpec, embed_query
 
 CHUNK_EMB_SCHEMA = (
     "url string, chunk_id int, text string, char_start long, char_end long, "
@@ -31,10 +32,18 @@ SCORED_SCHEMA = (
 )
 
 
-def chunks_with_embeddings(documents: DataFrame) -> DataFrame:
-    """documents -> chunk rows with BoW embeddings (the persisted index)."""
+def chunks_with_embeddings(
+    documents: DataFrame, embedder: ModelSpec | None = None
+) -> DataFrame:
+    """documents -> chunk rows with embeddings (the persisted index).
+
+    ``embedder`` is a picklable models.ModelSpec resolved ONCE per worker
+    process (reference per-process model cache, index.py:1091-1124);
+    default = the sanctioned BoW mock."""
+    spec = embedder or DEFAULT_EMBEDDER
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        model = spec.resolve()  # cached per worker, not per batch
         for pdf in batches:
             rows = {k: [] for k in (
                 "url", "chunk_id", "text", "char_start", "char_end",
@@ -48,7 +57,7 @@ def chunks_with_embeddings(documents: DataFrame) -> DataFrame:
                     rows["char_end"].append(ce)
             if not rows["url"]:
                 continue
-            emb = bow_embed_matrix(rows["text"])
+            emb = model.embed(rows["text"])
             out = pd.DataFrame(rows)
             out["embedding"] = [row.astype(np.float32) for row in emb]
             yield out
@@ -59,7 +68,11 @@ def chunks_with_embeddings(documents: DataFrame) -> DataFrame:
 
 
 def search_index(
-    chunks: DataFrame, query: str, k: int = 20, round_to: int | None = None
+    chunks: DataFrame,
+    query: str,
+    k: int = 20,
+    round_to: int | None = None,
+    embedder: ModelSpec | None = None,
 ) -> DataFrame:
     """Search a MATERIALIZED chunks-with-embeddings table (the reference's
     load-index-then-search shape, search.py:950-971 + 1093-1111): score the
@@ -69,10 +82,7 @@ def search_index(
     ``round_to`` keeps the score as a double rounded to that many decimals
     and ranks on the ROUNDED value (deterministic cross-engine ordering for
     oracle comparison); default preserves the float score ranked raw."""
-    q = np.array(bow_embed(query), dtype=np.float32)
-    n = np.linalg.norm(q)
-    if n > 0:
-        q = q / n
+    q = embed_query(query, embedder)
     q_lit = F.array(*[F.lit(float(x)) for x in q])
     dot = F.aggregate(
         F.zip_with(F.col("embedding"), q_lit, lambda a, b: a * b),
@@ -96,16 +106,20 @@ def search_index(
     ).limit(k).select("url", "chunk_id", "text", "char_start", "score")
 
 
-def vector_search(documents: DataFrame, query: str, k: int = 20) -> DataFrame:
+def vector_search(
+    documents: DataFrame,
+    query: str,
+    k: int = 20,
+    embedder: ModelSpec | None = None,
+) -> DataFrame:
     """Fused retrieval: chunk + embed + cosine-score in one pass, then a
     global top-k (ORDER BY + LIMIT — Spark's TakeOrderedAndProject, no full
     sort). Deterministic tie-break on (url, chunk_id)."""
-    q_vec = np.array(bow_embed(query), dtype=np.float32)
-    q_norm = np.linalg.norm(q_vec)
-    if q_norm > 0:
-        q_vec = q_vec / q_norm
+    spec = embedder or DEFAULT_EMBEDDER
+    q_vec = embed_query(query, spec)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        model = spec.resolve()  # cached per worker process
         for pdf in batches:
             rows = {k2: [] for k2 in ("url", "chunk_id", "text", "char_start")}
             for url, text in zip(pdf["url"], pdf["text"]):
@@ -116,7 +130,7 @@ def vector_search(documents: DataFrame, query: str, k: int = 20) -> DataFrame:
                     rows["char_start"].append(cs)
             if not rows["url"]:
                 continue
-            emb = normalize_rows(bow_embed_matrix(rows["text"]))
+            emb = normalize_rows(model.embed(rows["text"]))
             out = pd.DataFrame(rows)
             out["score"] = (emb @ q_vec).astype(np.float32)
             yield out

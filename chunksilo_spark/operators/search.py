@@ -104,29 +104,35 @@ def rerank(
     k: int = 5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    reranker=None,
 ) -> DataFrame:
     """Cross-encoder rerank stage (reference search.py:1184-1248, U4).
 
-    FlashRank is not available here; the deterministic stand-in (sanctioned
-    by the reference's own MockReranker, test/conftest.py:58-69) scores by
-    per-term frequency-weighted overlap inside an Arrow batch — a real
-    cross-encoder plugs into the same mapInPandas slot with a per-worker
-    model cache. Keeps scores in-row (the reference's index/text
-    re-association dance, J4, is unnecessary by construction)."""
+    ``reranker`` is a per-worker-cached models.ModelSpec whose model scores
+    ``(query, texts) -> ndarray``; the default is the deterministic overlap
+    stand-in sanctioned by the reference's own MockReranker
+    (test/conftest.py:58-69) — a real cross-encoder (FlashRank-style) plugs
+    into the same slot with one construction per worker. Keeps scores
+    in-row (the reference's index/text re-association dance, J4, is
+    unnecessary by construction).
+
+    Keep ``candidates`` narrow — only the projected columns round the
+    JVM->Arrow->Python trip, so select (id, text, score) first and join
+    heavier metadata back after the top-k (plans.search_api.run_search does
+    exactly that)."""
     import pandas as pd
 
-    q_tokens = [t for t in query.lower().split() if t]
+    from ..models import DEFAULT_RERANKER
+
+    spec = reranker or DEFAULT_RERANKER
 
     def run(batches):
+        model = spec.resolve()  # cached per worker process
         for pdf in batches:
-            scores = []
-            for text in pdf[text_col]:
-                toks = text.lower().split()
-                n = max(len(toks), 1)
-                s = sum(toks.count(t) for t in q_tokens) / n
-                scores.append(round(s * 100.0, 6))
             out = pdf.copy()
-            out["rerank_score"] = pd.Series(scores, index=pdf.index)
+            out["rerank_score"] = pd.Series(
+                model.score(query, list(pdf[text_col])), index=pdf.index
+            )
             yield out
 
     schema = ", ".join(

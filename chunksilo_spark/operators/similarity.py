@@ -77,7 +77,9 @@ def brute_force_topk(
                     kth = np.partition(col, len(col) - k)[len(col) - k]
                 else:
                     kth = -np.inf
-                keep = np.flatnonzero(col >= kth)  # ties kept for the window
+                # ties kept for the window; isfinite drops the masked self
+                # row even when the batch has <= k rows (kth == -inf)
+                keep = np.flatnonzero((col >= kth) & np.isfinite(col))
                 out_q.extend([qid] * len(keep))
                 out_n.extend(ids[keep].tolist())
                 out_c.extend(col[keep].tolist())
@@ -122,16 +124,26 @@ def ivf_topk(
          all-pairs);
       4. exact cosine re-rank of candidates only (numpy matmul batches).
 
-    Deterministic: fixed seed, fixed iteration count, ties broken by index.
+    Deterministic: fixed seed, fixed iteration count, ties broken by index,
+    and the training sample is the ``sample_rows`` LOWEST ids (an ordered
+    take, not an unordered ``limit`` — partition arrival order on a real
+    cluster would otherwise shift the centroids run to run).
     """
     import numpy as np  # noqa: F811 (local alias keeps the closure light)
 
     # --- 1. train the coarse quantizer on a driver-side sample ------------
+    sample_rows_data = (
+        vectors.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(sample_rows)
+        .collect()
+    )
+    if not sample_rows_data:  # empty corpus -> empty result, same schema
+        return vectors.sparkSession.createDataFrame(
+            [], schema="query_id long, neighbor_id long, cosine double, rank int"
+        )
     sample = np.array(
-        [
-            list(r[0])
-            for r in vectors.select(vec_col).limit(sample_rows).collect()
-        ],
+        [list(r[1]) for r in sample_rows_data],
         dtype=np.float64,
     )
     norms = np.linalg.norm(sample, axis=1)

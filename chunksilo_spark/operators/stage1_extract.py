@@ -48,15 +48,57 @@ CHUNKS_SCHEMA = (
 from ..config import get as _cfg_get
 
 # poison-row guard: the reference kills hung/oversized files with a per-file
-# timeout (index.py:584-602); in a Spark task the analogous failure mode is
-# a pathological page monopolizing an executor, so oversized payloads are
-# quarantined BEFORE parsing (bounded work per row; Spark speculation covers
-# genuine hangs at the cluster level)
+# timeout (index.py:584-602, 300 s/file via cfgload.py:76-79); the Spark
+# analogs are BOTH of:
+#   * oversized payloads quarantined BEFORE parsing (bounded work per row);
+#   * a per-row wall-clock deadline (SIGALRM itimer) so a NON-throwing hang
+#     (pathological markup driving the pure-Python parser loop superlinear)
+#     lands the row in quarantine instead of wedging an executor core.
 MAX_HTML_BYTES = int(_cfg_get("extract.max_html_bytes", 10_000_000))
+ROW_TIMEOUT_S = float(_cfg_get("extract.row_timeout_s", 300.0))
+
+
+class _RowTimeout(Exception):
+    pass
+
+
+def _row_deadline(seconds: float):
+    """Context manager arming a per-row wall-clock alarm. No-op where
+    SIGALRM can't be used (non-main thread / non-POSIX): the oversized-page
+    guard still bounds the common case there."""
+    import contextlib
+    import signal
+    import threading
+
+    @contextlib.contextmanager
+    def cm():
+        usable = (
+            seconds > 0
+            and hasattr(signal, "SIGALRM")
+            and threading.current_thread() is threading.main_thread()
+        )
+        if not usable:
+            yield
+            return
+
+        def on_alarm(signum, frame):
+            raise _RowTimeout(f"row exceeded {seconds}s wall clock")
+
+        old = signal.signal(signal.SIGALRM, on_alarm)
+        signal.setitimer(signal.ITIMER_REAL, seconds)
+        try:
+            yield
+        finally:
+            signal.setitimer(signal.ITIMER_REAL, 0.0)
+            signal.signal(signal.SIGALRM, old)
+
+    return cm()
 
 
 def _extract_batch(
-    batches: Iterator[pd.DataFrame], max_html_bytes: int = MAX_HTML_BYTES
+    batches: Iterator[pd.DataFrame],
+    max_html_bytes: int = MAX_HTML_BYTES,
+    row_timeout_s: float = ROW_TIMEOUT_S,
 ) -> Iterator[pd.DataFrame]:
     import hashlib
 
@@ -75,12 +117,16 @@ def _extract_batch(
                     raise ValueError(
                         f"html too large: {len(raw)} > {max_html_bytes} bytes"
                     )
-                text = extract_text(raw.decode("utf-8", errors="strict"))
-                heads = [
-                    (h["text"], h["position"], h["level"])
-                    for h in extract_headings(text)
-                ]
-                offs = line_offsets(text)
+                with _row_deadline(row_timeout_s):
+                    text = extract_text(raw.decode("utf-8", errors="strict"))
+                    heads = [
+                        (h["text"], h["position"], h["level"])
+                        for h in extract_headings(text)
+                    ]
+                    offs = line_offsets(text)
+            except _RowTimeout:  # hung row -> quarantine, batch continues
+                ok, err = False, f"timeout: row exceeded {row_timeout_s}s"
+                text, heads, offs = "", [], []
             except Exception as e:  # quarantine, never fail the task
                 ok, err = False, f"{type(e).__name__}: {e}"
                 text, heads, offs = "", [], []
@@ -104,6 +150,7 @@ def extract_documents(
     pages: DataFrame,
     partitions: int | None = None,
     max_html_bytes: int = MAX_HTML_BYTES,
+    row_timeout_s: float = ROW_TIMEOUT_S,
 ) -> DataFrame:
     """pages -> documents (text filled, headings/offsets typed, ok/error)."""
     df = pages
@@ -113,7 +160,7 @@ def extract_documents(
         df = df.repartition(F.xxhash64("url"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        return _extract_batch(batches, max_html_bytes)
+        return _extract_batch(batches, max_html_bytes, row_timeout_s)
 
     return df.mapInPandas(run, schema=DOCS_SCHEMA)
 

@@ -27,8 +27,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.chunk import split_sentences
-from ..functions.embed import bow_embed_matrix, cosine_topk, normalize_rows
+from ..functions.embed import cosine_topk, normalize_rows
 from ..functions.triples import extract_mentions
+from ..models import DEFAULT_EMBEDDER, ModelSpec
 
 MENTIONS_SCHEMA = (
     "url string, sent_start long, m_start long, m_end long, surface string"
@@ -80,18 +81,25 @@ def build_alias_broadcast(spark, aliases: DataFrame):
 
 
 def detect_and_link(
-    documents: DataFrame, alias_bc, threshold: float = LINK_THRESHOLD
+    documents: DataFrame,
+    alias_bc,
+    threshold: float = LINK_THRESHOLD,
+    embedder: ModelSpec | None = None,
 ) -> DataFrame:
     """Fused stage 2: mention detection + linking in ONE Arrow pass.
 
     Avoids shipping the (large) mention table JVM->Python a second time:
-    per batch of documents, detect mentions, BoW-embed all surfaces, one
+    per batch of documents, detect mentions, embed all surfaces
+    (``embedder`` = per-worker-cached models.ModelSpec, default BoW), one
     matmul against the broadcast dict, emit linked rows. Functionally equal
     to link_mentions(detect_mentions(docs)) — tested equivalent."""
     import numpy as np
 
+    spec = embedder or DEFAULT_EMBEDDER
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         alias_ids, alias_strs, entity_ids, mat = alias_bc.value
+        model = spec.resolve()  # one construction per worker process
         for pdf in batches:
             rows = {k: [] for k in ("url", "sent_start", "m_start", "surface")}
             for url, text in zip(pdf["url"], pdf["text"]):
@@ -108,7 +116,7 @@ def detect_and_link(
             uniq, inv = np.unique(
                 np.asarray(rows["surface"], dtype=object), return_inverse=True
             )
-            q = normalize_rows(bow_embed_matrix(list(uniq)))
+            q = normalize_rows(model.embed(list(uniq)))
             idx, scores = cosine_topk(q, mat, k=1)
             top, sc = idx[inv, 0], scores[inv, 0]
             keep = sc >= threshold
@@ -133,23 +141,29 @@ def detect_and_link(
 
 
 def link_mentions(
-    mentions: DataFrame, alias_bc, threshold: float = LINK_THRESHOLD
+    mentions: DataFrame,
+    alias_bc,
+    threshold: float = LINK_THRESHOLD,
+    embedder: ModelSpec | None = None,
 ) -> DataFrame:
-    """Cosine top-1 of each mention's BoW embedding vs the broadcast dict.
+    """Cosine top-1 of each mention's embedding vs the broadcast dict.
 
     Emits only linked mentions (score >= threshold). Batch-vectorized: one
-    (batch x 384) @ (384 x n_alias) matmul per Arrow batch.
+    (batch x dim) @ (dim x n_alias) matmul per Arrow batch; the embedder is
+    a per-worker-cached models.ModelSpec (default BoW).
     """
+    spec = embedder or DEFAULT_EMBEDDER
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         alias_ids, alias_strs, entity_ids, mat = alias_bc.value
+        model = spec.resolve()  # one construction per worker process
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             uniq, inv = np.unique(
                 pdf["surface"].to_numpy(dtype=object), return_inverse=True
             )
-            q = normalize_rows(bow_embed_matrix(list(uniq)))
+            q = normalize_rows(model.embed(list(uniq)))
             idx, scores = cosine_topk(q, mat, k=1)
             top = idx[inv, 0]
             sc = scores[inv, 0]

@@ -42,7 +42,11 @@ def _materialize(
     resume: bool = True,
 ) -> DataFrame:
     """Run one resumable stage: build -> write table + lineage -> mark."""
-    if resume and store.stage_complete(stage, fingerprint) and store.exists(table):
+    if (
+        resume
+        and store.stage_complete(stage, fingerprint)
+        and store.exists(table, spark)
+    ):
         return store.read(spark, table)
     t0 = time.time()
     df = build()
@@ -221,31 +225,40 @@ def apply_increment(
         StorageLevel.MEMORY_AND_DISK
     )
 
-    def maintain(table: str, fresh: DataFrame) -> DataFrame:
-        kept = store.read(spark, table).join(gone_urls, "url", "left_anti")
-        return kept.unionByName(fresh)
+    try:
 
-    documents = maintain("documents", fresh_docs)
-    chunks = maintain("chunks", chunks_with_embeddings(fresh_docs))
-    quarantined = maintain("quarantine", s1.quarantine(fresh_docs))
-    fresh_mentions = s2.detect_mentions(fresh_docs)
-    mentions = maintain("mentions", fresh_mentions)
-    alias_bc = s2.build_alias_broadcast(spark, aliases)
-    linked = maintain("linked_mentions", s2.link_mentions(fresh_mentions, alias_bc))
-    raw_triples = maintain("raw_triples", s3.extract_raw_triples(fresh_docs))
+        def maintain(table: str, fresh: DataFrame) -> DataFrame:
+            kept = store.read(spark, table).join(gone_urls, "url", "left_anti")
+            return kept.unionByName(fresh)
 
-    # row-level tables replace in dependency order (replace() stages to a
-    # side dir first, so the old contents feeding the plans stay readable)
-    for name, df in (
-        ("documents", documents),
-        ("chunks", chunks),
-        ("quarantine", quarantined),
-        ("mentions", mentions),
-        ("linked_mentions", linked),
-        ("raw_triples", raw_triples),
-    ):
-        store.replace(df, name)
-        store.mark_complete(f"incr_{name}", fingerprint, table=name)
+        documents = maintain("documents", fresh_docs)
+        chunks = maintain("chunks", chunks_with_embeddings(fresh_docs))
+        quarantined = maintain("quarantine", s1.quarantine(fresh_docs))
+        fresh_mentions = s2.detect_mentions(fresh_docs)
+        mentions = maintain("mentions", fresh_mentions)
+        alias_bc = s2.build_alias_broadcast(spark, aliases)
+        linked = maintain(
+            "linked_mentions", s2.link_mentions(fresh_mentions, alias_bc)
+        )
+        raw_triples = maintain("raw_triples", s3.extract_raw_triples(fresh_docs))
+
+        # row-level tables replace in dependency order (replace() stages to a
+        # side dir first, so the old contents feeding the plans stay readable)
+        for name, df in (
+            ("documents", documents),
+            ("chunks", chunks),
+            ("quarantine", quarantined),
+            ("mentions", mentions),
+            ("linked_mentions", linked),
+            ("raw_triples", raw_triples),
+        ):
+            store.replace(df, name)
+            store.mark_complete(f"incr_{name}", fingerprint, table=name)
+    finally:
+        # every consumer has materialized by the last replace(); without this
+        # the streaming surface (one apply_increment per micro-batch) would
+        # accumulate one cached extract per batch in the CacheManager
+        fresh_docs.unpersist()
 
     # global rebuild from the maintained tables (read back post-swap)
     linked_v2 = store.read(spark, "linked_mentions")

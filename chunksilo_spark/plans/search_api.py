@@ -111,9 +111,11 @@ def run_search(
     cleaned = preprocess_query(cleaned)
     q_tokens = [t for t in re.split(r"\s+", cleaned.lower()) if t]
 
-    # stage 1: vector top-k over the persisted index + doc metadata join
+    # stage 1: vector top-k over the persisted index + date metadata join
+    # (only warc_ts here — headings/line_offsets arrays are joined back
+    # AFTER the rerank top-k so they never enter the Python stage)
     hits = search_index(chunks, cleaned, k=EMBED_TOP_K).join(
-        documents.select("url", "warc_ts", "headings", "line_offsets"), "url"
+        documents.select("url", "warc_ts"), "url"
     )
     # date filter (missing date passes) -> recency boost -> candidate cap
     hits = date_range_filter(hits, "warc_ts", date_from, date_to)
@@ -122,10 +124,14 @@ def run_search(
     ).orderBy(F.desc("boosted"), F.asc("url"), F.asc("chunk_id")).limit(
         RERANK_CANDIDATES
     )
-    # stage 2: rerank (stub model) -> threshold -> phrase post-filter
+    # stage 2: rerank (per-worker-cached model) -> threshold -> phrase filter
     reranked = rerank(hits, cleaned, k=RERANK_TOP_K, text_col="text", id_col="url")
     reranked = reranked.where(F.col("rerank_score") >= SCORE_THRESHOLD)
     reranked = phrase_post_filter(reranked, "text", phrases)
+    # result-shaping metadata joins back onto the <= k winners only
+    reranked = reranked.join(
+        documents.select("url", "headings", "line_offsets"), "url"
+    ).orderBy(F.desc("rerank_score"), F.asc("url"), F.asc("chunk_id"))
 
     out_chunks = []
     for r in reranked.collect():

@@ -81,12 +81,23 @@ class TableStore:
         else:
             df.write.mode("overwrite").parquet(self.path(table))
 
+    # seconds after which another process's swap lock is presumed crashed;
+    # a live replace() holds the lock for one directory-rename pair (~ms)
+    SWAP_LOCK_STALE_S = 30.0
+
     def replace(self, df: DataFrame, table: str) -> None:
         """Replace a table whose CURRENT contents feed ``df``'s plan (the
         incremental-apply shape: new = old minus stale plus fresh). A direct
         overwrite would truncate the input mid-read, so: write to a staging
         dir, then swap directories. With Iceberg this is simply
-        createOrReplace (snapshot isolation)."""
+        createOrReplace (snapshot isolation).
+
+        Cross-process safety for the parquet backend: the rename pair runs
+        under a ``.__swap_lock`` file that ``_heal`` respects, so a
+        concurrent reader (e.g. scripts/serve.py against a dir a streaming
+        writer maintains) cannot rename ``.__old`` back mid-swap and break
+        the writer's final rename. Multi-WRITER is still out of scope for
+        parquet dirs — use the Iceberg backend for that."""
         if self.table_format == "iceberg":
             df.writeTo(table).createOrReplace()
             return
@@ -98,9 +109,16 @@ class TableStore:
         old = final + ".__old"
         if os.path.exists(old):
             shutil.rmtree(old)
-        if os.path.exists(final):
-            os.replace(final, old)
-        os.replace(staging, final)
+        lock = final + ".__swap_lock"
+        with open(lock, "w") as f:
+            f.write(str(os.getpid()))
+        try:
+            if os.path.exists(final):
+                os.replace(final, old)
+            os.replace(staging, final)
+        finally:
+            if os.path.exists(lock):
+                os.remove(lock)
         if os.path.exists(old):
             shutil.rmtree(old)
 
@@ -108,9 +126,30 @@ class TableStore:
         """Recover from a crash inside replace(): if the final dir is gone
         but the displaced previous version (.__old) survives, restore it —
         the swap window (final renamed away, staging not yet renamed in)
-        must never lose the table."""
+        must never lose the table.
+
+        A FRESH ``.__swap_lock`` means another process is mid-swap right
+        now: wait for it instead of healing (renaming ``.__old`` back would
+        make the writer's final rename fail with a non-empty target). A
+        stale lock is a crashed writer — remove it and heal."""
         final = self.path(table)
         old = final + ".__old"
+        lock = final + ".__swap_lock"
+        deadline = time.time() + self.SWAP_LOCK_STALE_S
+        while os.path.exists(lock):
+            try:
+                age = time.time() - os.path.getmtime(lock)
+            except OSError:  # lock vanished between exists() and getmtime()
+                break
+            if age >= self.SWAP_LOCK_STALE_S:
+                try:
+                    os.remove(lock)  # crashed writer
+                except OSError:
+                    pass
+                break
+            if time.time() >= deadline:
+                break
+            time.sleep(0.05)  # live writer: the swap is a ~ms rename pair
         if not os.path.exists(final) and os.path.exists(old):
             os.replace(old, final)
 
@@ -120,8 +159,11 @@ class TableStore:
         self._heal(table)
         return spark.read.parquet(self.path(table))
 
-    def exists(self, table: str) -> bool:
+    def exists(self, table: str, spark: SparkSession | None = None) -> bool:
         if self.table_format == "iceberg":
-            return True
+            spark = spark or SparkSession.getActiveSession()
+            if spark is None:
+                return False  # can't verify -> force recompute, never lie
+            return spark.catalog.tableExists(table)
         self._heal(table)
         return os.path.exists(os.path.join(self.path(table), "_SUCCESS"))

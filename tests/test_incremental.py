@@ -183,6 +183,39 @@ class TestExtractGuards:
         ok = {r["url"] for r in docs.where("ok").collect()}
         assert ok == {"u-small"}
 
+    def test_hung_row_hits_wall_clock_quarantine(self, spark):
+        """A NON-throwing hang (pathological entity-dense markup driving the
+        pure-Python parser loop for seconds) breaches the per-row wall-clock
+        deadline and lands in quarantine with error='timeout: ...' while the
+        rest of the batch completes (reference 300 s/file kill,
+        index.py:584-602 / cfgload.py:76-79)."""
+        import time
+
+        import chunksilo_spark.operators.stage1_extract as s1mod
+
+        slow = ("<p>" + "&amp; word " * 1_500_000 + "</p>").encode()
+        pages = spark.createDataFrame(
+            [
+                ("u-slow", None, slow, None, "en"),
+                ("u-fast", None, b"<p>quick page</p>", None, "en"),
+            ],
+            schema=(
+                "url string, warc_ts timestamp, html binary, "
+                "text string, lang string"
+            ),
+        )
+        t0 = time.time()
+        docs = s1mod.extract_documents(
+            pages, partitions=1, max_html_bytes=100_000_000, row_timeout_s=0.1
+        )
+        q = {r["url"]: r["error"] for r in s1mod.quarantine(docs).collect()}
+        wall = time.time() - t0
+        assert set(q) == {"u-slow"} and q["u-slow"].startswith("timeout:")
+        ok = {r["url"] for r in docs.where("ok").collect()}
+        assert ok == {"u-fast"}
+        # the guard fired promptly; without it this page parses for seconds
+        assert wall < 30.0
+
 
 class TestStreamingMaintenance:
     def test_streamed_deltas_equal_batch_rebuild(self, spark, tmp_path):

@@ -1,6 +1,7 @@
 """Operator-level Spark tests: canon, dedup, similarity, incremental,
 multimodal, search funnel, streaming ingest, generation determinism."""
 
+import numpy as np
 import pyspark.sql.functions as F
 import pytest
 
@@ -244,6 +245,55 @@ class TestSimilarity:
         ivf = {(r["query_id"], r["rank"]): r["neighbor_id"]
                for r in sim.ivf_topk(df, q, k=5, n_centroids=8, n_probe=2).collect()}
         assert ivf == bf
+
+    def test_ivf_deterministic_under_reversed_partitioning(self, spark):
+        """The coarse-quantizer sample is an ordered take, so reversing the
+        input's partition layout must not change any (query, rank) ->
+        (neighbor, cosine) result (VERDICT r2 'What's wrong' #1)."""
+        import numpy as np
+
+        rng = np.random.default_rng(5)
+        centers = rng.standard_normal((8, 32))
+        centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+        vecs = []
+        for i in range(80):
+            v = centers[i % 8] + 0.05 * rng.standard_normal(32)
+            vecs.append((i, [float(x) for x in v]))
+        fwd = spark.createDataFrame(
+            vecs, schema="vec_id long, embedding array<float>"
+        ).repartition(4)
+        rev = spark.createDataFrame(
+            list(reversed(vecs)), schema="vec_id long, embedding array<float>"
+        ).repartitionByRange(7, "vec_id")
+        q = fwd.where("vec_id < 6")
+        a = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+             for r in sim.ivf_topk(fwd, q, k=5, n_centroids=8, n_probe=2,
+                                   sample_rows=40).collect()}
+        b = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+             for r in sim.ivf_topk(rev, q, k=5, n_centroids=8, n_probe=2,
+                                   sample_rows=40).collect()}
+        assert a == b
+
+    def test_ivf_empty_corpus_returns_empty(self, spark):
+        empty = spark.createDataFrame(
+            [], schema="vec_id long, embedding array<float>"
+        )
+        q = spark.createDataFrame(
+            [(0, [1.0] * 8)], schema="vec_id long, embedding array<float>"
+        )
+        assert sim.ivf_topk(empty, q, k=3).count() == 0
+
+    def test_bruteforce_small_corpus_excludes_self(self, spark):
+        """Corpus with fewer than k non-self rows: the masked self row
+        (-inf) must not leak into the results (ADVICE r2)."""
+        df = spark.createDataFrame(
+            [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0])],
+            schema="vec_id long, embedding array<float>",
+        )
+        out = sim.brute_force_topk(df, df.where("vec_id = 0"), k=5).collect()
+        ids = [r["neighbor_id"] for r in out]
+        assert 0 not in ids and sorted(ids) == [1, 2]
+        assert all(np.isfinite(r["cosine"]) for r in out)
 
 
 class TestIncremental:

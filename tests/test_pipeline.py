@@ -154,3 +154,86 @@ def test_replace_crash_window_heals(spark, tmp_path):
     store.replace(store.read(spark, "t").where("id = 1"), "t")
     assert store.read(spark, "t").count() == 1
     shutil.rmtree(str(tmp_path), ignore_errors=True)
+
+
+def test_swap_lock_respected_and_stale_lock_healed(spark, tmp_path):
+    """_heal must not rename .__old back while a FRESH swap lock is held
+    (a live writer is mid-swap); a STALE lock is a crashed writer and is
+    cleared, then healing proceeds."""
+    import os
+    import shutil
+    import time
+
+    from chunksilo_spark.sources.storage import TableStore
+
+    store = TableStore(str(tmp_path))
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    store.write(df, "t")
+    final = store.path("t")
+    lock = final + ".__swap_lock"
+
+    # fresh lock + displaced table: _heal waits for the lock, not steals it
+    os.replace(final, final + ".__old")
+    with open(lock, "w") as f:
+        f.write("99999")
+    store.SWAP_LOCK_STALE_S = 0.3  # keep the test fast
+    t0 = time.time()
+    assert store.exists("t")  # blocks until the lock goes stale, then heals
+    assert time.time() - t0 >= 0.2  # it actually waited
+    assert os.path.exists(final) and not os.path.exists(lock)
+
+    # stale lock (old mtime): removed immediately, heal proceeds
+    os.replace(final, final + ".__old")
+    with open(lock, "w") as f:
+        f.write("99999")
+    past = time.time() - 60
+    os.utime(lock, (past, past))
+    t0 = time.time()
+    assert store.exists("t")
+    assert time.time() - t0 < 0.2  # no wait for an already-stale lock
+    assert os.path.exists(final) and not os.path.exists(lock)
+    shutil.rmtree(str(tmp_path), ignore_errors=True)
+
+
+def test_exists_requires_success_marker_and_materialize_recomputes(
+    spark, tmp_path
+):
+    """A marked-complete stage whose table was dropped must NOT resume from
+    the missing table: exists() is format-checked and _materialize rebuilds
+    (VERDICT r2 item 5 — no unconditional True left)."""
+    import shutil
+
+    from chunksilo_spark.plans.pipeline import _materialize
+    from chunksilo_spark.sources.storage import TableStore
+
+    store = TableStore(str(tmp_path))
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    builds = []
+
+    def build():
+        builds.append(1)
+        return df
+
+    out1 = _materialize(store, spark, "s1", "t", "fp", build, "id")
+    assert out1.count() == 2 and builds == [1]
+    # resume: marked + present -> no rebuild
+    _materialize(store, spark, "s1", "t", "fp", build, "id")
+    assert builds == [1]
+    # drop the table but keep the manifest mark -> must rebuild
+    shutil.rmtree(store.path("t"))
+    assert not store.exists("t", spark)
+    out3 = _materialize(store, spark, "s1", "t", "fp", build, "id")
+    assert builds == [1, 1]
+    assert out3.count() == 2
+    shutil.rmtree(str(tmp_path), ignore_errors=True)
+
+
+def test_iceberg_exists_consults_catalog(spark, tmp_path):
+    """The iceberg branch of exists() asks the session catalog instead of
+    returning an unconditional True (format-agnostic logic; no iceberg jars
+    needed for a negative lookup)."""
+    from chunksilo_spark.sources.storage import TableStore
+
+    store = TableStore(str(tmp_path), table_format="iceberg")
+    assert store.exists("definitely_not_a_table_xyz", spark) is False
+    assert store.exists("definitely_not_a_table_xyz") is False  # active session
