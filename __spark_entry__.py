@@ -6,12 +6,12 @@ testdata; ``oracle_sql()`` gives the DuckDB-equivalent SQL. Column names and
 rounding are aligned on both sides so the driver's order-insensitive
 value-hash comparison is exact.
 
-Of the 47 queries, 44 have DuckDB oracles. The 3 without
-(w2_rerank_topk: stub rerank model, reference-sanctioned; d_simhash:
-fingerprint bits not SQL-derivable; kg_pipeline_mini: full DAG) each have a
-quantitative pytest instead — rerank vs a plain-python oracle, simhash
-batch==per-token-definition parity, pipeline P/R == 1.0 vs the golden
-corpus (tests/test_operators.py, tests/test_pipeline.py).
+Of the 49 queries, 47 have DuckDB oracles (d_simhash gained one in round
+3 by switching its token hash to an md5-derived 64-bit value, the same
+trick as t_winnow). The 2 without (w2_rerank_topk: stub rerank model,
+reference-sanctioned; kg_pipeline_mini: full DAG) each have a quantitative
+pytest instead — rerank vs a plain-python oracle, pipeline P/R == 1.0 vs
+the golden corpus (tests/test_operators.py, tests/test_pipeline.py).
 """
 
 from __future__ import annotations
@@ -401,6 +401,27 @@ def _f13_json_props(spark, sf):  # JSON metadata extraction (F13 shaping)
     )
 
 
+def _f14_extras(spark, sf):  # ragged metadata map (MapType, SURVEY §1.3)
+    # build a ragged extras map per doc (the 'big' key only exists for long
+    # docs — MapType raggedness), then read it back with element_at/size;
+    # the pipeline producer of the same shape is stage1's documents.extras
+    docs = _t(spark, sf, "documents")
+    extras = F.map_filter(
+        F.create_map(
+            F.lit("source"), F.col("source"),
+            F.lit("lang"), F.col("lang"),
+            F.lit("big"), F.when(F.col("n_chars") > 400, F.lit("y")),
+        ),
+        lambda k, v: v.isNotNull(),
+    )
+    return docs.select(
+        "doc_id",
+        F.element_at(extras, "source").alias("x_source"),
+        F.element_at(extras, "big").alias("x_big"),
+        F.size(extras).alias("n_extras"),
+    )
+
+
 def _f8_date_strings(spark, sf):  # F7/F8 date <-> string round-trip
     o = _t(spark, sf, "orders")
     return o.select(
@@ -493,7 +514,7 @@ def _d_minhash_lsh(spark, sf):  # MinHash-LSH candidate pairs
     )
 
 
-def _d_simhash(spark, sf):  # SimHash fingerprints (rows-only)
+def _d_simhash(spark, sf):  # SimHash fingerprints (md5 token hash -> SQL oracle)
     return dd.simhash_fingerprints(_t(spark, sf, "documents"))
 
 
@@ -812,6 +833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flagship_search": _flagship_search,
         "w2_rerank_topk": _w2_rerank_topk,
         "f13_json_props": _f13_json_props,
+        "f14_extras": _f14_extras,
         "f8_date_strings": _f8_date_strings,
         "t_lang_id": _t_lang_id,
         "t_token_counts": _t_token_counts,
@@ -1103,6 +1125,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
             FROM events
         """,
+        "f14_extras": """
+            SELECT doc_id,
+                   source AS x_source,
+                   CASE WHEN n_chars > 400 THEN 'y' END AS x_big,
+                   ((source IS NOT NULL)::INT + (lang IS NOT NULL)::INT
+                    + (n_chars > 400)::INT) AS n_extras
+            FROM documents
+        """,
         "f8_date_strings": """
             SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS day,
                    CAST(year(o_orderdate) AS INTEGER) AS yr
@@ -1271,6 +1301,40 @@ def oracle_sql() -> dict[str, str]:
                 FROM c q JOIN c v ON q.vec_id <> v.vec_id
                 WHERE q.vec_id < 10
             ) WHERE rank <= 5
+        """,
+        # simhash re-derived in SQL: token hash = first 8 md5 bytes as
+        # uint64 (matching functions/minhash.simhash64_batch); bit i of the
+        # fingerprint is 1 iff more token hashes have bit i set than not;
+        # signed simhash = h - 2^63, bucket16 = h >> 48
+        "d_simhash": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(list_filter(
+                           string_split_regex(lower(text), '\\s+'),
+                           x -> x <> '')) AS tok
+                FROM documents
+            ),
+            bitacc AS (
+                SELECT doc_id, b.bit AS bit,
+                       SUM(CASE WHEN ((('0x' || substr(md5(tok), 1, 16))::UBIGINT
+                                       >> b.bit) & 1::UBIGINT) = 1
+                                THEN 1 ELSE -1 END) AS acc
+                FROM toks, (SELECT unnest(range(64)) AS bit) b
+                GROUP BY doc_id, b.bit
+            ),
+            fp AS (
+                SELECT doc_id,
+                       SUM(CASE WHEN acc > 0
+                                THEN (1::UBIGINT << bit)::HUGEINT
+                                ELSE 0 END) AS h
+                FROM bitacc GROUP BY doc_id
+            )
+            SELECT d.doc_id AS doc_id,
+                   CAST(COALESCE(f.h, 0) - 9223372036854775808 AS BIGINT)
+                       AS simhash,
+                   CAST(COALESCE(f.h, 0) // 281474976710656 AS INTEGER)
+                       AS bucket16
+            FROM documents d LEFT JOIN fp f USING (doc_id)
         """,
         # winnowing re-derived in SQL: every 8-char window's md5 prefix,
         # keep the 4 lexicographically smallest, md5 the concatenation

@@ -252,6 +252,70 @@ def _pipeline_cluster_main(
         spark.stop()
 
 
+def _compare_commit_section(
+    pages_dir: str, n_pages: int, cores: int
+) -> dict | None:
+    """Interleaved paired kg_pipeline walls: CURRENT code vs an earlier
+    commit, same staged input, same cores, alternating runs. This host
+    drifts +-30% over minutes (BENCH/BASELINE.md §3), so two single-shot
+    numbers from different rounds prove nothing about a regression; pairs
+    measured back-to-back do. Gated by BENCH_COMPARE_COMMIT (a git rev;
+    '' or '0' disables); the snapshot is extracted once via git archive."""
+    import subprocess
+
+    commit = os.environ.get("BENCH_COMPARE_COMMIT", "ae14d11")
+    if commit in ("", "0"):
+        return None
+    repo = os.path.dirname(os.path.abspath(__file__))
+    try:
+        snap = os.path.join(tempfile.gettempdir(), f"bench_snap_{commit}")
+        if not os.path.exists(os.path.join(snap, "bench.py")):
+            os.makedirs(snap, exist_ok=True)
+            tar = subprocess.run(
+                ["git", "-C", repo, "archive", commit],
+                capture_output=True, check=True,
+            )
+            subprocess.run(
+                ["tar", "-x", "-C", snap], input=tar.stdout, check=True
+            )
+        repeats = int(os.environ.get("BENCH_COMPARE_REPEATS", "3"))
+        cur_walls, old_walls = [], []
+        for _ in range(repeats):
+            cur = _subprocess_json(
+                ["--pipeline-local-run", str(cores), pages_dir, str(n_pages)]
+            )
+            old_out = subprocess.run(
+                [
+                    sys.executable, os.path.join(snap, "bench.py"),
+                    "--pipeline-local-run", str(cores), pages_dir,
+                    str(n_pages),
+                ],
+                capture_output=True, text=True, check=True,
+            )
+            old = json.loads(old_out.stdout.strip().splitlines()[-1])
+            cur_walls.append(cur["wall_s"])
+            old_walls.append(old["wall_s"])
+
+        def med(xs: list[float]) -> float:
+            s = sorted(xs)
+            return s[len(s) // 2]
+
+        return {
+            "commit": commit,
+            "cores": cores,
+            "n_pages": n_pages,
+            "walls_current": cur_walls,
+            "walls_commit": old_walls,
+            "median_current": med(cur_walls),
+            "median_commit": med(old_walls),
+            "current_over_commit": round(med(cur_walls) / med(old_walls), 3),
+            "method": "interleaved current/commit pairs, same staged input",
+        }
+    except Exception as e:  # noqa: BLE001 — evidence section, never fatal
+        sys.stderr.write(f"commit-compare section skipped: {e}\n")
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -279,6 +343,10 @@ def main() -> None:
         "cores": cores,
         "pipeline": pipe,
     }
+
+    compare = _compare_commit_section(pages_dir, n_pages, hi)
+    if compare is not None:
+        result["kg_pipeline_paired_compare"] = compare
 
     if os.environ.get("BENCH_SCALING", "1") == "1":
         # scaling evidence runs on a larger corpus so per-core compute
@@ -323,13 +391,14 @@ def main() -> None:
             except Exception as e:  # noqa: BLE001
                 sys.stderr.write(f"scaling pair {i} failed, skipping: {e}\n")
                 continue
-            eff = min(1.0, (hi_run["docs_per_sec"] / 4) / lo_run["docs_per_sec"])
-            pairs.append((round(eff, 3), lo_run, hi_run))
+            raw_eff = (hi_run["docs_per_sec"] / 4) / lo_run["docs_per_sec"]
+            eff = min(1.0, raw_eff)
+            pairs.append((round(eff, 3), lo_run, hi_run, round(raw_eff, 3)))
         if not pairs:
             raise RuntimeError("all scaling pairs failed")
         pairs_sorted = sorted(pairs, key=lambda p: p[0])
         median_pair = pairs_sorted[len(pairs_sorted) // 2]
-        med_eff, pipe_lo, pipe_hi = median_pair
+        med_eff, pipe_lo, pipe_hi = median_pair[:3]
         if len(pairs_sorted) % 2 == 0:
             med_eff = round(
                 (pairs_sorted[len(pairs_sorted) // 2 - 1][0] + med_eff) / 2, 3
@@ -340,6 +409,10 @@ def main() -> None:
             "efficiency": med_eff,
             "method": "median of interleaved lo/hi pairs, samples clamped at 1.0",
             "pair_efficiencies": [p[0] for p in pairs],
+            # unclamped values make clamp saturation auditable: a clamped
+            # 1.0 backed by a raw 1.18 is "drift in the high config's
+            # favor", not a measured efficiency of exactly 1
+            "pair_efficiencies_raw": [p[3] for p in pairs],
             "all_walls": {
                 "low": [p[1]["wall_s"] for p in pairs],
                 "high": [p[2]["wall_s"] for p in pairs],

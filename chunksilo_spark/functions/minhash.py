@@ -151,7 +151,7 @@ _BIT_IDX = np.arange(64, dtype=np.uint64)
 
 
 def simhash64(tokens: list[str]) -> int:
-    """64-bit SimHash over tokens (crc32-seeded 64-bit token hashes)."""
+    """64-bit SimHash over tokens (md5-derived 64-bit token hashes)."""
     return simhash64_batch([tokens])[0]
 
 
@@ -159,7 +159,14 @@ def simhash64_batch(token_lists: list[list[str]]) -> list[int]:
     """SimHash per token list — one (n_tokens, 64) numpy pass per doc
     (instead of per-token numpy work) with token hashes cached across the
     batch. Definition: bit i of the result is 1 iff the count of tokens
-    whose hash has bit i set exceeds the count of tokens that don't."""
+    whose hash has bit i set exceeds the count of tokens that don't.
+
+    Token hash = first 8 bytes of md5(token), big-endian — the same
+    hash is re-derivable in ANSI SQL (``('0x' || substr(md5(tok), 1,
+    16))::UBIGINT`` in DuckDB), so the full fingerprint has an exact SQL
+    oracle (driver query d_simhash), like the winnowing fingerprint."""
+    import hashlib
+
     cache: dict[str, int] = {}
     out: list[int] = []
     for tokens in token_lists:
@@ -170,8 +177,9 @@ def simhash64_batch(token_lists: list[list[str]]) -> list[int]:
         for j, tok in enumerate(tokens):
             v = cache.get(tok)
             if v is None:
-                data = tok.encode("utf-8")
-                v = (zlib.crc32(data) << 32) | zlib.crc32(data + b"\x01")
+                v = int.from_bytes(
+                    hashlib.md5(tok.encode("utf-8")).digest()[:8], "big"
+                )
                 cache[tok] = v
             hs[j] = v
         bits = (hs[:, None] >> _BIT_IDX[None, :]) & np.uint64(1)  # (n, 64)

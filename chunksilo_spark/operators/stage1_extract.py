@@ -36,7 +36,13 @@ DOCS_SCHEMA = (
     "url string, warc_ts timestamp, lang string, content_md5 string, "
     "text string, "
     "headings array<struct<text string, position long, level int>>, "
-    "line_offsets array<long>, n_chars long, ok boolean, error string"
+    "line_offsets array<long>, n_chars long, ok boolean, error string, "
+    # ragged per-source metadata (SURVEY §1.3 <- reference dynamic metadata
+    # dict, index.py:68-87): source-attached keys pass through from the
+    # pages table's optional ``extras`` column; the engine adds ``host``.
+    # Readers are null-safe by construction: element_at() on a missing key
+    # is null, so heterogeneous sources need no schema migration.
+    "extras map<string,string>"
 )
 
 CHUNKS_SCHEMA = (
@@ -102,13 +108,18 @@ def _extract_batch(
 ) -> Iterator[pd.DataFrame]:
     import hashlib
 
+    from urllib.parse import urlparse
+
     for pdf in batches:
         out = {k: [] for k in (
             "url", "warc_ts", "lang", "content_md5", "text", "headings",
-            "line_offsets", "n_chars", "ok", "error",
+            "line_offsets", "n_chars", "ok", "error", "extras",
         )}
-        for url, ts, html, lang in zip(
-            pdf["url"], pdf["warc_ts"], pdf["html"], pdf["lang"]
+        in_extras = (
+            pdf["extras"] if "extras" in pdf.columns else [None] * len(pdf)
+        )
+        for url, ts, html, lang, page_extras in zip(
+            pdf["url"], pdf["warc_ts"], pdf["html"], pdf["lang"], in_extras
         ):
             raw = bytes(html)
             text, heads, offs, ok, err = "", [], [], True, None
@@ -143,6 +154,12 @@ def _extract_batch(
             out["n_chars"].append(len(text))
             out["ok"].append(ok)
             out["error"].append(err)
+            # source keys first, engine-derived keys layered on top
+            extras = dict(page_extras) if page_extras is not None else {}
+            host = urlparse(url).netloc
+            if host:
+                extras["host"] = host
+            out["extras"].append(extras)
         yield pd.DataFrame(out)
 
 

@@ -1,5 +1,5 @@
 """Alternative input formats -> the canonical pages table
-(url, warc_ts, html binary, text, lang).
+(url, warc_ts, html binary, text, lang, extras map<string,string>).
 
 The reference ingests from heterogeneous sources (filesystem walks,
 Confluence, Jira — index.py SOURCES registry); the distributed analogs are
@@ -15,6 +15,14 @@ stage is source-agnostic:
 
 All readers are schema-explicit (no sampling-based inference job at 100 TB)
 and lazy — Catalyst sees an ordinary scan with pushdown/pruning.
+
+Ragged per-source metadata rides in ``extras`` (MapType(string,string)) —
+the SURVEY §1.3 mapping of the reference's dynamic metadata dict
+(index.py:68-87; Jira extra fields search.py:671-723): heterogeneous
+sources attach whatever keys they have, downstream reads are
+``element_at(extras, k)`` (null when absent) with no schema migration.
+Readers tag provenance (``source_format``) here; stage 1 carries the map
+into documents and adds engine-derived keys.
 """
 
 from __future__ import annotations
@@ -27,8 +35,9 @@ JSONL_SCHEMA = (
 )
 
 
-def _normalize(df: DataFrame) -> DataFrame:
-    """string html -> binary; missing optional columns -> nulls."""
+def _normalize(df: DataFrame, source_format: str) -> DataFrame:
+    """string html -> binary; missing optional columns -> nulls; provenance
+    tag into the ragged ``extras`` map."""
     cols = set(df.columns)
     out = df
     if "text" not in cols:
@@ -41,12 +50,15 @@ def _normalize(df: DataFrame) -> DataFrame:
         F.encode(F.col("html"), "utf-8").alias("html"),
         "text",
         "lang",
+        F.create_map(
+            F.lit("source_format"), F.lit(source_format)
+        ).alias("extras"),
     )
 
 
 def read_jsonl_pages(spark: SparkSession, path: str) -> DataFrame:
     """Newline-delimited JSON -> pages. Explicit schema: no inference pass."""
-    return _normalize(spark.read.schema(JSONL_SCHEMA).json(path))
+    return _normalize(spark.read.schema(JSONL_SCHEMA).json(path), "jsonl")
 
 
 def read_csv_pages(spark: SparkSession, path: str) -> DataFrame:
@@ -56,7 +68,8 @@ def read_csv_pages(spark: SparkSession, path: str) -> DataFrame:
         .option("header", True)
         .option("multiLine", True)
         .option("escape", '"')
-        .csv(path)
+        .csv(path),
+        "csv",
     )
 
 
@@ -75,6 +88,9 @@ def read_text_dir(spark: SparkSession, path: str, lang: str | None = None) -> Da
             F.encode(F.col("value"), "utf-8").alias("html"),
             F.lit(None).cast("string").alias("text"),
             F.lit(lang).cast("string").alias("lang"),
+            F.create_map(
+                F.lit("source_format"), F.lit("text_dir")
+            ).alias("extras"),
         )
     )
     return raw

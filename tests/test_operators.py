@@ -144,17 +144,22 @@ class TestDedup:
             assert (sig == minhash_signature(sh)).all()
 
     def test_simhash_batch_matches_reference_def(self):
+        import hashlib
+
         import numpy as np
-        import zlib
         from chunksilo_spark.functions.minhash import simhash64, simhash64_batch
 
-        def ref(tokens):  # the original per-token definition
+        def ref(tokens):  # the per-token definition (md5-derived token hash,
+            # chosen so the fingerprint is re-derivable in the SQL oracle)
             if not tokens:
                 return 0
             acc = np.zeros(64, dtype=np.int64)
             for tok in tokens:
-                data = tok.encode("utf-8")
-                h = np.uint64((zlib.crc32(data) << 32) | zlib.crc32(data + b"\x01"))
+                h = np.uint64(
+                    int.from_bytes(
+                        hashlib.md5(tok.encode("utf-8")).digest()[:8], "big"
+                    )
+                )
                 bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
                 acc += np.where(bits == 1, 1, -1)
             return sum(1 << i for i in range(64) if acc[i] > 0)

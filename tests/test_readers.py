@@ -68,3 +68,29 @@ def test_text_dir_one_row_per_file(spark, tmp_path):
         "a.html": "# Alpha\n\none two three",
         "b.html": "beta page",
     }
+
+
+def test_extras_provenance_flows_to_documents(spark, tmp_path):
+    """Ragged metadata (SURVEY §1.3): the reader's source_format tag rides
+    the extras map into documents, stage 1 layers engine keys (host) on
+    top, and element_at on an absent key is null — no schema migration."""
+    d = tmp_path / "site2"
+    d.mkdir()
+    (d / "a.html").write_text("<p>alpha content here</p>")
+    pages = read_text_dir(spark, str(d), lang="en")
+    docs = extract_documents(pages, 2)
+    row = docs.select(
+        F.element_at("extras", "source_format").alias("fmt"),
+        F.element_at("extras", "nonexistent_key").alias("missing"),
+        F.map_keys("extras").alias("keys"),
+    ).collect()[0]
+    assert row["fmt"] == "text_dir"
+    assert row["missing"] is None
+    assert "source_format" in row["keys"]
+
+    # a pages table WITHOUT the optional extras column still extracts,
+    # with only engine-derived keys
+    plain = pages_df(spark, 5, partitions=1)
+    assert "extras" not in plain.columns
+    got = extract_documents(plain, 1).select("extras").collect()
+    assert all(r["extras"] is not None for r in got)
