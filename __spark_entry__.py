@@ -6,7 +6,7 @@ testdata; ``oracle_sql()`` gives the DuckDB-equivalent SQL. Column names and
 rounding are aligned on both sides so the driver's order-insensitive
 value-hash comparison is exact.
 
-Of the 49 queries, 47 have DuckDB oracles (d_simhash gained one in round
+Of the 53 queries, 51 have DuckDB oracles (d_simhash gained one in round
 3 by switching its token hash to an md5-derived 64-bit value, the same
 trick as t_winnow). The 2 without (w2_rerank_topk: stub rerank model,
 reference-sanctioned; kg_pipeline_mini: full DAG) each have a quantitative
@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from chunksilo_spark.functions.textstats import STOPWORDS
+from chunksilo_spark.operators import curation as cu
 from chunksilo_spark.operators import dedup as dd
 from chunksilo_spark.operators import incremental as incr
 from chunksilo_spark.operators import multimodal as mm
@@ -420,6 +421,39 @@ def _f14_extras(spark, sf):  # ragged metadata map (MapType, SURVEY §1.3)
         F.element_at(extras, "big").alias("x_big"),
         F.size(extras).alias("n_extras"),
     )
+
+
+def _t_repetition(spark, sf):  # Gopher-style duplicate-3-gram fraction
+    return cu.repetition_profile(_t(spark, sf, "documents"))
+
+
+def _t_pii_scrub(spark, sf):  # email/phone redaction counts + clean digest
+    # the synthetic corpus has no PII, so salt a deterministic subset with
+    # known spans — the scrub then provably fires (and the oracle salts
+    # identically)
+    docs = _t(spark, sf, "documents")
+    salted = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact bob@example.com or 555-123-4567 now"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    return cu.pii_scrub(salted)
+
+
+def _d_contamination(spark, sf):  # benchmark decontamination (8-gram join)
+    docs = _t(spark, sf, "documents")
+    return cu.contamination_check(docs, docs.where(F.col("doc_id") % 7 == 0))
+
+
+def _t_stratified_sample(spark, sf):  # deterministic hash-rate sampling
+    return cu.stratified_sample(
+        _t(spark, sf, "documents"), ["lang"], {("en",): 37, ("de",): 11}
+    ).select("doc_id", "lang")
 
 
 def _f8_date_strings(spark, sf):  # F7/F8 date <-> string round-trip
@@ -834,6 +868,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w2_rerank_topk": _w2_rerank_topk,
         "f13_json_props": _f13_json_props,
         "f14_extras": _f14_extras,
+        "t_repetition": _t_repetition,
+        "t_pii_scrub": _t_pii_scrub,
+        "d_contamination": _d_contamination,
+        "t_stratified_sample": _t_stratified_sample,
         "f8_date_strings": _f8_date_strings,
         "t_lang_id": _t_lang_id,
         "t_token_counts": _t_token_counts,
@@ -1132,6 +1170,88 @@ def oracle_sql() -> dict[str, str]:
                    ((source IS NOT NULL)::INT + (lang IS NOT NULL)::INT
                     + (n_chars > 400)::INT) AS n_extras
             FROM documents
+        """,
+        "t_repetition": """
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(trim(text), '\\s+'),
+                                   x -> x <> '') AS toks
+                FROM documents
+            ), g AS (
+                SELECT doc_id,
+                       CASE WHEN len(toks) >= 3
+                            THEN list_transform(range(1, len(toks) - 1),
+                                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                            ELSE [] END AS grams
+                FROM t
+            )
+            SELECT doc_id,
+                   len(grams)::INT AS n_grams,
+                   len(list_distinct(grams))::INT AS n_distinct,
+                   round(CASE WHEN len(grams) > 0
+                              THEN 1.0 - len(list_distinct(grams))::DOUBLE / len(grams)
+                              ELSE 0.0 END, 6) AS dup_frac
+            FROM g
+        """,
+        # DuckDB regexp_replace needs the 'g' option to match Spark's
+        # replace-all; the scrub order (emails first) is mirrored
+        "t_pii_scrub": """
+            WITH salted AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 7 = 0
+                            THEN text || ' contact bob@example.com or 555-123-4567 now'
+                            ELSE text END AS text
+                FROM documents
+            ), s1 AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::INT
+                           AS n_emails,
+                       regexp_replace(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g') AS no_email
+                FROM salted
+            )
+            SELECT doc_id, n_emails,
+                   len(regexp_extract_all(no_email,
+                       '\\+?[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}'))::INT AS n_phones,
+                   md5(regexp_replace(no_email,
+                       '\\+?[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}',
+                       '<PHONE>', 'g')) AS clean_md5
+            FROM s1
+        """,
+        "d_contamination": """
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(trim(text), '\\s+'),
+                                   x -> x <> '') AS toks
+                FROM documents
+            ), g AS (
+                SELECT doc_id, unnest(list_distinct(
+                       CASE WHEN len(toks) >= 8
+                            THEN list_transform(range(1, len(toks) - 6),
+                                 i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]||' '||
+                                      toks[i+3]||' '||toks[i+4]||' '||toks[i+5]||' '||
+                                      toks[i+6]||' '||toks[i+7])
+                            ELSE [] END)) AS gram
+                FROM t
+            ), e AS (
+                SELECT DISTINCT doc_id AS eval_id, gram FROM g WHERE doc_id % 7 = 0
+            )
+            SELECT g.doc_id AS doc_id, e.eval_id AS eval_id,
+                   count(*) AS n_shared
+            FROM g JOIN e USING (gram)
+            WHERE g.doc_id <> e.eval_id
+            GROUP BY 1, 2
+        """,
+        # the sample is a pure deterministic function of doc_id (md5 bucket
+        # under a per-stratum rate) — same rows on every engine and rerun
+        "t_stratified_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE (lang = 'en' AND
+                   ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::UBIGINT % 100 < 37)
+               OR (lang = 'de' AND
+                   ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::UBIGINT % 100 < 11)
         """,
         "f8_date_strings": """
             SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS day,

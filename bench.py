@@ -52,6 +52,7 @@ HEADLINE = [
     "s_knn_lsh",
     "s_knn_ivf",
     "d_neardup_verified",
+    "d_contamination",
     "incr_change_detect",
 ]
 

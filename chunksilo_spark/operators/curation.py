@@ -1,0 +1,182 @@
+"""Training-data curation operators: repetition filtering, PII scrubbing,
+benchmark decontamination, deterministic stratified sampling.
+
+These are the standard curation passes of an LLM data pipeline (Gopher /
+RefinedWeb / Dolma-style) over the ``documents`` table, expressed so that
+every hot path is a JVM column expression or an equi-join — no Python per
+row, no corpus-sized shuffle where one is avoidable:
+
+  * repetition_profile — duplicate-3-gram fraction per doc (boilerplate /
+    generated-text signal): pure higher-order column expressions, one scan;
+  * pii_scrub          — email / phone redaction via ``regexp_replace``
+    (codegen, one scan), with per-doc match counts;
+  * contamination_check — docs sharing any word-8-gram with a (small) eval
+    set: corpus grams explode map-side and hash-join the BROADCAST eval
+    gram set — the corpus is never shuffled, the classic decontamination
+    funnel at 100 TB;
+  * stratified_sample  — deterministic per-stratum rate sampling by md5
+    hash threshold: a pure filter, NO shuffle at all (a windowed top-k per
+    stratum would sort-shuffle the corpus; rate-by-hash is how a 10^12-row
+    sample is actually drawn). The hash is md5-derived so the exact sample
+    is re-derivable in ANSI SQL (driver oracle), like t_winnow/d_simhash.
+
+All four have DuckDB oracles (driver queries t_repetition, t_pii_scrub,
+d_contamination, t_stratified_sample).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# simple, portable patterns (Java regex on the Spark side, RE2 in the
+# DuckDB oracle — the subset used here behaves identically in both)
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}"
+
+
+def _word_grams(toks: Column, n: int) -> Column:
+    """All word n-grams (NON-distinct — repetition needs multiplicity) from
+    an ALREADY-TOKENIZED array column; texts with < n words yield no grams.
+
+    Takes tokens, not text, on purpose: inlining the ``split`` into the
+    gram lambda makes Catalyst re-run the full-text regex split once per
+    element access (no CSE inside interpreted higher-order functions —
+    measured 22 s for 236k grams at sf0.1; with a projected token column
+    and one ``slice`` per gram it is <1 s). Callers project
+    ``_tokens(text)`` first; CollapseProject keeps the split un-duplicated
+    because it is non-cheap with multiple references."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _tokens(text_col: Column) -> Column:
+    return F.split(F.trim(text_col), r"\s+")
+
+
+def repetition_profile(
+    docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, n_grams, n_distinct, dup_frac) per doc — the Gopher-style
+    within-document repetition signal (dup_frac = 1 - distinct/total over
+    word n-grams; high values = boilerplate or degenerate generation).
+    One scan, all codegen'd higher-order expressions."""
+    with_toks = docs.select(
+        F.col(id_col), _tokens(F.col(text_col)).alias("_toks")
+    )
+    grams = _word_grams(F.col("_toks"), n)
+    n_grams = F.size(grams)
+    n_distinct = F.size(F.array_distinct(grams))
+    return with_toks.select(
+        F.col(id_col),
+        n_grams.alias("n_grams"),
+        n_distinct.alias("n_distinct"),
+        F.round(
+            F.when(
+                n_grams > 0,
+                1.0 - n_distinct.cast("double") / n_grams.cast("double"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_frac"),
+    )
+
+
+def pii_scrub(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, n_emails, n_phones, clean_md5) — counts of redacted spans and
+    the digest of the scrubbed text (emails -> <EMAIL>, phones -> <PHONE>).
+    Pure regexp built-ins: one codegen'd scan, trivially 100 TB-safe."""
+    email_matches = F.size(F.regexp_extract_all(text_col, F.lit(EMAIL_RE), 0))
+    # scrub emails FIRST so a phone-like digit run inside an email local
+    # part cannot double-count; counts are computed on the same stage input
+    no_email = F.regexp_replace(F.col(text_col), EMAIL_RE, "<EMAIL>")
+    phone_matches = F.size(F.regexp_extract_all(no_email, F.lit(PHONE_RE), 0))
+    clean = F.regexp_replace(no_email, PHONE_RE, "<PHONE>")
+    return docs.select(
+        F.col(id_col),
+        email_matches.alias("n_emails"),
+        phone_matches.alias("n_phones"),
+        F.md5(clean).alias("clean_md5"),
+    )
+
+
+def contamination_check(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing >= 1 word-``n``-gram
+    with any eval-set doc -> (doc_id, eval_id, n_shared).
+
+    Scale shape: the eval set is benchmark-sized (thousands of docs), so
+    its distinct grams BROADCAST; the corpus side explodes its grams
+    map-side and hash-joins — the corpus is never shuffled, and the
+    aggregate runs on the (tiny) matched subset. 8-grams are the common
+    decontamination unit (GPT-3 appendix C / Dolma)."""
+    corpus_grams = docs.select(
+        F.col(id_col), _tokens(F.col(text_col)).alias("_toks")
+    ).select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(_word_grams(F.col("_toks"), n))
+        ).alias("gram"),
+    )
+    eval_grams = eval_docs.select(
+        F.col(id_col).alias("eval_id"), _tokens(F.col(text_col)).alias("_toks")
+    ).select(
+        "eval_id",
+        F.explode(
+            F.array_distinct(_word_grams(F.col("_toks"), n))
+        ).alias("gram"),
+    ).distinct()
+    return (
+        corpus_grams.join(F.broadcast(eval_grams), "gram")
+        .where(F.col(id_col) != F.col("eval_id"))
+        .groupBy(id_col, "eval_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+def _md5_bucket(col: Column, buckets: int = 100) -> Column:
+    """Deterministic [0, buckets) bucket from md5 of the column's string
+    form — the first 15 hex chars fit a signed 64-bit int, and the same
+    expression is exact ANSI SQL (DuckDB:
+    ``('0x' || substr(md5(x::VARCHAR), 1, 15))::UBIGINT % buckets``)."""
+    h = F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10)
+    return F.pmod(h.cast("long"), F.lit(buckets))
+
+
+def stratified_sample(
+    docs: DataFrame,
+    strata_cols: list[str],
+    rates: dict[tuple, int] | int,
+    id_col: str = "doc_id",
+    buckets: int = 100,
+) -> DataFrame:
+    """Deterministic stratified sample: keep a row iff its md5 bucket falls
+    under its stratum's rate (percent when buckets=100).
+
+    ``rates`` is either one int rate for every stratum or a dict
+    {stratum-tuple: rate}. A pure filter — no shuffle, no window, no
+    sampleBy RNG: the sample is a reproducible function of ``id_col``, so
+    reruns, resumed jobs and the SQL oracle all draw the SAME rows (the
+    property that matters when the sample feeds a training run)."""
+    bucket = _md5_bucket(F.col(id_col), buckets)
+    if isinstance(rates, int):
+        cond = bucket < F.lit(rates)
+    else:
+        cond = F.lit(False)
+        for stratum, rate in sorted(rates.items()):
+            match = F.lit(True)
+            for c, v in zip(strata_cols, stratum):
+                match = match & (F.col(c) == F.lit(v))
+            cond = F.when(match, bucket < F.lit(rate)).otherwise(cond)
+    return docs.where(cond)

@@ -221,7 +221,15 @@ def neardup_verified(
     space the MinHash estimates (word 3-grams), entirely JVM-side
     (array_intersect on distinct shingle arrays), and touches only the
     candidate pairs — the classic LSH funnel."""
-    cands = minhash_lsh_pairs(docs, text_col).select("doc_a", "doc_b")
+    # localCheckpoint: the candidate relation feeds the id semi-join AND
+    # both sides of the final pair join — without truncation the whole
+    # minhash subtree (collapse + signatures + band self-join) executes
+    # up to 3x in the one plan
+    cands = (
+        minhash_lsh_pairs(docs, text_col)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
     # shingle ONLY the docs that appear in a candidate pair: the (interpreted)
     # higher-order shingle expression is the expensive part, and candidates
     # are a vanishing fraction of the corpus at scale
@@ -231,7 +239,13 @@ def neardup_verified(
         .distinct()
     )
     sub = docs.join(ids, "doc_id", "left_semi")
-    sh = sub.select(F.col("doc_id"), _shingles3(text_col).alias("sh"))
+    # sh feeds BOTH join sides: checkpoint so the interpreted shingle
+    # expression evaluates once per candidate doc, not twice
+    # (with the cands checkpoint above: ~4.0 s -> ~3.2 s warm at sf0.1;
+    # the remainder is three sequential job launches, fixed cost)
+    sh = sub.select(
+        F.col("doc_id"), _shingles3(text_col).alias("sh")
+    ).localCheckpoint()
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))

@@ -1,0 +1,112 @@
+"""Curation operators: repetition profile, PII scrub, decontamination,
+deterministic stratified sampling (operators/curation.py)."""
+
+import hashlib
+
+import pyspark.sql.functions as F
+
+from chunksilo_spark.operators import curation as cu
+
+
+class TestRepetition:
+    def test_known_duplicate_fraction(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (1, "a b a b a b"),   # 3-grams: aba, bab, aba, bab
+                (2, "w x y z"),       # 2 distinct 3-grams
+                (3, "one two"),       # < 3 words: no grams
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: (r["n_grams"], r["n_distinct"], r["dup_frac"])
+            for r in cu.repetition_profile(docs).collect()
+        }
+        assert got[1] == (4, 2, 0.5)
+        assert got[2] == (2, 2, 0.0)
+        assert got[3] == (0, 0, 0.0)
+
+
+class TestPiiScrub:
+    def test_counts_and_clean_digest(self, spark):
+        text = "mail a@b.co and c.d+x@e.org or call 555-123-4567 ok"
+        docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        row = cu.pii_scrub(docs).collect()[0]
+        assert row["n_emails"] == 2 and row["n_phones"] == 1
+        expected = "mail <EMAIL> and <EMAIL> or call <PHONE> ok"
+        assert row["clean_md5"] == hashlib.md5(expected.encode()).hexdigest()
+
+    def test_email_scrub_precedes_phone_count(self, spark):
+        # digits inside an email local part must not count as a phone
+        docs = spark.createDataFrame(
+            [(1, "x 555-123-4567@corp.example y")], "doc_id long, text string"
+        )
+        row = cu.pii_scrub(docs).collect()[0]
+        assert row["n_emails"] == 1 and row["n_phones"] == 0
+
+
+class TestContamination:
+    def test_shared_8gram_found_self_excluded(self, spark):
+        passage = "the quick brown fox jumps over the lazy dog tonight"
+        docs = spark.createDataFrame(
+            [
+                (1, "intro words here " + passage),
+                (2, passage + " trailing text"),
+                (3, "totally unrelated content with many different words "
+                    "spread across this entire sentence"),
+            ],
+            "doc_id long, text string",
+        )
+        ev = docs.where("doc_id = 1")
+        got = {
+            (r["doc_id"], r["eval_id"]): r["n_shared"]
+            for r in cu.contamination_check(docs, ev).collect()
+        }
+        assert set(got) == {(2, 1)}  # doc 2 contaminated; self (1,1) excluded
+        assert got[(2, 1)] >= 1
+
+    def test_eval_side_broadcasts(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "a b c d e f g h i"), (2, "a b c d e f g h j")],
+            "doc_id long, text string",
+        )
+        plan = cu.contamination_check(docs, docs.where("doc_id = 1"))._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan  # the corpus is never shuffled
+
+
+class TestStratifiedSample:
+    def test_deterministic_and_partition_independent(self, spark):
+        docs = spark.createDataFrame(
+            [(i, "en" if i % 3 else "de") for i in range(500)],
+            "doc_id long, lang string",
+        )
+        rates = {("en",): 20, ("de",): 50}
+        a = {r["doc_id"] for r in cu.stratified_sample(
+            docs.repartition(8), ["lang"], rates).collect()}
+        b = {r["doc_id"] for r in cu.stratified_sample(
+            docs.orderBy(F.desc("doc_id")).repartition(3), ["lang"], rates
+        ).collect()}
+        assert a == b and a  # same exact rows regardless of layout
+        # rates land near their targets (md5 is uniform)
+        en = [r for r in a if r % 3]
+        de = [r for r in a if not r % 3]
+        n_en, n_de = len([i for i in range(500) if i % 3]), len(
+            [i for i in range(500) if not i % 3]
+        )
+        assert abs(len(en) / n_en - 0.20) < 0.08
+        assert abs(len(de) / n_de - 0.50) < 0.10
+
+    def test_no_shuffle_in_plan(self, spark):
+        docs = spark.createDataFrame(
+            [(i, "en") for i in range(100)], "doc_id long, lang string"
+        )
+        plan = cu.stratified_sample(docs, ["lang"], 25)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan  # a pure filter: no shuffle at 100 TB
+
+    def test_flat_rate_applies_everywhere(self, spark):
+        docs = spark.createDataFrame(
+            [(i, "xx") for i in range(200)], "doc_id long, lang string"
+        )
+        n = cu.stratified_sample(docs, ["lang"], 100).count()
+        assert n == 200  # rate 100/100 keeps everything
+        assert cu.stratified_sample(docs, ["lang"], 0).count() == 0
