@@ -36,6 +36,13 @@ CAPTURE = [
     ("q5_local_supplier", "5-way join: region/nation broadcast, "
      "sort-merge or shuffled-hash on the fact side"),
     ("e_sessionize", "windowed lag + running sum (single shuffle per user)"),
+    ("d_contamination", "corpus grams explode map-side and hash-join the "
+     "BROADCAST eval gram set — no corpus shuffle; n-grams built from a "
+     "projected token column (one regex split per row, not per element)"),
+    ("t_stratified_sample", "deterministic md5-rate sample: a pure filter, "
+     "NO Exchange anywhere in the plan"),
+    ("f14_extras", "MapType build/read stays inside whole-stage codegen "
+     "over a pruned (doc_id, source, lang, n_chars) scan"),
 ]
 
 
