@@ -6,12 +6,12 @@ testdata; ``oracle_sql()`` gives the DuckDB-equivalent SQL. Column names and
 rounding are aligned on both sides so the driver's order-insensitive
 value-hash comparison is exact.
 
-Of the 53 queries, 51 have DuckDB oracles (d_simhash gained one in round
+Of the 53 queries, 52 have DuckDB oracles (d_simhash gained one in round
 3 by switching its token hash to an md5-derived 64-bit value, the same
-trick as t_winnow). The 2 without (w2_rerank_topk: stub rerank model,
-reference-sanctioned; kg_pipeline_mini: full DAG) each have a quantitative
-pytest instead — rerank vs a plain-python oracle, pipeline P/R == 1.0 vs
-the golden corpus (tests/test_operators.py, tests/test_pipeline.py).
+trick as t_winnow; w2_rerank_topk gained one the same round — the
+sanctioned overlap reranker is deterministic, so the whole two-stage
+funnel is SQL). The 1 without (kg_pipeline_mini: full DAG) is pinned by
+pytest P/R == 1.0 vs the golden corpus (tests/test_pipeline.py).
 """
 
 from __future__ import annotations
@@ -384,7 +384,7 @@ def _flagship_search(spark, sf):  # the run_search funnel (U6/P4/P5/O2)
     return srch.search_documents(docs, "spark join window table scan", k=20)
 
 
-def _w2_rerank_topk(spark, sf):  # U4/W2 rerank stage (rows-only: stub model)
+def _w2_rerank_topk(spark, sf):  # U4/W2 rerank stage (overlap model, oracle-exact)
     docs = _t(spark, sf, "documents")
     cands = srch.search_documents(
         docs, "spark join window table scan", k=srch.RERANK_CANDIDATES
@@ -1158,6 +1158,40 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             ) WHERE score >= 0.1
             ORDER BY score DESC, doc_id ASC LIMIT 20
+        """,
+        # the full two-stage funnel in SQL: token-overlap candidates
+        # (flagship semantics, top-100) -> the deterministic overlap
+        # reranker (models.OverlapReranker: sum of per-term frequencies /
+        # token count * 100) -> top-5. Same float op order as the python
+        # kernel so the rounded scores agree bit-for-bit.
+        "w2_rerank_topk": """
+            WITH cands AS (
+                SELECT doc_id, text FROM (
+                    SELECT doc_id, text,
+                           round(len(list_intersect(
+                               string_split_regex(lower(text), '\\s+'),
+                               ['spark', 'join', 'window', 'table', 'scan'])) / 5.0,
+                               6) AS score
+                    FROM documents
+                ) WHERE score >= 0.1
+                ORDER BY score DESC, doc_id ASC LIMIT 100
+            ), toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '\\s+'),
+                                   x -> x <> '') AS t
+                FROM cands
+            ), scored AS (
+                SELECT doc_id,
+                       round(((len(list_filter(t, x -> x = 'spark'))
+                             + len(list_filter(t, x -> x = 'join'))
+                             + len(list_filter(t, x -> x = 'window'))
+                             + len(list_filter(t, x -> x = 'table'))
+                             + len(list_filter(t, x -> x = 'scan')))::DOUBLE
+                            / greatest(len(t), 1)) * 100.0, 6) AS rerank_score
+                FROM toks
+            )
+            SELECT doc_id, rerank_score FROM scored
+            ORDER BY rerank_score DESC, doc_id ASC LIMIT 5
         """,
         "f13_json_props": """
             SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k

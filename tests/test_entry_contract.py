@@ -12,12 +12,12 @@ def test_oracle_keys_subset_of_queries():
     # non-SQL-expressible ops are allowed to lack oracles — list them so the
     # set is a conscious decision, not an accident
     no_oracle = qs - os_
-    # w2: stub rerank model (reference-sanctioned); kg_pipeline_mini: full
-    # DAG, pytest P/R == 1.0 vs the plain-Python oracle. Everything else is
-    # oracle-checked (d_simhash gained a SQL oracle in round 3 via the
-    # md5-derived token hash).
+    # kg_pipeline_mini (the full DAG) is the only oracle-less query; it is
+    # pinned by pytest P/R == 1.0 vs the plain-Python oracle. d_simhash and
+    # w2_rerank_topk gained SQL oracles in round 3 (md5-derived token hash;
+    # the deterministic overlap reranker expressed as SQL).
     assert no_oracle == {
-        "w2_rerank_topk", "kg_pipeline_mini",
+        "kg_pipeline_mini",
     }, f"unexpected oracle-less queries: {no_oracle}"
 
 
