@@ -6,7 +6,7 @@ testdata; ``oracle_sql()`` gives the DuckDB-equivalent SQL. Column names and
 rounding are aligned on both sides so the driver's order-insensitive
 value-hash comparison is exact.
 
-Of the 53 queries, 52 have DuckDB oracles (d_simhash gained one in round
+Of the 60 queries, 59 have DuckDB oracles (d_simhash gained one in round
 3 by switching its token hash to an md5-derived 64-bit value, the same
 trick as t_winnow; w2_rerank_topk gained one the same round — the
 sanctioned overlap reranker is deterministic, so the whole two-stage
@@ -23,9 +23,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from chunksilo_spark.functions.textstats import STOPWORDS
+from chunksilo_spark.functions.textstats import ISSUE_KEY_RE, STOPWORDS
 from chunksilo_spark.operators import curation as cu
 from chunksilo_spark.operators import dedup as dd
+from chunksilo_spark.operators import export as ex
+from chunksilo_spark.operators import graph as gr
 from chunksilo_spark.operators import incremental as incr
 from chunksilo_spark.operators import multimodal as mm
 from chunksilo_spark.operators import search as srch
@@ -840,6 +842,108 @@ def _incr_apply(spark, sf):  # §2.9 end-to-end incremental apply
     return docs_part.unionByName(edges_part)
 
 
+# ---------------------------------------------------------------------------
+# web-graph queries (operators/graph.py): the link-graph side of the KG —
+# F10 URI resolution, degree stats, PageRank over a deterministically
+# derived edge set (documents has no link columns, so edges are an exact
+# function of doc_id that both engines re-derive: two md5-salted targets
+# per doc + a hub edge from every 5th doc for skew)
+
+
+def _derived_edges(spark, sf):
+    docs = _t(spark, sf, "documents").select("doc_id")
+    n = docs.count()  # doc_ids are contiguous 0..n-1 -> no dangling nodes
+
+    def tgt(salt):
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col("doc_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        return F.pmod(h, F.lit(n))
+
+    e1 = docs.select(F.col("doc_id").alias("src"), tgt("e1:").alias("dst"))
+    e2 = docs.select(F.col("doc_id").alias("src"), tgt("e2:").alias("dst"))
+    hub = docs.where(F.col("doc_id") % 5 == 0).select(
+        F.col("doc_id").alias("src"), F.lit(0).cast("long").alias("dst")
+    )
+    return e1.union(e2).union(hub).distinct()
+
+
+def _g_pagerank(spark, sf):  # iterative-join PageRank, top-50 by rank
+    edges = _derived_edges(spark, sf)
+    return gr.rank_topk(gr.pagerank(edges, iters=3), 50)
+
+
+def _g_degree_topk(spark, sf):  # in-degree hubs of the derived link graph
+    return gr.degree_topk(_derived_edges(spark, sf), k=20)
+
+
+def _g_outlinks(spark, sf):  # F10: href resolution algebra, all branches
+    docs = _t(spark, sf, "documents").select("doc_id")
+    d = F.col("doc_id")
+    base = F.concat(
+        F.lit("https://site"),
+        (d % 7).cast("string"),
+        F.lit(".example/dir"),
+        (d % 3).cast("string"),
+        F.lit("/sub/page"),
+        d.cast("string"),
+        F.lit(".html"),
+    )
+    href = (
+        F.when(d % 6 == 0, F.lit("https://other.example/abs.html"))
+        .when(d % 6 == 1, F.lit("mailto:team@example.com"))
+        .when(d % 6 == 2, F.lit("//cdn.example/assets/app.js"))
+        .when(d % 6 == 3, F.lit("/rooted/r.html"))
+        .when(d % 6 == 4, F.lit("../up/one.html"))
+        .otherwise(F.lit("./same/dir.html#frag"))
+    )
+    return docs.select(
+        "doc_id", gr.resolve_href_col(base, href).alias("resolved")
+    )
+
+
+def _f6_issue_keys(spark, sf):  # F6 issue-key normalization (shared regex)
+    docs = _t(spark, sf, "documents").select("doc_id")
+    d = F.col("doc_id")
+    raw = F.concat(
+        F.lit("deploy "),
+        F.when(d % 4 == 0, F.concat(F.lit("AB "), (d % 1000).cast("string")))
+        .when(d % 4 == 1, F.concat(F.lit("PROJ_"), (d % 100).cast("string")))
+        .when(d % 4 == 2, F.concat(F.lit("CORE"), (d % 10000).cast("string")))
+        .otherwise(F.concat(F.lit("ab "), (d % 50).cast("string"))),
+        F.lit(" done"),
+    )
+    return docs.select(
+        "doc_id",
+        raw.alias("raw"),
+        F.regexp_replace(raw, ISSUE_KEY_RE, r"$1-$2").alias("normalized"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# training-export queries (operators/export.py)
+
+
+def _x_train_order(spark, sf):  # deterministic seeded shuffle + shard
+    return ex.train_order(_t(spark, sf, "documents"), shards=8, seed="s1")
+
+
+def _x_pack_sequences(spark, sf):  # token-budget sequence packing
+    return ex.pack_sequences(
+        _t(spark, sf, "documents"), budget=2048, shards=4
+    )
+
+
+def _x_domain_cap(spark, sf):  # per-domain cap by quality
+    return ex.domain_cap(_t(spark, sf, "documents"), cap=40)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": _q1_pricing_summary,
@@ -895,6 +999,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pipeline_mini": _kg_pipeline_mini,
         "kg_vector_search": _kg_vector_search,
         "incr_apply": _incr_apply,
+        "g_pagerank": _g_pagerank,
+        "g_degree_topk": _g_degree_topk,
+        "g_outlinks": _g_outlinks,
+        "f6_issue_keys": _f6_issue_keys,
+        "x_train_order": _x_train_order,
+        "x_pack_sequences": _x_pack_sequences,
+        "x_domain_cap": _x_domain_cap,
     }
 
 
@@ -940,6 +1051,27 @@ def _s3_glob_oracle_sql() -> str:
             FROM documents
         ) WHERE {" AND ".join(conds)}
     """
+
+
+# the derived web graph re-derived in SQL (exact twin of _derived_edges):
+# two md5-salted targets per doc (mod #docs, so every target is a real
+# doc_id and no node dangles) + a hub edge from every 5th doc
+_GRAPH_EDGES_SQL = """
+        WITH raw AS (
+            SELECT doc_id AS src,
+                   (('0x' || substr(md5('e1:' || doc_id::VARCHAR), 1, 15))::UBIGINT
+                    % (SELECT COUNT(*) FROM documents))::BIGINT AS dst
+            FROM documents
+            UNION ALL
+            SELECT doc_id,
+                   (('0x' || substr(md5('e2:' || doc_id::VARCHAR), 1, 15))::UBIGINT
+                    % (SELECT COUNT(*) FROM documents))::BIGINT
+            FROM documents
+            UNION ALL
+            SELECT doc_id, 0 FROM documents WHERE doc_id % 5 = 0
+        ),
+        edges AS (SELECT DISTINCT src, dst FROM raw)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1583,5 +1715,115 @@ def oracle_sql() -> dict[str, str]:
             for i in range(8)
         ) + """
             FROM d
+        """,
+        # derived web graph (same exact function of doc_id as
+        # _derived_edges) + PageRank unrolled for 3 iterations: the
+        # independent re-derivation of the iterative-join operator. The
+        # graph has no dangling nodes by construction (doc_ids contiguous,
+        # targets mod n), so the dangling term is structurally zero. Float
+        # op ORDER mirrors the operator: (1.0-0.85)/n first, then + 0.85*c.
+        "g_pagerank": _GRAPH_EDGES_SQL + """,
+        deg AS (SELECT src, COUNT(*)::DOUBLE AS d FROM edges GROUP BY src),
+        nodes AS (SELECT DISTINCT node FROM (
+            SELECT src AS node FROM edges
+            UNION ALL SELECT dst FROM edges)),
+        nn AS (SELECT COUNT(*)::DOUBLE AS n FROM nodes),
+        r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)
+        """ + "".join(
+            f""",
+        c{i} AS (SELECT e.dst AS node, SUM(r.rank / deg.d) AS c
+                 FROM edges e
+                 JOIN deg ON e.src = deg.src
+                 JOIN r{i - 1} r ON r.node = e.src
+                 GROUP BY e.dst),
+        r{i} AS (SELECT nd.node,
+                        (1.0 - 0.85) / (SELECT n FROM nn)
+                        + 0.85 * COALESCE(c{i}.c, 0.0) AS rank
+                 FROM nodes nd LEFT JOIN c{i} ON nd.node = c{i}.node)"""
+            for i in (1, 2, 3)
+        ) + """
+        SELECT node, round(rank, 6) AS rank FROM r3
+        ORDER BY round(rank, 6) DESC, node ASC LIMIT 50
+        """,
+        "g_degree_topk": _GRAPH_EDGES_SQL + """
+        SELECT dst AS node, COUNT(*) AS degree FROM edges
+        GROUP BY dst ORDER BY degree DESC, node ASC LIMIT 20
+        """,
+        # independent ANALYTIC resolution of each href branch (the Spark
+        # side runs the generic resolve_href_col algebra; the oracle derives
+        # what that algebra must produce per branch — a stronger check than
+        # re-running the same regexes)
+        "g_outlinks": """
+            SELECT doc_id,
+                   CASE doc_id % 6
+                     WHEN 0 THEN 'https://other.example/abs.html'
+                     WHEN 1 THEN NULL
+                     WHEN 2 THEN 'https://cdn.example/assets/app.js'
+                     WHEN 3 THEN 'https://site' || (doc_id % 7)::VARCHAR
+                                 || '.example/rooted/r.html'
+                     WHEN 4 THEN 'https://site' || (doc_id % 7)::VARCHAR
+                                 || '.example/dir' || (doc_id % 3)::VARCHAR
+                                 || '/up/one.html'
+                     ELSE 'https://site' || (doc_id % 7)::VARCHAR
+                          || '.example/dir' || (doc_id % 3)::VARCHAR
+                          || '/sub/same/dir.html'
+                   END AS resolved
+            FROM documents
+        """,
+        "f6_issue_keys": """
+            WITH t AS (
+                SELECT doc_id,
+                       'deploy ' || CASE doc_id % 4
+                           WHEN 0 THEN 'AB ' || (doc_id % 1000)::VARCHAR
+                           WHEN 1 THEN 'PROJ_' || (doc_id % 100)::VARCHAR
+                           WHEN 2 THEN 'CORE' || (doc_id % 10000)::VARCHAR
+                           ELSE 'ab ' || (doc_id % 50)::VARCHAR
+                       END || ' done' AS raw
+                FROM documents
+            )
+            SELECT doc_id, raw,
+                   regexp_replace(
+                       raw, '\\b([A-Z]{2,10})[\\s_]?(\\d{1,6})\\b',
+                       '\\1-\\2', 'g') AS normalized
+            FROM t
+        """,
+        "x_train_order": """
+            WITH keyed AS (
+                SELECT doc_id, md5('s1:' || doc_id::VARCHAR) AS k
+                FROM documents
+            ), sharded AS (
+                SELECT doc_id, k,
+                       (('0x' || substr(md5(k), 1, 15))::UBIGINT % 8)::BIGINT
+                           AS shard
+                FROM keyed
+            )
+            SELECT doc_id, shard,
+                   row_number() OVER (PARTITION BY shard
+                                      ORDER BY k ASC, doc_id ASC) AS pos
+            FROM sharded
+        """,
+        "x_pack_sequences": """
+            WITH base AS (
+                SELECT doc_id,
+                       (('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::UBIGINT
+                        % 4)::BIGINT AS shard,
+                       len(string_split_regex(text, '\\s+')) AS n_tokens
+                FROM documents
+            )
+            SELECT doc_id, shard, n_tokens,
+                   CAST(floor(COALESCE(SUM(n_tokens) OVER (
+                       PARTITION BY shard ORDER BY doc_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) / 2048) AS BIGINT) AS seq_id
+            FROM base
+        """,
+        "x_domain_cap": """
+            SELECT doc_id, source, domain_rank FROM (
+                SELECT doc_id, source,
+                       row_number() OVER (PARTITION BY source
+                                          ORDER BY n_chars DESC, doc_id ASC)
+                           AS domain_rank
+                FROM documents
+            ) WHERE domain_rank <= 40
         """,
     }

@@ -106,3 +106,17 @@ def extract_quoted_phrases(query: str) -> tuple[list[str], str]:
 def preprocess_query(query: str) -> str:
     """Reference search.py:295-304: collapse whitespace, strip trailing .,!?;"""
     return re.sub(r"\s+", " ", query).strip().rstrip(".,!?;").strip()
+
+
+# Reference search.py:381-425 (_normalize_jira_issue_keys): `AB 123`,
+# `AB_123`, `AB123` -> `AB-123`. The pattern/replacement pair is pinned so
+# the Spark side (Java regex, `$1-$2`) and the DuckDB oracle (RE2,
+# `\1-\2`) produce identical text — the regex subset used (ASCII classes,
+# \b, bounded repetition) behaves the same in both engines.
+ISSUE_KEY_RE = r"\b([A-Z]{2,10})[\s_]?(\d{1,6})\b"
+_ISSUE_KEY_C = re.compile(ISSUE_KEY_RE)
+
+
+def normalize_issue_keys(text: str) -> str:
+    """All issue-key-shaped spans normalized to `KEY-123` form."""
+    return _ISSUE_KEY_C.sub(r"\1-\2", text)

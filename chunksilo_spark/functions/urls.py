@@ -1,0 +1,100 @@
+r"""Outlink extraction + URI resolution kernels (SURVEY §2.7 F10).
+
+The reference resolves document locations to absolute URIs once at index
+time (reference index.py:74-87 builds `url` from the source root + relative
+path; search.py:671-723 joins Jira/Confluence base URLs onto issue keys and
+page ids). For a Common-Crawl-style web corpus the analogous operation is
+link-graph construction: pull ``href`` targets out of the page HTML and
+resolve each against the page URL, yielding the (src_url, dst_url) edge set
+the KG stages and PageRank consume.
+
+The resolution semantics are PINNED HERE as a small regex algebra — NOT
+``urllib.parse.urljoin`` — so the exact same steps are expressible three
+ways with identical results: this Python kernel (pytest oracle), Spark
+column expressions (``operators/graph.resolve_href_col``), and DuckDB SQL
+(the driver oracle). On the subset of inputs a crawler actually sees
+(absolute http(s) base with a path; hrefs that are absolute, scheme-relative,
+root-relative, or ``./``/``../``-relative) the result agrees with
+``urljoin`` — property-tested in tests/test_graph.py.
+
+Pinned algebra, in order:
+  1. trim; strip the fragment (``#`` and everything after); empty -> None.
+  2. href with a scheme (``^[A-Za-z][A-Za-z0-9+.-]*:``): keep verbatim iff
+     http(s); every other scheme (mailto:, javascript:, tel:, data:) -> None.
+  3. ``//host/...`` (scheme-relative)  -> base scheme + ``:`` + href.
+  4. ``/...`` (root-relative)          -> base origin (scheme://host) + href.
+  5. otherwise (relative)              -> base dir (base with the trailing
+     ``[^/]*$`` segment removed) + href.
+  6. normalize cases 4-5: FOUR global-replace passes of ``/\./`` -> ``/``
+     then FOUR of ``/[^/]+/\.\./`` -> ``/`` (handles <= 4 levels of ``..``;
+     deeper chains and above-root ``..`` keep the fixed-pass residue —
+     documented bound, identical in Java regex / RE2 / Python re because all
+     three scan left-to-right non-overlapping per pass).
+
+Bases are required to be absolute http(s) URLs WITH a path component (every
+crawl record's WARC-Target-URI is); behavior for other bases is None.
+"""
+
+from __future__ import annotations
+
+import re
+
+# double-quoted href attributes — the only form the synthetic corpus emits
+# and by far the dominant form in real markup; single-quoted/bare attrs are
+# out of scope (documented).
+HREF_RE = r'href\s*=\s*"([^"]*)"'
+_HREF_C = re.compile(HREF_RE)
+
+SCHEME_RE = r"^[A-Za-z][A-Za-z0-9+.-]*:"
+_SCHEME_C = re.compile(SCHEME_RE)
+_HTTP_C = re.compile(r"^https?://")
+_ORIGIN_C = re.compile(r"^(https?://[^/]+)")
+_BASE_SCHEME_C = re.compile(r"^([A-Za-z][A-Za-z0-9+.-]*):")
+_DOT_SEG = re.compile(r"/\./")
+_UP_SEG = re.compile(r"/[^/]+/\.\./")
+NORM_PASSES = 4
+
+
+def extract_hrefs(html: str) -> list[str]:
+    """All double-quoted href attribute values, document order, raw."""
+    return _HREF_C.findall(html)
+
+
+def _normalize(url: str) -> str:
+    for _ in range(NORM_PASSES):
+        url = _DOT_SEG.sub("/", url)
+    for _ in range(NORM_PASSES):
+        url = _UP_SEG.sub("/", url)
+    return url
+
+
+def resolve_href(base: str, href: str) -> str | None:
+    """Resolve ``href`` against ``base`` per the pinned algebra above."""
+    href = href.strip()
+    href = href.split("#", 1)[0]
+    if not href:
+        return None
+    if _SCHEME_C.match(href):
+        return href if _HTTP_C.match(href) else None
+    m = _ORIGIN_C.match(base)
+    if not m:
+        return None
+    origin = m.group(1)
+    if href.startswith("//"):
+        return _BASE_SCHEME_C.match(base).group(1) + ":" + href
+    if href.startswith("/"):
+        return _normalize(origin + href)
+    base_dir = re.sub(r"[^/]*$", "", base)
+    return _normalize(base_dir + href)
+
+
+def page_outlinks(base: str, html: str) -> list[str]:
+    """Resolved, de-duplicated (order-preserving) outlinks of one page."""
+    seen: set[str] = set()
+    out: list[str] = []
+    for href in extract_hrefs(html):
+        url = resolve_href(base, href)
+        if url is not None and url not in seen:
+            seen.add(url)
+            out.append(url)
+    return out

@@ -43,6 +43,17 @@ CAPTURE = [
      "NO Exchange anywhere in the plan"),
     ("f14_extras", "MapType build/read stays inside whole-stage codegen "
      "over a pruned (doc_id, source, lang, n_chars) scan"),
+    ("g_outlinks", "href resolution is pure codegen'd regexp/when over a "
+     "single pruned scan — no Exchange, no Python"),
+    ("g_pagerank", "one equi-join + partially-aggregated sum per iteration; "
+     "LocalTableScan/checkpointed rank relation (lineage cut) — plan depth "
+     "does not grow with iterations"),
+    ("x_train_order", "per-shard window: Exchange hashes on shard only, "
+     "sort is within shard partitions (no global sort)"),
+    ("x_pack_sequences", "running-sum window partitioned by shard — "
+     "single hash Exchange, per-partition running state"),
+    ("x_domain_cap", "windowed top-cap per domain: one Exchange on the "
+     "domain key, filter on row_number"),
 ]
 
 

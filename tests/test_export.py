@@ -1,0 +1,111 @@
+"""Training-export operators: deterministic shuffle/shard order, sequence
+packing, domain caps — each vs a plain-python oracle + determinism under
+repartitioning."""
+
+import hashlib
+
+from chunksilo_spark.operators import export as ex
+
+ROWS = [
+    (i, f"src{i % 7}", " ".join(f"w{j}" for j in range(1 + (i * 13) % 29)), 100 - i % 50)
+    for i in range(120)
+]
+SCHEMA = "doc_id long, source string, text string, n_chars long"
+
+
+def _md5_long(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+class TestTrainOrder:
+    def _python(self, shards, seed):
+        keyed = [
+            (i, hashlib.md5(f"{seed}:{i}".encode()).hexdigest())
+            for i, *_ in ROWS
+        ]
+        out = {}
+        by_shard = {}
+        for i, k in keyed:
+            by_shard.setdefault(_md5_long(k) % shards, []).append((k, i))
+        for shard, items in by_shard.items():
+            for pos, (_, i) in enumerate(sorted(items), start=1):
+                out[i] = (shard, pos)
+        return out
+
+    def test_matches_python_oracle(self, spark):
+        df = spark.createDataFrame(ROWS, SCHEMA)
+        got = {
+            r["doc_id"]: (r["shard"], r["pos"])
+            for r in ex.train_order(df, shards=4, seed="s1").collect()
+        }
+        assert got == self._python(4, "s1")
+
+    def test_partitioning_invariant(self, spark):
+        df = spark.createDataFrame(ROWS, SCHEMA)
+        a = set(map(tuple, ex.train_order(df, 4).collect()))
+        b = set(map(tuple, ex.train_order(df.repartition(13), 4).collect()))
+        assert a == b
+
+    def test_seed_reshuffles(self, spark):
+        df = spark.createDataFrame(ROWS, SCHEMA)
+        a = {r["doc_id"]: r["pos"] for r in ex.train_order(df, 1, "a").collect()}
+        b = {r["doc_id"]: r["pos"] for r in ex.train_order(df, 1, "b").collect()}
+        assert a != b and set(a) == set(b)
+
+
+class TestPackSequences:
+    def test_matches_python_oracle(self, spark):
+        budget, shards = 40, 3
+        df = spark.createDataFrame(ROWS, SCHEMA)
+        got = {
+            r["doc_id"]: (r["shard"], r["n_tokens"], r["seq_id"])
+            for r in ex.pack_sequences(df, budget, shards).collect()
+        }
+        by_shard = {}
+        for i, _, text, _ in ROWS:
+            shard = _md5_long(str(i)) % shards
+            by_shard.setdefault(shard, []).append((i, len(text.split())))
+        want = {}
+        for shard, items in by_shard.items():
+            cum = 0
+            for i, nt in sorted(items):
+                want[i] = (shard, nt, cum // budget)
+                cum += nt
+        assert got == want
+
+    def test_seq_ids_monotone_within_shard(self, spark):
+        df = spark.createDataFrame(ROWS, SCHEMA)
+        rows = ex.pack_sequences(df, 25, 2).collect()
+        by_shard = {}
+        for r in rows:
+            by_shard.setdefault(r["shard"], []).append((r["doc_id"], r["seq_id"]))
+        for items in by_shard.values():
+            seqs = [s for _, s in sorted(items)]
+            assert seqs == sorted(seqs)
+            assert seqs[0] == 0
+
+
+class TestDomainCap:
+    def test_matches_python_oracle(self, spark):
+        cap = 5
+        df = spark.createDataFrame(ROWS, SCHEMA)
+        got = {
+            (r["doc_id"], r["source"], r["domain_rank"])
+            for r in ex.domain_cap(df, cap=cap).collect()
+        }
+        by_dom = {}
+        for i, src, _, q in ROWS:
+            by_dom.setdefault(src, []).append((-q, i))
+        want = set()
+        for src, items in by_dom.items():
+            for rank, (_, i) in enumerate(sorted(items)[:cap], start=1):
+                want.add((i, src, rank))
+        assert got == want
+
+    def test_cap_respected(self, spark):
+        df = spark.createDataFrame(ROWS, SCHEMA)
+        rows = ex.domain_cap(df, cap=3).collect()
+        counts = {}
+        for r in rows:
+            counts[r["source"]] = counts.get(r["source"], 0) + 1
+        assert counts and all(c <= 3 for c in counts.values())

@@ -1,0 +1,207 @@
+"""Web-graph operators: href resolution (kernel == Spark expr == urljoin on
+the supported subset), outlink extraction, PageRank vs a plain-python
+oracle, degrees and 2-hop reach."""
+
+from urllib.parse import urljoin
+
+import pytest
+
+from chunksilo_spark.functions import urls as U
+from chunksilo_spark.operators import graph as G
+
+BASES = [
+    "https://site0.example/dir0/sub/page7.html",
+    "http://a.example/x/y/z.html",
+    "https://deep.example/a/b/c/d/e.html",
+]
+HREFS = [
+    "https://other.example/abs.html",
+    "http://other.example/abs2",
+    "mailto:someone@example.com",
+    "javascript:void(0)",
+    "tel:+15551234567",
+    "//cdn.example/lib/app.js",
+    "/rooted/x.html",
+    "/rooted/../y.html",
+    "../up/one.html",
+    "../../up/two.html",
+    "./same/dir.html",
+    "sub/page.html",
+    "plain.html",
+    "plain.html#frag",
+    "#frag-only",
+    "",
+    "  spaced.html  ",
+    "a/./b/../c.html",
+]
+
+
+class TestResolveKernel:
+    def test_matches_urljoin_on_supported_subset(self):
+        # on crawler-real inputs the pinned algebra IS urljoin (minus the
+        # None-for-non-http schemes policy, which urljoin keeps verbatim)
+        for base in BASES:
+            for href in HREFS:
+                got = U.resolve_href(base, href)
+                if got is None:
+                    h = href.strip().split("#", 1)[0]
+                    assert h == "" or (
+                        U._SCHEME_C.match(h) and not h.startswith("http")
+                    ), (base, href)
+                else:
+                    # the algebra strips fragments (edges don't carry them);
+                    # urljoin keeps them — compare on the stripped href
+                    stripped = href.strip().split("#", 1)[0]
+                    assert got == urljoin(base, stripped), (base, href)
+
+    def test_fragment_stripped(self):
+        assert (
+            U.resolve_href(BASES[0], "x.html#sec")
+            == "https://site0.example/dir0/sub/x.html"
+        )
+
+    def test_non_absolute_base(self):
+        assert U.resolve_href("not-a-url", "x.html") is None
+
+    def test_above_root_keeps_residue(self):
+        # pinned fixed-pass semantics: '..' above the root is left in place
+        out = U.resolve_href("https://h.example/a.html", "../../x.html")
+        assert "x.html" in out
+
+    def test_extract_hrefs(self):
+        html = '<a href="a.html">x</a><link href = "b.css"><a href=\'c\'>'
+        assert U.extract_hrefs(html) == ["a.html", "b.css"]
+
+    def test_page_outlinks_dedups_preserving_order(self):
+        html = '<a href="b.html"></a><a href="a.html"></a><a href="b.html">'
+        assert U.page_outlinks("https://h.example/d/p.html", html) == [
+            "https://h.example/d/b.html",
+            "https://h.example/d/a.html",
+        ]
+
+
+class TestResolveColumnTwin:
+    def test_expr_matches_kernel_on_grid(self, spark):
+        rows = [(b, h) for b in BASES for h in HREFS]
+        df = spark.createDataFrame(rows, "base string, href string")
+        got = {
+            (r["base"], r["href"]): r["resolved"]
+            for r in df.select(
+                "base",
+                "href",
+                G.resolve_href_col(
+                    df["base"], df["href"]
+                ).alias("resolved"),
+            ).collect()
+        }
+        for b, h in rows:
+            assert got[(b, h)] == U.resolve_href(b, h), (b, h)
+
+
+PAGES = [
+    (
+        "https://h.example/a/index.html",
+        '<p><a href="one.html">1</a> <a href="../b/two.html">2</a>'
+        ' <a href="mailto:x@y.z">m</a> <a href="one.html#s">dup</a></p>',
+    ),
+    (
+        "https://h.example/b/two.html",
+        '<a href="/a/index.html">root</a><a href="//cdn.example/l.js">c</a>',
+    ),
+    ("https://h.example/c/empty.html", "<p>no links</p>"),
+]
+
+
+class TestOutlinks:
+    def _edges(self, spark, html_to_bytes):
+        rows = [
+            (u, h.encode() if html_to_bytes else h) for u, h in PAGES
+        ]
+        schema = (
+            "url string, html binary" if html_to_bytes else "url string, html string"
+        )
+        pages = spark.createDataFrame(rows, schema)
+        return {
+            (r["src"], r["dst"])
+            for r in G.extract_outlinks(pages).collect()
+        }
+
+    def _expected(self):
+        return {
+            (u, dst) for u, h in PAGES for dst in U.page_outlinks(u, h)
+        }
+
+    def test_matches_python_oracle_string_html(self, spark):
+        assert self._edges(spark, html_to_bytes=False) == self._expected()
+
+    def test_matches_python_oracle_binary_html(self, spark):
+        assert self._edges(spark, html_to_bytes=True) == self._expected()
+
+
+def _python_pagerank(edges, iters, d=0.85):
+    nodes = sorted({u for e in edges for u in e})
+    n = len(nodes)
+    out = {}
+    for s, _ in edges:
+        out[s] = out.get(s, 0) + 1
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(iters):
+        dangling = sum(r for v, r in rank.items() if v not in out)
+        contrib = {v: 0.0 for v in nodes}
+        for s, t in edges:
+            contrib[t] += rank[s] / out[s]
+        rank = {
+            v: (1 - d) / n + d * (contrib[v] + dangling / n) for v in nodes
+        }
+    return rank
+
+
+class TestPageRank:
+    # chain + hub + dangling node (4 has no out-edges) + disconnected pair
+    EDGES = [
+        (0, 1), (1, 2), (2, 0), (0, 2),
+        (3, 0), (2, 4),          # 4 is dangling
+        (5, 6), (6, 5),
+    ]
+
+    @pytest.mark.parametrize("iters", [1, 5])
+    def test_matches_python_oracle(self, spark, iters):
+        edges = spark.createDataFrame(self.EDGES, "src long, dst long")
+        got = {
+            r["node"]: r["rank"]
+            for r in G.pagerank(edges, iters=iters).collect()
+        }
+        want = _python_pagerank(self.EDGES, iters)
+        assert set(got) == set(want)
+        for v in want:
+            assert got[v] == pytest.approx(want[v], abs=1e-12), v
+
+    def test_mass_conserved(self, spark):
+        edges = spark.createDataFrame(self.EDGES, "src long, dst long")
+        total = sum(
+            r["rank"] for r in G.pagerank(edges, iters=4).collect()
+        )
+        assert total == pytest.approx(1.0, abs=1e-9)
+
+    def test_empty_graph(self, spark):
+        edges = spark.createDataFrame([], "src long, dst long")
+        assert G.pagerank(edges, iters=2).count() == 0
+
+
+class TestDegreesAndHops:
+    EDGES = [(0, 9), (1, 9), (2, 9), (3, 8), (4, 8), (9, 8), (8, 7)]
+
+    def test_degree_topk(self, spark):
+        edges = spark.createDataFrame(self.EDGES, "src long, dst long")
+        top = G.degree_topk(edges, k=2).collect()
+        assert [(r["node"], r["degree"]) for r in top] == [(8, 3), (9, 3)]
+
+    def test_two_hop(self, spark):
+        edges = spark.createDataFrame(self.EDGES, "src long, dst long")
+        srcs = spark.createDataFrame([(0,), (3,)], "node long")
+        got = {
+            r["node"]: r["n_two_hop"]
+            for r in G.two_hop_counts(edges, srcs).collect()
+        }
+        # 0 -> 9 -> 8; 3 -> 8 -> 7
+        assert got == {0: 1, 3: 1}
