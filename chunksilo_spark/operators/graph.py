@@ -64,17 +64,27 @@ def resolve_href_col(base: Column, href: Column) -> Column:
 
 
 def extract_outlinks(
-    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    strict_utf8: bool = False,
 ) -> DataFrame:
     """(src, dst) distinct edges from double-quoted ``href`` attributes.
 
-    ``html`` may be binary (decoded UTF-8, invalid bytes replaced — the
-    quarantine path owns strict decoding) or already a string.
+    ``html`` may be binary or already a string. Binary html is reinterpreted
+    as a string with a (non-validating) cast — ``decode`` would raise under
+    ANSI on malformed bytes, and the href substrings are ASCII either way.
+    With ``strict_utf8`` pages whose bytes are not well-formed UTF-8 are
+    dropped (``is_valid_utf8``, pure JVM), matching the stage-1 quarantine
+    policy so the link graph covers exactly the extractable pages.
     """
     html_type = dict(pages.dtypes)[html_col]
-    html = F.col(html_col) if html_type == "string" else F.decode(
-        F.col(html_col), "UTF-8"
-    )
+    if html_type == "string":
+        html = F.col(html_col)
+    else:
+        html = F.col(html_col).cast("string")
+        if strict_utf8:
+            pages = pages.where(F.is_valid_utf8(html))
     hrefs = F.regexp_extract_all(html, F.lit(U.HREF_RE), 1)
     return (
         pages.select(F.col(url_col).alias("src"), F.explode(hrefs).alias("href"))
@@ -82,6 +92,18 @@ def extract_outlinks(
         .where(F.col("dst").isNotNull())
         .distinct()
     )
+
+
+def crawl_edges(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """Intra-crawl link graph: outlinks of extractable (strict-UTF8) pages
+    restricted to targets that exist in the crawl — the edge table PageRank
+    and degree stats run on. The restriction is a left-semi join on the
+    page-url set (shuffles only the edge keys; at 100 TB both sides hash-
+    partition on url, the same key the corpus is already bucketed by)."""
+    urls = pages.select(F.col(url_col).alias("dst")).distinct()
+    return extract_outlinks(pages, url_col=url_col, strict_utf8=True).join(
+        urls, "dst", "left_semi"
+    ).select("src", "dst")
 
 
 def degree_topk(

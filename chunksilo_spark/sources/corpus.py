@@ -128,11 +128,66 @@ def _page_rng(page_id: int) -> random.Random:
     return random.Random((SEED << 32) ^ (page_id * 0x9E3779B97F4A7C15 & 0xFFFFFFFFFFFFFFFF))
 
 
-def generate_page(page_id: int, pool: list[list[str]]) -> dict:
+def _link_rng(page_id: int) -> random.Random:
+    # SEPARATE stream for outlink generation so adding/changing the link
+    # block never perturbs the draws behind the page's text content
+    return random.Random((SEED << 33) ^ (page_id * 0xC2B2AE3D27D4EB4F & 0xFFFFFFFFFFFFFFFF))
+
+
+def page_url(page_id: int) -> str:
+    """The url of page ``page_id`` WITHOUT generating the page — replicates
+    exactly the first draws of generate_page (site, slug) so link targets
+    can be derived cheaply. Keep in lockstep with generate_page."""
+    rng = _page_rng(page_id)
+    site = rng.randrange(200)
+    slug = "-".join(rng.choice(_NOISE_WORDS) for _ in range(3))
+    return f"https://site{site}.example/{slug}-{page_id}"
+
+
+# link targets are drawn from a FIXED universe, independent of corpus size,
+# so page content stays a pure function of page_id (the property the
+# incremental tests pin: page 7's bytes are identical whether the crawl has
+# 40 or 80 pages). Crawls larger than the universe link into the "old core"
+# (realistic in-degree concentration); smaller crawls have dead links that
+# crawl_edges' semi-join drops (also realistic).
+LINK_UNIVERSE = 256
+
+
+def page_outlink_hrefs(page_id: int) -> list[str]:
+    """The raw href values embedded in page ``page_id``: 0-4 links to other
+    pages of the link universe (25% chance each link targets hub page 0 —
+    in-degree skew for PageRank), plus decoys exercising every resolution
+    branch (external absolute, scheme-relative CDN, mailto, dead relative)."""
+    rng = _link_rng(page_id)
+    hrefs: list[str] = []
+    for _ in range(rng.randint(0, 4)):
+        if rng.random() < 0.25:
+            target = 0 if page_id != 0 else 1
+        else:
+            target = rng.randrange(LINK_UNIVERSE)
+        hrefs.append(page_url(target))
+    if rng.random() < 0.3:
+        hrefs.append("https://www.w3.org/TR/html52/")
+    if rng.random() < 0.2:
+        hrefs.append("//cdn.example/static/site.css")
+    if rng.random() < 0.15:
+        hrefs.append("mailto:webmaster@example.org")
+    if rng.random() < 0.2:
+        hrefs.append("../archive/old-post.html")
+    return hrefs
+
+
+def generate_page(
+    page_id: int, pool: list[list[str]], links: bool = True
+) -> dict:
     """One pages-row: {url, warc_ts, html(bytes), lang} + ground-truth triples.
 
     The returned dict also carries 'gt_triples': [(subj_eid, pred, obj_eid)]
-    — used only by tests/oracles, never by the pipeline."""
+    — used only by tests/oracles, never by the pipeline. The page body
+    embeds the outlink anchors from ``page_outlink_hrefs`` as EMPTY
+    ``<a href="..."></a>`` elements: the extractor ignores attribute-only
+    tags, so extracted text is byte-identical with or without them (link
+    graph and text pipeline stay independent — pinned by test_graph)."""
     rng = _page_rng(page_id)
     site = rng.randrange(200)
     slug = "-".join(rng.choice(_NOISE_WORDS) for _ in range(3))
@@ -184,6 +239,11 @@ def generate_page(page_id: int, pool: list[list[str]]) -> dict:
             parts.append("<script>var x = 1; // dropped</script>")
         if rng.random() < 0.15:
             parts.append("<style>.c { color: red }</style>")
+
+    if links:
+        parts.extend(
+            f'<a href="{h}"></a>' for h in page_outlink_hrefs(page_id)
+        )
 
     malformed = rng.random() < MALFORMED_FRACTION
     if not malformed:

@@ -205,3 +205,54 @@ class TestDegreesAndHops:
         }
         # 0 -> 9 -> 8; 3 -> 8 -> 7
         assert got == {0: 1, 3: 1}
+
+
+class TestCorpusLinkGraph:
+    N = 60
+
+    def test_anchors_do_not_change_extracted_text(self):
+        from chunksilo_spark.functions.extract import extract_text
+        from chunksilo_spark.sources.corpus import build_entity_pool, generate_page
+
+        pool = build_entity_pool()
+        for i in range(self.N):
+            plain = generate_page(i, pool, links=False)
+            linked = generate_page(i, pool)
+            try:
+                a = extract_text(plain["html"].decode("utf-8"))
+                b = extract_text(linked["html"].decode("utf-8"))
+            except UnicodeDecodeError:
+                continue  # quarantine rows
+            assert a == b, i
+
+    def test_crawl_edges_match_python_oracle(self, spark):
+        from chunksilo_spark.sources.corpus import golden_pages, pages_df
+
+        gold = golden_pages(self.N)
+        urls = {g["url"] for g in gold}
+        want = set()
+        for g in gold:
+            try:
+                html = g["html"].decode("utf-8")
+            except UnicodeDecodeError:
+                continue
+            for dst in U.page_outlinks(g["url"], html):
+                if dst in urls:
+                    want.add((g["url"], dst))
+        got = {
+            (r["src"], r["dst"])
+            for r in G.crawl_edges(pages_df(spark, self.N)).collect()
+        }
+        assert got == want
+        assert len(got) > 20  # the corpus really carries a link graph
+
+    def test_pagerank_over_crawl(self, spark):
+        from chunksilo_spark.sources.corpus import page_url, pages_df
+
+        edges = G.crawl_edges(pages_df(spark, self.N))
+        ranks = G.pagerank(edges, iters=3).collect()
+        total = sum(r["rank"] for r in ranks)
+        assert total == pytest.approx(1.0, abs=1e-9)
+        # hub page 0 draws ~25% of intra-crawl links -> top in-degree
+        top = G.degree_topk(edges, k=1).collect()[0]
+        assert top["node"] == page_url(0)
