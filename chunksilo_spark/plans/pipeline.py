@@ -14,6 +14,7 @@ Stage graph:
                              └──3──> raw_triples ─┐
     linked ──(distinct surfaces)──> canon_map ────┴──> triples
     triples ──4──> nodes, edges, lineage
+    pages ──5 (opt)──> outlinks ──> web_edges ──> web_rank   (link graph)
 """
 
 from __future__ import annotations
@@ -68,8 +69,19 @@ def run_pipeline(
     fingerprint: str = "v1",
     resume: bool = True,
     partitions: int | None = None,
+    link_graph: bool = False,
+    pagerank_iters: int = 5,
 ) -> dict[str, DataFrame]:
-    """Run all four stages; returns the materialized DataFrames by name."""
+    """Run all four stages; returns the materialized DataFrames by name.
+
+    With ``link_graph`` three more tables materialize beside the entity
+    graph: ``outlinks`` (row-level per page: every resolved href of the
+    extractable pages — a pure function of each page, so incrementally
+    maintainable by url), ``web_edges`` (outlinks restricted to crawled
+    targets — GLOBAL: a new page can turn an old page's dead link into an
+    edge, so it rebuilds from the maintained inputs like triples), and
+    ``web_rank`` (PageRank over web_edges, rank rounded to 6dp so the
+    stored table is reproducible across partitionings)."""
     store = TableStore(out_dir)
 
     documents = _materialize(
@@ -127,7 +139,7 @@ def run_pipeline(
         lambda: _build_edges(triples), "subj_canon_id", resume,
     )
 
-    return {
+    out = {
         "documents": documents,
         "chunks": chunks,
         "quarantine": quarantined,
@@ -138,8 +150,30 @@ def run_pipeline(
         "triples": triples,
         "nodes": nodes,
         "edges": edges,
-        "lineage": spark.read.parquet(store.path("lineage")),
     }
+
+    if link_graph:
+        from ..operators import graph as g
+
+        outlinks = _materialize(
+            store, spark, "stage5_outlinks", "outlinks", fingerprint,
+            lambda: g.extract_outlinks(pages, strict_utf8=True)
+            .withColumnRenamed("src", "url"),
+            "url", resume,
+        )
+        web_edges = _materialize(
+            store, spark, "stage5_web_edges", "web_edges", fingerprint,
+            lambda: _build_web_edges(outlinks, documents), "src", resume,
+        )
+        out["outlinks"] = outlinks
+        out["web_edges"] = web_edges
+        out["web_rank"] = _materialize(
+            store, spark, "stage5_web_rank", "web_rank", fingerprint,
+            lambda: _build_web_rank(web_edges, pagerank_iters), "node", resume,
+        )
+
+    out["lineage"] = spark.read.parquet(store.path("lineage"))
+    return out
 
 
 def _canon_from_linked(aliases: DataFrame, linked: DataFrame) -> DataFrame:
@@ -172,6 +206,8 @@ def apply_increment(
     fingerprint: str,
     partitions: int | None = None,
     delete_missing: bool = True,
+    link_graph: bool = False,
+    pagerank_iters: int = 5,
 ) -> dict[str, DataFrame]:
     """Apply a new page snapshot to an existing materialized pipeline state —
     the reference's incremental reindex (index.py:1491-1585: classify vs the
@@ -242,16 +278,25 @@ def apply_increment(
         )
         raw_triples = maintain("raw_triples", s3.extract_raw_triples(fresh_docs))
 
-        # row-level tables replace in dependency order (replace() stages to a
-        # side dir first, so the old contents feeding the plans stay readable)
-        for name, df in (
+        row_level = [
             ("documents", documents),
             ("chunks", chunks),
             ("quarantine", quarantined),
             ("mentions", mentions),
             ("linked_mentions", linked),
             ("raw_triples", raw_triples),
-        ):
+        ]
+        if link_graph:
+            from ..operators import graph as g
+
+            fresh_links = g.extract_outlinks(
+                frontier_pages, strict_utf8=True
+            ).withColumnRenamed("src", "url")
+            row_level.append(("outlinks", maintain("outlinks", fresh_links)))
+
+        # row-level tables replace in dependency order (replace() stages to a
+        # side dir first, so the old contents feeding the plans stay readable)
+        for name, df in row_level:
             store.replace(df, name)
             store.mark_complete(f"incr_{name}", fingerprint, table=name)
     finally:
@@ -271,18 +316,47 @@ def apply_increment(
     triples_v2 = store.read(spark, "triples")
     store.replace(_build_nodes(triples_v2), "nodes")
     store.replace(_build_edges(triples_v2), "edges")
-    for name in ("canon_map", "triples", "nodes", "edges"):
+    global_tables = ["canon_map", "triples", "nodes", "edges"]
+    if link_graph:
+        # web_edges/web_rank are global like triples: a frontier page can
+        # validate an old page's previously-dead link, so rebuild from the
+        # maintained outlinks + documents tables
+        outlinks_v2 = store.read(spark, "outlinks")
+        docs_v2 = store.read(spark, "documents")
+        store.replace(_build_web_edges(outlinks_v2, docs_v2), "web_edges")
+        web_edges_v2 = store.read(spark, "web_edges")
+        store.replace(_build_web_rank(web_edges_v2, pagerank_iters), "web_rank")
+        global_tables += ["web_edges", "web_rank"]
+    for name in global_tables:
         store.mark_complete(f"incr_{name}", fingerprint, table=name)
 
-    out = {
-        name: store.read(spark, name)
-        for name in (
-            "documents", "chunks", "quarantine", "mentions",
-            "raw_triples", "canon_map", "triples", "nodes", "edges",
-        )
-    }
+    names = [
+        "documents", "chunks", "quarantine", "mentions",
+        "raw_triples", "canon_map", "triples", "nodes", "edges",
+    ]
+    if link_graph:
+        names += ["outlinks", "web_edges", "web_rank"]
+    out = {name: store.read(spark, name) for name in names}
     out["linked"] = store.read(spark, "linked_mentions")  # run_pipeline's key
     return out
+
+
+def _build_web_edges(outlinks: DataFrame, documents: DataFrame) -> DataFrame:
+    """Intra-crawl edges: outlinks whose target is a crawled url (the
+    documents table carries every crawled url, quarantined or not)."""
+    targets = documents.select(F.col("url").alias("dst")).distinct()
+    return (
+        outlinks.select(F.col("url").alias("src"), "dst")
+        .join(targets, "dst", "left_semi")
+        .select("src", "dst")
+    )
+
+
+def _build_web_rank(web_edges: DataFrame, iters: int) -> DataFrame:
+    from ..operators import graph as g
+
+    ranks = g.pagerank(web_edges, iters=iters)
+    return ranks.select("node", F.round("rank", 6).alias("rank"))
 
 
 def _build_nodes(triples: DataFrame) -> DataFrame:

@@ -256,3 +256,36 @@ class TestCorpusLinkGraph:
         # hub page 0 draws ~25% of intra-crawl links -> top in-degree
         top = G.degree_topk(edges, k=1).collect()[0]
         assert top["node"] == page_url(0)
+
+
+class TestLinkGraphPipeline:
+    def test_incremental_equals_scratch(self, spark, tmp_path):
+        """link_graph stages materialize; apply_increment maintains them to
+        the same tables as a from-scratch rebuild (a frontier page can turn
+        an old page's dead link into an edge — the global-rebuild case)."""
+        from chunksilo_spark.plans.pipeline import apply_increment, run_pipeline
+        from chunksilo_spark.sources.corpus import aliases_df, pages_df
+
+        aliases = aliases_df(spark)
+        state, scratch = str(tmp_path / "s1"), str(tmp_path / "s2")
+        v1 = pages_df(spark, 40, partitions=2)
+        v2 = pages_df(spark, 60, partitions=2)
+
+        got1 = run_pipeline(
+            spark, v1, aliases, state, fingerprint="v1", link_graph=True
+        )
+        assert set(got1) >= {"outlinks", "web_edges", "web_rank"}
+        e1 = got1["web_edges"].count()  # before the increment swaps the files
+        inc = apply_increment(
+            spark, v2, aliases, state, fingerprint="v2", link_graph=True
+        )
+        want = run_pipeline(
+            spark, v2, aliases, scratch, fingerprint="v2", link_graph=True
+        )
+        for table in ("outlinks", "web_edges", "web_rank"):
+            a = sorted((tuple(r) for r in inc[table].collect()), key=repr)
+            b = sorted((tuple(r) for r in want[table].collect()), key=repr)
+            assert a == b, table
+        # the increment actually changed the graph (pages 40..59 add edges)
+        e2 = inc["web_edges"].count()
+        assert e2 > e1
