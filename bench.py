@@ -189,6 +189,42 @@ def _run_pipeline(cores: int, pages_dir: str, n_pages: int) -> dict:
         spark.stop()
 
 
+def _linkgraph_main(cores: int, pages_dir: str, n_pages: int) -> dict:
+    """Link-graph throughput over the staged corpus: href extraction +
+    resolution (pure codegen) -> intra-crawl edges -> 5-iteration PageRank.
+    Extraction wall and PageRank wall are reported separately — the former
+    scales with corpus bytes, the latter with edge count."""
+    from chunksilo_spark.operators import graph as g
+    from chunksilo_spark.session import get_spark
+
+    spark = get_spark(f"bench_linkgraph_{cores}", cores=cores)
+    try:
+        pages = spark.read.parquet(pages_dir)
+        g.crawl_edges(pages.sample(0.02, seed=1)).write.format("noop").mode(
+            "overwrite"
+        ).save()  # warmup: codegen for the regex/join stages
+        t0 = time.time()
+        edges = g.crawl_edges(pages).localCheckpoint()
+        n_edges = edges.count()
+        wall_extract = time.time() - t0
+        t1 = time.time()
+        ranks = g.pagerank(edges, iters=5)
+        n_nodes = ranks.count()
+        wall_pr = time.time() - t1
+        return {
+            "cores": cores,
+            "n_pages": n_pages,
+            "n_edges": n_edges,
+            "n_nodes": n_nodes,
+            "wall_extract_s": round(wall_extract, 2),
+            "wall_pagerank_s": round(wall_pr, 2),
+            "pages_per_sec": round(n_pages / wall_extract, 1),
+            "edges_per_sec": round(n_edges / wall_pr, 1),
+        }
+    finally:
+        spark.stop()
+
+
 def _run_pipeline_cluster(
     executors: int, pages_dir: str, n_pages: int, cores_per_executor: int = 4
 ) -> dict:
@@ -325,7 +361,11 @@ def main() -> None:
 
     qtimes = _subprocess_json(["--queries-run", sf_dir, str(cores)])
 
-    pages_dir = os.path.join(tempfile.gettempdir(), f"bench_pages_{n_pages}")
+    from chunksilo_spark.sources.corpus import CORPUS_VERSION
+
+    pages_dir = os.path.join(
+        tempfile.gettempdir(), f"bench_pages_v{CORPUS_VERSION}_{n_pages}"
+    )
     if not os.path.exists(os.path.join(pages_dir, "_SUCCESS")):
         _subprocess_json(["--stage-run", pages_dir, str(n_pages)])
 
@@ -335,6 +375,13 @@ def main() -> None:
     )
     qtimes["kg_pipeline"] = pipe["wall_s"]
 
+    linkgraph = _subprocess_json(
+        ["--linkgraph-run", str(hi), pages_dir, str(n_pages)]
+    )
+    qtimes["web_link_graph"] = round(
+        linkgraph["wall_extract_s"] + linkgraph["wall_pagerank_s"], 3
+    )
+
     result = {
         "metric": "headline_queries_plus_kg_pipeline_wall",
         "value": round(sum(qtimes.values()), 2),
@@ -343,6 +390,7 @@ def main() -> None:
         "sf": sf_label,
         "cores": cores,
         "pipeline": pipe,
+        "link_graph": linkgraph,
     }
 
     compare = _compare_commit_section(pages_dir, n_pages, hi)
@@ -362,7 +410,9 @@ def main() -> None:
         # stages dominate and the same job measures 0.81-0.97 (the regime a
         # real 100 TB run lives in — fixed costs amortize with corpus size)
         n_scale = int(os.environ.get("BENCH_SCALING_PAGES", "1600000"))
-        scale_dir = os.path.join(tempfile.gettempdir(), f"bench_pages_{n_scale}")
+        scale_dir = os.path.join(
+            tempfile.gettempdir(), f"bench_pages_v{CORPUS_VERSION}_{n_scale}"
+        )
         if not os.path.exists(os.path.join(scale_dir, "_SUCCESS")):
             _subprocess_json(["--stage-run", scale_dir, str(n_scale)])
         # 1 vs 4 executors of 2 cores each: both cluster sizes sit in the
@@ -442,6 +492,8 @@ if __name__ == "__main__":
                 )
             )
         )
+    elif len(argv) > 1 and argv[1] == "--linkgraph-run":
+        print(json.dumps(_linkgraph_main(int(argv[2]), argv[3], int(argv[4]))))
     elif len(argv) > 1 and argv[1] == "--queries-run":
         print(json.dumps(_queries_main(argv[2], int(argv[3]))))
     elif len(argv) > 1 and argv[1] == "--stage-run":

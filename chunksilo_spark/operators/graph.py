@@ -142,9 +142,12 @@ def pagerank(
     cluster, and zero-cost when the graph has no dangling nodes (the scan
     short-circuits on an empty anti-join).
     """
+    # materialize the edge relation ONCE: nodes, degrees and the contribution
+    # join all derive from it, and a live upstream plan (e.g. the outlink
+    # extraction regex) would otherwise recompute per consumer
     edges = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    )
+    ).localCheckpoint()
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))

@@ -23,6 +23,9 @@ import random
 from dataclasses import dataclass
 
 SEED = 42
+# bump when generated page BYTES change (bench keys its staged-parquet
+# cache on this, so a stale /tmp staging never serves an old corpus)
+CORPUS_VERSION = 2
 N_ENTITIES = 500
 HUB_ENTITY_ID = 0
 HUB_DOC_FRACTION = 0.30
