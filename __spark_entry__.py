@@ -6,7 +6,7 @@ testdata; ``oracle_sql()`` gives the DuckDB-equivalent SQL. Column names and
 rounding are aligned on both sides so the driver's order-insensitive
 value-hash comparison is exact.
 
-Of the 60 queries, 59 have DuckDB oracles (d_simhash gained one in round
+Of the 61 queries, 60 have DuckDB oracles (d_simhash gained one in round
 3 by switching its token hash to an md5-derived 64-bit value, the same
 trick as t_winnow; w2_rerank_topk gained one the same round — the
 sanctioned overlap reranker is deterministic, so the whole two-stage
@@ -908,6 +908,23 @@ def _g_outlinks(spark, sf):  # F10: href resolution algebra, all branches
     )
 
 
+def _g_components(spark, sf):  # iterative min-label connected components
+    # structured graph with closed-form components: clusters of 4
+    # consecutive ids (each id -> its cluster base) plus a bridge edge at
+    # every multiple of 100 merging two adjacent clusters. The oracle is
+    # the ANALYTIC component id — an independent derivation against which
+    # the generic iterative operator is checked.
+    docs = _t(spark, sf, "documents").select("doc_id")
+    d = F.col("doc_id")
+    base = (d - d % 4).cast("long")
+    cluster = docs.select(d.alias("src"), base.alias("dst"))
+    bridge = docs.where((d % 100 == 0) & (d > 0)).select(
+        d.alias("src"), (d - 1).cast("long").alias("dst")
+    )
+    comp = gr.weak_components(cluster.union(bridge))
+    return comp.select("node", "component")
+
+
 def _f6_issue_keys(spark, sf):  # F6 issue-key normalization (shared regex)
     docs = _t(spark, sf, "documents").select("doc_id")
     d = F.col("doc_id")
@@ -1003,6 +1020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_degree_topk": _g_degree_topk,
         "g_outlinks": _g_outlinks,
         "f6_issue_keys": _f6_issue_keys,
+        "g_components": _g_components,
         "x_train_order": _x_train_order,
         "x_pack_sequences": _x_pack_sequences,
         "x_domain_cap": _x_domain_cap,
@@ -1768,6 +1786,18 @@ def oracle_sql() -> dict[str, str]:
                           || '.example/dir' || (doc_id % 3)::VARCHAR
                           || '/sub/same/dir.html'
                    END AS resolved
+            FROM documents
+        """,
+        # analytic component ids for the cluster+bridge graph: cluster base
+        # b = doc_id - doc_id%4; a bridge at every multiple of 100 merges
+        # [b-4, b+3] under min-id b-4
+        "g_components": """
+            SELECT doc_id AS node,
+                   CASE WHEN (doc_id - doc_id % 4) % 100 = 0
+                             AND (doc_id - doc_id % 4) > 0
+                        THEN doc_id - doc_id % 4 - 4
+                        ELSE doc_id - doc_id % 4
+                   END AS component
             FROM documents
         """,
         "f6_issue_keys": """

@@ -217,6 +217,29 @@ def two_hop_counts(edges: DataFrame, sources: DataFrame) -> DataFrame:
     )
 
 
+def weak_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Weakly-connected components of a (src, dst) long-id edge set ->
+    (node, component) with component = min member id.
+
+    Delegates to the canonicalization stage's min-label propagation
+    (operators/canon.connected_components: symmetric two-hop rounds,
+    map-side-combined min aggregation — the salting-equivalent for an
+    idempotent monoid — and localCheckpoint lineage cuts), which is already
+    generic over long vertex ids; this wrapper just derives the vertex set
+    and adapts column names for graph callers."""
+    from .canon import connected_components
+
+    e = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    vertices = (
+        e.select(F.col("a").alias("nid"))
+        .union(e.select(F.col("b").alias("nid")))
+        .distinct()
+    )
+    return connected_components(vertices, e, max_iter=max_iter).select(
+        F.col("nid").alias("node"), "component"
+    )
+
+
 def rank_topk(ranks: DataFrame, k: int) -> DataFrame:
     """Top-k by (rounded) rank with node tiebreak — rounding BEFORE the sort
     makes the cutoff robust to last-ulp float differences between engines,

@@ -289,3 +289,46 @@ class TestLinkGraphPipeline:
         # the increment actually changed the graph (pages 40..59 add edges)
         e2 = inc["web_edges"].count()
         assert e2 > e1
+
+
+class TestWeakComponents:
+    def test_matches_union_find_on_crawl(self, spark):
+        """Generic CC on the (hashed) corpus link graph vs a plain-python
+        union-find over the same edges."""
+        import pyspark.sql.functions as F
+
+        from chunksilo_spark.sources.corpus import pages_df
+
+        edges = G.crawl_edges(pages_df(spark, 80)).select(
+            F.xxhash64("src").alias("src"), F.xxhash64("dst").alias("dst")
+        )
+        rows = [(r["src"], r["dst"]) for r in edges.collect()]
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in rows:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {}
+        for v in parent:
+            want[v] = find(v)
+        # canonicalize: component = min member id
+        comp_min = {}
+        for v, c in want.items():
+            comp_min.setdefault(c, v)
+            comp_min[c] = min(comp_min[c], v)
+        want = {v: comp_min[c] for v, c in want.items()}
+
+        got = {
+            r["node"]: r["component"]
+            for r in G.weak_components(edges).collect()
+        }
+        assert got == want
+        assert len(set(got.values())) > 1  # several components exist
