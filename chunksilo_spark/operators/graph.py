@@ -126,6 +126,7 @@ def pagerank(
     damping: float = 0.85,
     src_col: str = "src",
     dst_col: str = "dst",
+    checkpoint_every: int = 2,
 ) -> DataFrame:
     """PageRank by iterative DataFrame joins -> (node, rank).
 
@@ -170,7 +171,7 @@ def pagerank(
     has_dangling = dangling_nodes.limit(1).count() > 0
 
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
-    for _ in range(iters):
+    for i in range(iters):
         dangling = 0.0
         if has_dangling:
             dangling = (
@@ -185,17 +186,22 @@ def pagerank(
             .agg(F.sum(F.col("rank") * F.col("inv_deg")).alias("c"))
         )
         base = (1.0 - damping) / n + damping * dangling / n
-        ranks = (
-            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
-            .select(
-                "node",
-                (
-                    F.lit(base)
-                    + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))
-                ).alias("rank"),
-            )
-            .localCheckpoint()  # plans stay O(1) deep across iterations
+        ranks = nodes.join(
+            contrib, nodes["node"] == contrib["dst"], "left"
+        ).select(
+            "node",
+            (
+                F.lit(base)
+                + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))
+            ).alias("rank"),
         )
+        # lineage cut: every iteration when the dangling aggregate forces a
+        # mid-loop action anyway (an uncut plan would recompute per action),
+        # else every ``checkpoint_every`` rounds — the eager checkpoint is
+        # ~1 job of fixed cost, so halving the count halves the fixed
+        # overhead while plans stay <= checkpoint_every joins deep
+        if has_dangling or (i + 1) % checkpoint_every == 0 or i == iters - 1:
+            ranks = ranks.localCheckpoint()
     return ranks
 
 

@@ -81,6 +81,7 @@ def start_incremental_maintenance(
     checkpoint_dir: str,
     aliases: DataFrame,
     available_now: bool = True,
+    link_graph: bool = False,
 ):
     """Streaming maintenance of the FULL materialized table set: each
     micro-batch of pages (new or re-crawled urls) is applied with
@@ -111,6 +112,7 @@ def start_incremental_maintenance(
             tables_dir,
             fingerprint=f"stream_{batch_id}",
             delete_missing=False,
+            link_graph=link_graph,
         )
 
     writer = (

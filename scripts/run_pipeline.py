@@ -33,6 +33,8 @@ def main() -> None:
     p.add_argument("--fingerprint", default="v1")
     p.add_argument("--no-resume", action="store_true")
     p.add_argument("--partitions", type=int, default=None)
+    p.add_argument("--link-graph", action="store_true",
+                   help="also materialize outlinks/web_edges/web_rank")
     args = p.parse_args()
 
     from pyspark.sql import SparkSession
@@ -55,6 +57,7 @@ def main() -> None:
         fingerprint=args.fingerprint,
         resume=not args.no_resume,
         partitions=args.partitions,
+        link_graph=args.link_graph,
     )
     summary = {
         "wall_s": round(time.time() - t0, 2),

@@ -332,3 +332,47 @@ class TestWeakComponents:
         }
         assert got == want
         assert len(set(got.values())) > 1  # several components exist
+
+
+class TestStreamingLinkGraph:
+    def test_streamed_link_tables_equal_batch(self, spark, tmp_path):
+        """One streamed delta maintained with link_graph=True reproduces the
+        batch-rebuilt web_edges/web_rank tables."""
+        import pyspark.sql.functions as F
+
+        from chunksilo_spark.plans.pipeline import run_pipeline
+        from chunksilo_spark.sources.corpus import aliases_df, pages_df
+        from chunksilo_spark.sources.storage import TableStore
+        from chunksilo_spark.streaming.ingest import (
+            start_incremental_maintenance,
+        )
+
+        aliases = aliases_df(spark)
+        tables_dir = str(tmp_path / "tables")
+        stream_dir = str(tmp_path / "incoming")
+        scratch = str(tmp_path / "scratch")
+
+        base = pages_df(spark, 30, partitions=2)
+        run_pipeline(
+            spark, base, aliases, tables_dir, fingerprint="v1", link_graph=True
+        )
+        all40 = pages_df(spark, 40, partitions=2)
+        delta = all40.where(F.col("url").rlike("-3[0-9]$"))
+        delta.coalesce(1).write.mode("append").parquet(stream_dir)
+
+        q = start_incremental_maintenance(
+            spark, stream_dir, tables_dir, str(tmp_path / "ckpt"), aliases,
+            available_now=True, link_graph=True,
+        )
+        q.awaitTermination(300)
+
+        want = run_pipeline(
+            spark, all40, aliases, scratch, fingerprint="m", link_graph=True
+        )
+        store = TableStore(tables_dir)
+        for table in ("web_edges", "web_rank"):
+            a = sorted(
+                (tuple(r) for r in store.read(spark, table).collect()), key=repr
+            )
+            b = sorted((tuple(r) for r in want[table].collect()), key=repr)
+            assert a == b, table
