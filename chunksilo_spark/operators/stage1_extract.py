@@ -105,8 +105,13 @@ def _extract_batch(
     batches: Iterator[pd.DataFrame],
     max_html_bytes: int = MAX_HTML_BYTES,
     row_timeout_s: float = ROW_TIMEOUT_S,
+    binary_decoder=None,
 ) -> Iterator[pd.DataFrame]:
     import hashlib
+
+    from ..functions.docformats import detect_format
+
+    decoder = binary_decoder.resolve() if binary_decoder is not None else None
 
     from urllib.parse import urlparse
 
@@ -129,7 +134,18 @@ def _extract_batch(
                         f"html too large: {len(raw)} > {max_html_bytes} bytes"
                     )
                 with _row_deadline(row_timeout_s):
-                    text = extract_text(raw.decode("utf-8", errors="strict"))
+                    # format routing (S7-S9): binary document formats go to
+                    # the pluggable decoder; with none configured they
+                    # quarantine (convert-or-skip, never kill the job)
+                    fmt = detect_format(raw)
+                    if fmt == "html":
+                        text = extract_text(
+                            raw.decode("utf-8", errors="strict")
+                        )
+                    elif decoder is not None:
+                        text = decoder.decode(fmt, raw)
+                    else:
+                        raise ValueError(f"unsupported format: {fmt}")
                     heads = [
                         (h["text"], h["position"], h["level"])
                         for h in extract_headings(text)
@@ -168,8 +184,14 @@ def extract_documents(
     partitions: int | None = None,
     max_html_bytes: int = MAX_HTML_BYTES,
     row_timeout_s: float = ROW_TIMEOUT_S,
+    binary_decoder=None,
 ) -> DataFrame:
-    """pages -> documents (text filled, headings/offsets typed, ok/error)."""
+    """pages -> documents (text filled, headings/offsets typed, ok/error).
+
+    ``binary_decoder`` is an optional ``models.ModelSpec`` whose resolved
+    object decodes non-HTML formats (``decode(fmt, raw) -> str``, see
+    functions/docformats.py); constructed once per worker like the
+    embedder. Without one, pdf/docx pages quarantine."""
     df = pages
     if partitions:
         df = df.repartition(partitions, F.xxhash64("url"))
@@ -177,7 +199,9 @@ def extract_documents(
         df = df.repartition(F.xxhash64("url"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        return _extract_batch(batches, max_html_bytes, row_timeout_s)
+        return _extract_batch(
+            batches, max_html_bytes, row_timeout_s, binary_decoder
+        )
 
     return df.mapInPandas(run, schema=DOCS_SCHEMA)
 
