@@ -6,7 +6,7 @@ testdata; ``oracle_sql()`` gives the DuckDB-equivalent SQL. Column names and
 rounding are aligned on both sides so the driver's order-insensitive
 value-hash comparison is exact.
 
-Of the 61 queries, 60 have DuckDB oracles (d_simhash gained one in round
+Of the 62 queries, 61 have DuckDB oracles (d_simhash gained one in round
 3 by switching its token hash to an md5-derived 64-bit value, the same
 trick as t_winnow; w2_rerank_topk gained one the same round — the
 sanctioned overlap reranker is deterministic, so the whole two-stage
@@ -947,6 +947,13 @@ def _f6_issue_keys(spark, sf):  # F6 issue-key normalization (shared regex)
 # training-export queries (operators/export.py)
 
 
+def _t_unigram_lm(spark, sf):  # LM quality proxy from corpus statistics
+    # vocab_size=30 << corpus vocab so the OOV floor path is exercised
+    return cu.unigram_logprob(
+        _t(spark, sf, "documents"), vocab_size=30, floor_count=0.5
+    )
+
+
 def _x_train_order(spark, sf):  # deterministic seeded shuffle + shard
     return ex.train_order(_t(spark, sf, "documents"), shards=8, seed="s1")
 
@@ -1021,6 +1028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_outlinks": _g_outlinks,
         "f6_issue_keys": _f6_issue_keys,
         "g_components": _g_components,
+        "t_unigram_lm": _t_unigram_lm,
         "x_train_order": _x_train_order,
         "x_pack_sequences": _x_pack_sequences,
         "x_domain_cap": _x_domain_cap,
@@ -1816,6 +1824,27 @@ def oracle_sql() -> dict[str, str]:
                        raw, '\\b([A-Z]{2,10})[\\s_]?(\\d{1,6})\\b',
                        '\\1-\\2', 'g') AS normalized
             FROM t
+        """,
+        # corpus-unigram LM proxy: same op order as the operator
+        # (ln(coalesce(cnt, 0.5) / total), averaged per doc); ln() because
+        # DuckDB's log() is base 10. Deterministic vocab cutoff (cnt desc,
+        # tok asc) keeps the top-30 set identical across engines.
+        "t_unigram_lm": """
+            WITH toks AS (
+                SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+'))
+                    AS tok
+                FROM documents
+            ), counts AS (
+                SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok
+                ORDER BY cnt DESC, tok ASC LIMIT 30
+            ), total AS (SELECT COUNT(*)::DOUBLE AS t FROM toks)
+            SELECT toks.doc_id, COUNT(*) AS n_tokens,
+                   round(AVG(ln(
+                       COALESCE(counts.cnt::DOUBLE, 0.5)
+                       / (SELECT t FROM total)
+                   )), 6) AS mean_logprob
+            FROM toks LEFT JOIN counts ON toks.tok = counts.tok
+            GROUP BY toks.doc_id
         """,
         "x_train_order": """
             WITH keyed AS (

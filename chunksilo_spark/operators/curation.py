@@ -145,6 +145,51 @@ def contamination_check(
     )
 
 
+def unigram_logprob(
+    docs: DataFrame,
+    vocab_size: int = 10_000,
+    floor_count: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_tokens, mean_logprob) — the CCNet/KenLM-style LM quality
+    proxy from corpus statistics alone: mean over a doc's tokens of
+    ln(count(token)/total), with out-of-vocabulary tokens floored at
+    ``floor_count`` occurrences. Low (very negative) scores = rare-token
+    soup; implausibly high = boilerplate. The standard cheap stand-in for
+    a perplexity filter when no LM is available.
+
+    Scale shape: ONE explode+groupBy builds the corpus unigram table; only
+    the top-``vocab_size`` rows (deterministic cutoff: count desc, token
+    asc) survive, so the join back is a BROADCAST hash join — the corpus
+    is scanned twice and shuffled once, the per-doc pass is map-side.
+    Total-count uses the FULL token count (not just in-vocab), matching
+    the OOV-floor model.
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("tok")
+    )
+    counts = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("tok").asc())
+        .limit(vocab_size)
+    )
+    total = toks.count()  # scalar action: one number to the driver
+    lp = F.log(
+        F.coalesce(F.col("cnt").cast("double"), F.lit(float(floor_count)))
+        / F.lit(float(total))
+    )
+    return (
+        toks.join(F.broadcast(counts), "tok", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(lp), 6).alias("mean_logprob"),
+        )
+    )
+
+
 def _md5_bucket(col: Column, buckets: int = 100) -> Column:
     """Deterministic [0, buckets) bucket from md5 of the column's string
     form — the first 15 hex chars fit a signed 64-bit int, and the same

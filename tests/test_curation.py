@@ -110,3 +110,44 @@ class TestStratifiedSample:
         n = cu.stratified_sample(docs, ["lang"], 100).count()
         assert n == 200  # rate 100/100 keeps everything
         assert cu.stratified_sample(docs, ["lang"], 0).count() == 0
+
+
+class TestUnigramLogprob:
+    def test_matches_python_oracle_with_oov(self, spark):
+        import math
+
+        from chunksilo_spark.operators.curation import unigram_logprob
+
+        rows = [
+            (0, "the cat sat on the mat"),
+            (1, "the dog ran"),
+            (2, "zyxwv qqqq zyxwv"),  # rare tokens -> OOV under a tiny vocab
+            (3, "the the the cat"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        vocab_size, floor = 3, 0.5
+
+        toks = [(i, t) for i, s in rows for t in s.split()]
+        total = len(toks)
+        counts: dict = {}
+        for _, t in toks:
+            counts[t] = counts.get(t, 0) + 1
+        vocab = dict(
+            sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:vocab_size]
+        )
+        want = {}
+        for i, s in rows:
+            lps = [
+                math.log(vocab.get(t, floor) / total) for t in s.split()
+            ]
+            want[i] = (len(lps), round(sum(lps) / len(lps), 6))
+
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["mean_logprob"])
+            for r in unigram_logprob(
+                df, vocab_size=vocab_size, floor_count=floor
+            ).collect()
+        }
+        assert got == want
+        # the rare-token doc scores strictly worse than the common-token doc
+        assert got[2][1] < got[3][1]
