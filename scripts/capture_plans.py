@@ -54,6 +54,8 @@ CAPTURE = [
      "single hash Exchange, per-partition running state"),
     ("x_domain_cap", "windowed top-cap per domain: one Exchange on the "
      "domain key, filter on row_number"),
+    ("t_unigram_lm", "vocab table joins back as BroadcastHashJoin — the "
+     "per-doc scoring pass is map-side, only the unigram count shuffles"),
 ]
 
 
