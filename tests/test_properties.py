@@ -119,3 +119,56 @@ class TestGlobInvariants:
         got = bool(re.search(glob_to_regex(pat), path))
         want = fnmatch.fnmatchcase(comps[-1], pat)
         assert got == want
+
+
+from urllib.parse import urljoin as _urljoin  # noqa: E402
+
+from chunksilo_spark.functions.urls import resolve_href  # noqa: E402
+
+_seg_st = st.text(alphabet="abcdefghij0123456789-_", min_size=1, max_size=5)
+
+
+@st.composite
+def _base_st(draw):
+    scheme = draw(st.sampled_from(["http", "https"]))
+    host = draw(_seg_st) + ".example"
+    # depth >= 3 so up to 2 levels of ../ never climb above the root
+    path = "/".join(draw(st.lists(_seg_st, min_size=3, max_size=5)))
+    leaf = draw(_seg_st) + ".html"
+    return f"{scheme}://{host}/{path}/{leaf}"
+
+
+@st.composite
+def _href_st(draw):
+    kind = draw(st.sampled_from(
+        ["abs", "scheme_rel", "root_rel", "rel", "dot_rel", "up_rel"]
+    ))
+    segs = draw(st.lists(_seg_st, min_size=1, max_size=3))
+    tail = "/".join(segs) + ".html"
+    if kind == "abs":
+        return "https://" + draw(_seg_st) + ".example/" + tail
+    if kind == "scheme_rel":
+        return "//" + draw(_seg_st) + ".example/" + tail
+    if kind == "root_rel":
+        return "/" + tail
+    if kind == "dot_rel":
+        return "./" + tail
+    if kind == "up_rel":
+        return "../" * draw(st.integers(1, 2)) + tail
+    return tail
+
+
+class TestUrlResolutionInvariants:
+    @given(_base_st(), _href_st())
+    @settings(max_examples=300, deadline=None)
+    def test_matches_urljoin_on_crawler_shapes(self, base, href):
+        # on every structural shape a crawler emits, the pinned regex
+        # algebra agrees with the stdlib resolver exactly
+        assert resolve_href(base, href) == _urljoin(base, href)
+
+    @given(_base_st(), _href_st())
+    @settings(max_examples=100, deadline=None)
+    def test_fragment_never_survives(self, base, href):
+        out = resolve_href(base, href + "#frag")
+        assert out is not None and "#" not in out
+        assert out == resolve_href(base, href)
