@@ -1831,8 +1831,10 @@ def oracle_sql() -> dict[str, str]:
         # tok asc) keeps the top-30 set identical across engines.
         "t_unigram_lm": """
             WITH toks AS (
-                SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+'))
-                    AS tok
+                SELECT doc_id,
+                       unnest(list_filter(
+                           string_split_regex(trim(text), '\\s+'),
+                           x -> x <> '')) AS tok
                 FROM documents
             ), counts AS (
                 SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok

@@ -25,11 +25,13 @@ Pinned algebra, in order:
   4. ``/...`` (root-relative)          -> base origin (scheme://host) + href.
   5. otherwise (relative)              -> base dir (base with the trailing
      ``[^/]*$`` segment removed) + href.
-  6. normalize cases 4-5: FOUR global-replace passes of ``/\./`` -> ``/``
-     then FOUR of ``/[^/]+/\.\./`` -> ``/`` (handles <= 4 levels of ``..``;
-     deeper chains and above-root ``..`` keep the fixed-pass residue —
-     documented bound, identical in Java regex / RE2 / Python re because all
-     three scan left-to-right non-overlapping per pass).
+  6. normalize cases 4-5 ON THE PATH PART ONLY (everything after the
+     origin — the authority can never be consumed by a ``..`` collapse):
+     FOUR global-replace passes of ``/\./`` -> ``/`` then FOUR of
+     ``/[^/]+/\.\./`` -> ``/`` (handles <= 4 levels of ``..``; deeper
+     chains and above-root ``..`` keep the fixed-pass residue — documented
+     bound, identical in Java regex / RE2 / Python re because all three
+     scan left-to-right non-overlapping per pass).
 
 Bases are required to be absolute http(s) URLs WITH a path component (every
 crawl record's WARC-Target-URI is); behavior for other bases is None.
@@ -60,12 +62,12 @@ def extract_hrefs(html: str) -> list[str]:
     return _HREF_C.findall(html)
 
 
-def _normalize(url: str) -> str:
+def _normalize_path(path: str) -> str:
     for _ in range(NORM_PASSES):
-        url = _DOT_SEG.sub("/", url)
+        path = _DOT_SEG.sub("/", path)
     for _ in range(NORM_PASSES):
-        url = _UP_SEG.sub("/", url)
-    return url
+        path = _UP_SEG.sub("/", path)
+    return path
 
 
 def resolve_href(base: str, href: str) -> str | None:
@@ -83,9 +85,12 @@ def resolve_href(base: str, href: str) -> str | None:
     if href.startswith("//"):
         return _BASE_SCHEME_C.match(base).group(1) + ":" + href
     if href.startswith("/"):
-        return _normalize(origin + href)
-    base_dir = re.sub(r"[^/]*$", "", base)
-    return _normalize(base_dir + href)
+        return origin + _normalize_path(href)
+    # path part of the base dir, so '..' collapse can never eat the host
+    # (a shallow base like https://h.example/page + href '../x' used to
+    # match '/h.example/../' and swallow the authority)
+    base_dir_path = re.sub(r"[^/]*$", "", base)[len(origin):]
+    return origin + _normalize_path(base_dir_path + href)
 
 
 def page_outlinks(base: str, html: str) -> list[str]:

@@ -60,6 +60,18 @@ class ModelSpec:
     params: tuple[tuple[str, Any], ...] = field(default=())
 
     def __init__(self, factory: Callable[..., Any], **params: Any) -> None:
+        # enforce the docstring contract instead of trusting it: a lambda or
+        # function-local class has qualname '<lambda>'/'<locals>', so two
+        # DIFFERENT factories defined in the same scope would collide on the
+        # (module, qualname, params) cache key and resolve() would silently
+        # hand back the wrong model — corrupt embeddings, no error.
+        qn = getattr(factory, "__qualname__", "")
+        if "<lambda>" in qn or "<locals>" in qn:
+            raise ValueError(
+                "ModelSpec factory must be a module-level (importable) "
+                f"callable; got {qn!r} — lambdas/function-local classes "
+                "have ambiguous cache keys"
+            )
         object.__setattr__(self, "factory", factory)
         object.__setattr__(self, "params", tuple(sorted(params.items())))
 

@@ -56,7 +56,10 @@ def _word_grams(toks: Column, n: int) -> Column:
 
 
 def _tokens(text_col: Column) -> Column:
-    return F.split(F.trim(text_col), r"\s+")
+    # drop boundary empties: F.trim strips SPACES only, so text edged with
+    # '\n'/'\t' would otherwise yield '' tokens that the oracles' uniform
+    # list_filter(x -> x <> '') never sees (and phantom n-grams with them)
+    return F.array_remove(F.split(F.trim(text_col), r"\s+"), "")
 
 
 def repetition_profile(
@@ -159,26 +162,30 @@ def unigram_logprob(
     soup; implausibly high = boilerplate. The standard cheap stand-in for
     a perplexity filter when no LM is available.
 
-    Scale shape: ONE explode+groupBy builds the corpus unigram table; only
-    the top-``vocab_size`` rows (deterministic cutoff: count desc, token
-    asc) survive, so the join back is a BROADCAST hash join — the corpus
-    is scanned twice and shuffled once, the per-doc pass is map-side.
+    Scale shape: ONE explode+groupBy builds the full unigram relation,
+    checkpointed so its two consumers (the scalar total = sum of counts,
+    the deterministic top-``vocab_size`` cutoff: count desc, token asc)
+    never re-run the corpus explode; the vocab slice joins back as a
+    BROADCAST hash join, so the per-doc scoring pass is map-side. The
+    corpus is scanned exactly twice: once for statistics, once to score.
     Total-count uses the FULL token count (not just in-vocab), matching
     the OOV-floor model.
     """
     toks = docs.select(
         F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("tok")
     )
-    counts = (
+    full_counts = (
         toks.groupBy("tok")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .orderBy(F.col("cnt").desc(), F.col("tok").asc())
-        .limit(vocab_size)
+        .localCheckpoint()  # vocab-sized; feeds total AND the top-K cutoff
     )
-    total = toks.count()  # scalar action: one number to the driver
+    total = full_counts.agg(F.sum("cnt")).collect()[0][0] or 0
+    counts = full_counts.orderBy(
+        F.col("cnt").desc(), F.col("tok").asc()
+    ).limit(vocab_size)
     lp = F.log(
         F.coalesce(F.col("cnt").cast("double"), F.lit(float(floor_count)))
-        / F.lit(float(total))
+        / F.lit(float(max(total, 1)))
     )
     return (
         toks.join(F.broadcast(counts), "tok", "left")

@@ -40,17 +40,27 @@ def resolve_href_col(base: Column, href: Column) -> Column:
     are ANSI-SQL-expressible (the driver oracle re-derives them in DuckDB
     with ``regexp_replace(..., 'g')``).
     """
-    h = F.regexp_replace(F.trim(href), "#.*$", "")
+    # \s-trim (F.trim strips spaces only; the kernel's str.strip() takes
+    # tabs/newlines too) and a DOTALL fragment strip ('#.*$' would leave a
+    # fragment that contains a newline behind — the kernel's split('#')
+    # never does)
+    h = F.regexp_replace(
+        F.regexp_replace(href, r"^\s+|\s+$", ""), r"(?s)#.*$", ""
+    )
     origin = F.regexp_extract(base, r"^(https?://[^/]+)", 1)
     scheme = F.regexp_extract(base, r"^([A-Za-z][A-Za-z0-9+.-]*):", 1)
-    base_dir = F.regexp_replace(base, r"[^/]*$", "")
+    # path part of the base dir (origin stripped): '..' collapse runs on
+    # the path ONLY, so it can never consume the authority
+    base_dir_path = F.regexp_replace(
+        F.regexp_replace(base, r"[^/]*$", ""), r"^https?://[^/]+", ""
+    )
 
-    def norm(u: Column) -> Column:
+    def norm(p: Column) -> Column:
         for _ in range(U.NORM_PASSES):
-            u = F.regexp_replace(u, r"/\./", "/")
+            p = F.regexp_replace(p, r"/\./", "/")
         for _ in range(U.NORM_PASSES):
-            u = F.regexp_replace(u, r"/[^/]+/\.\./", "/")
-        return u
+            p = F.regexp_replace(p, r"/[^/]+/\.\./", "/")
+        return p
 
     return (
         F.when(h == "", F.lit(None).cast("string"))
@@ -58,8 +68,8 @@ def resolve_href_col(base: Column, href: Column) -> Column:
         .when(h.rlike(U.SCHEME_RE), F.lit(None).cast("string"))
         .when(origin == "", F.lit(None).cast("string"))
         .when(h.startswith("//"), F.concat(scheme, F.lit(":"), h))
-        .when(h.startswith("/"), norm(F.concat(origin, h)))
-        .otherwise(norm(F.concat(base_dir, h)))
+        .when(h.startswith("/"), F.concat(origin, norm(h)))
+        .otherwise(F.concat(origin, norm(F.concat(base_dir_path, h))))
     )
 
 
@@ -94,16 +104,34 @@ def extract_outlinks(
     )
 
 
-def crawl_edges(pages: DataFrame, url_col: str = "url") -> DataFrame:
+def restrict_to_targets(edges: DataFrame, target_urls: DataFrame) -> DataFrame:
+    """Keep only edges whose dst is in ``target_urls`` (single url column) —
+    the one restriction semantics shared by crawl_edges and the pipeline's
+    web_edges stage, so the benchmarked operator IS the materialized one.
+    A left-semi join on the url key (at 100 TB both sides hash-partition on
+    url, the same key the corpus is already bucketed by)."""
+    targets = target_urls.select(
+        F.col(target_urls.columns[0]).alias("dst")
+    ).distinct()
+    return edges.join(targets, "dst", "left_semi").select("src", "dst")
+
+
+def crawl_edges(
+    pages: DataFrame,
+    url_col: str = "url",
+    target_urls: DataFrame | None = None,
+) -> DataFrame:
     """Intra-crawl link graph: outlinks of extractable (strict-UTF8) pages
-    restricted to targets that exist in the crawl — the edge table PageRank
-    and degree stats run on. The restriction is a left-semi join on the
-    page-url set (shuffles only the edge keys; at 100 TB both sides hash-
-    partition on url, the same key the corpus is already bucketed by)."""
-    urls = pages.select(F.col(url_col).alias("dst")).distinct()
-    return extract_outlinks(pages, url_col=url_col, strict_utf8=True).join(
-        urls, "dst", "left_semi"
-    ).select("src", "dst")
+    restricted to targets that exist in the crawl (default: the pages' own
+    url set; pass ``target_urls`` to restrict against another table, e.g.
+    the documents ledger) — the edge table PageRank and degree stats run
+    on."""
+    if target_urls is None:
+        target_urls = pages.select(url_col)
+    return restrict_to_targets(
+        extract_outlinks(pages, url_col=url_col, strict_utf8=True),
+        target_urls,
+    )
 
 
 def degree_topk(

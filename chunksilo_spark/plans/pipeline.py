@@ -289,10 +289,26 @@ def apply_increment(
         if link_graph:
             from ..operators import graph as g
 
-            fresh_links = g.extract_outlinks(
-                frontier_pages, strict_utf8=True
-            ).withColumnRenamed("src", "url")
-            row_level.append(("outlinks", maintain("outlinks", fresh_links)))
+            if store.exists("outlinks", spark):
+                fresh_links = g.extract_outlinks(
+                    frontier_pages, strict_utf8=True
+                ).withColumnRenamed("src", "url")
+                out_links = maintain("outlinks", fresh_links)
+            elif delete_missing:
+                # state predates the link-graph stage; a full snapshot can
+                # bootstrap the table from scratch (a frontier alone cannot
+                # — unchanged pages' links would be missing)
+                out_links = g.extract_outlinks(
+                    new_pages, strict_utf8=True
+                ).withColumnRenamed("src", "url")
+            else:
+                raise ValueError(
+                    "link_graph=True but no materialized 'outlinks' table, "
+                    "and delta mode cannot bootstrap it from a partial "
+                    "batch — run run_pipeline(..., link_graph=True) once "
+                    "over the full corpus first"
+                )
+            row_level.append(("outlinks", out_links))
 
         # row-level tables replace in dependency order (replace() stages to a
         # side dir first, so the old contents feeding the plans stay readable)
@@ -343,12 +359,14 @@ def apply_increment(
 
 def _build_web_edges(outlinks: DataFrame, documents: DataFrame) -> DataFrame:
     """Intra-crawl edges: outlinks whose target is a crawled url (the
-    documents table carries every crawled url, quarantined or not)."""
-    targets = documents.select(F.col("url").alias("dst")).distinct()
-    return (
-        outlinks.select(F.col("url").alias("src"), "dst")
-        .join(targets, "dst", "left_semi")
-        .select("src", "dst")
+    documents table carries every crawled url, quarantined or not). Shares
+    graph.restrict_to_targets with the bench's crawl_edges path, so the
+    measured operator and the materialized table cannot drift apart."""
+    from ..operators.graph import restrict_to_targets
+
+    return restrict_to_targets(
+        outlinks.select(F.col("url").alias("src"), "dst"),
+        documents.select("url"),
     )
 
 

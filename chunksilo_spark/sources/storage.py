@@ -81,9 +81,29 @@ class TableStore:
         else:
             df.write.mode("overwrite").parquet(self.path(table))
 
-    # seconds after which another process's swap lock is presumed crashed;
-    # a live replace() holds the lock for one directory-rename pair (~ms)
-    SWAP_LOCK_STALE_S = 30.0
+    def _swap_lock(self, final: str):
+        """Exclusive advisory lock guarding the swap-window state of one
+        table dir. ``fcntl.flock`` (POSIX; Spark's platform) gives the two
+        properties a bare lock FILE cannot: acquisition is ATOMIC with the
+        writer's rename pair (no exists()-then-act window), and a crashed
+        holder releases automatically (the OS drops flocks at process
+        death), so no staleness timer is needed. The lock file itself is
+        NEVER unlinked — deleting it would let a later writer lock a fresh
+        inode while a reader still holds the old one (two `locks`, zero
+        exclusion)."""
+        import contextlib
+        import fcntl
+
+        @contextlib.contextmanager
+        def cm():
+            with open(final + ".__swap_lock", "a") as f:
+                fcntl.flock(f, fcntl.LOCK_EX)
+                try:
+                    yield
+                finally:
+                    fcntl.flock(f, fcntl.LOCK_UN)
+
+        return cm()
 
     def replace(self, df: DataFrame, table: str) -> None:
         """Replace a table whose CURRENT contents feed ``df``'s plan (the
@@ -93,11 +113,12 @@ class TableStore:
         createOrReplace (snapshot isolation).
 
         Cross-process safety for the parquet backend: the rename pair runs
-        under a ``.__swap_lock`` file that ``_heal`` respects, so a
-        concurrent reader (e.g. scripts/serve.py against a dir a streaming
-        writer maintains) cannot rename ``.__old`` back mid-swap and break
-        the writer's final rename. Multi-WRITER is still out of scope for
-        parquet dirs — use the Iceberg backend for that."""
+        under the flock of ``_swap_lock``, and ``_heal`` takes the SAME
+        flock before deciding anything — a concurrent reader (e.g.
+        scripts/serve.py against a dir a streaming writer maintains) can
+        therefore never observe the mid-swap window, let alone rename
+        ``.__old`` back into the writer's path. Multi-WRITER is still out
+        of scope for parquet dirs — use the Iceberg backend for that."""
         if self.table_format == "iceberg":
             df.writeTo(table).createOrReplace()
             return
@@ -109,16 +130,10 @@ class TableStore:
         old = final + ".__old"
         if os.path.exists(old):
             shutil.rmtree(old)
-        lock = final + ".__swap_lock"
-        with open(lock, "w") as f:
-            f.write(str(os.getpid()))
-        try:
+        with self._swap_lock(final):
             if os.path.exists(final):
                 os.replace(final, old)
             os.replace(staging, final)
-        finally:
-            if os.path.exists(lock):
-                os.remove(lock)
         if os.path.exists(old):
             shutil.rmtree(old)
 
@@ -128,30 +143,18 @@ class TableStore:
         the swap window (final renamed away, staging not yet renamed in)
         must never lose the table.
 
-        A FRESH ``.__swap_lock`` means another process is mid-swap right
-        now: wait for it instead of healing (renaming ``.__old`` back would
-        make the writer's final rename fail with a non-empty target). A
-        stale lock is a crashed writer — remove it and heal."""
+        The check-and-restore runs under the writer's flock, so a live
+        writer blocks us for the ~ms rename pair and we then re-check the
+        (now consistent) state; a crashed writer's lock was auto-released.
+        Concurrent healers serialize on the same flock — the second one
+        finds the table already restored and no-ops."""
         final = self.path(table)
         old = final + ".__old"
-        lock = final + ".__swap_lock"
-        deadline = time.time() + self.SWAP_LOCK_STALE_S
-        while os.path.exists(lock):
-            try:
-                age = time.time() - os.path.getmtime(lock)
-            except OSError:  # lock vanished between exists() and getmtime()
-                break
-            if age >= self.SWAP_LOCK_STALE_S:
-                try:
-                    os.remove(lock)  # crashed writer
-                except OSError:
-                    pass
-                break
-            if time.time() >= deadline:
-                break
-            time.sleep(0.05)  # live writer: the swap is a ~ms rename pair
-        if not os.path.exists(final) and os.path.exists(old):
-            os.replace(old, final)
+        if not os.path.exists(old):
+            return  # fast path: no crash evidence, skip the lock entirely
+        with self._swap_lock(final):
+            if not os.path.exists(final) and os.path.exists(old):
+                os.replace(old, final)
 
     def read(self, spark: SparkSession, table: str) -> DataFrame:
         if self.table_format == "iceberg":

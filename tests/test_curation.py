@@ -151,3 +151,21 @@ class TestUnigramLogprob:
         assert got == want
         # the rare-token doc scores strictly worse than the common-token doc
         assert got[2][1] < got[3][1]
+
+
+class TestEdgeWhitespaceTokens:
+    def test_boundary_newlines_yield_no_phantom_grams(self, spark):
+        # F.trim strips spaces only; text edged with \n/\t must not
+        # produce '' tokens (phantom n-grams diverging from the oracles)
+        rows = [(0, "\nfoo bar baz\n"), (1, "\tfoo foo foo\t")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        prof = {
+            r["doc_id"]: (r["n_grams"], r["n_distinct"])
+            for r in cu.repetition_profile(df, n=3).collect()
+        }
+        assert prof == {0: (1, 1), 1: (1, 1)}
+        lm = {
+            r["doc_id"]: r["n_tokens"]
+            for r in cu.unigram_logprob(df, vocab_size=2).collect()
+        }
+        assert lm == {0: 3, 1: 3}

@@ -32,6 +32,8 @@ HREFS = [
     "#frag-only",
     "",
     "  spaced.html  ",
+    "\tx.html",
+    "x.html#s\nmore",
     "a/./b/../c.html",
 ]
 
@@ -63,10 +65,18 @@ class TestResolveKernel:
     def test_non_absolute_base(self):
         assert U.resolve_href("not-a-url", "x.html") is None
 
-    def test_above_root_keeps_residue(self):
-        # pinned fixed-pass semantics: '..' above the root is left in place
-        out = U.resolve_href("https://h.example/a.html", "../../x.html")
-        assert "x.html" in out
+    def test_above_root_never_eats_the_host(self):
+        # normalization runs on the PATH only: whatever residue the
+        # fixed-pass semantics leave, the authority survives verbatim
+        for href in ("../x.html", "../../x.html", "../archive/old.html"):
+            for base in (
+                "https://h.example/a.html",          # shallow: 1-segment path
+                "https://site0.example/slug-7",      # corpus url shape
+            ):
+                out = U.resolve_href(base, href)
+                origin = base.rsplit("/", 1)[0]
+                assert out.startswith(origin + "/"), (base, href, out)
+                assert "x.html" in out or "old.html" in out
 
     def test_extract_hrefs(self):
         html = '<a href="a.html">x</a><link href = "b.css"><a href=\'c\'>'
@@ -376,3 +386,40 @@ class TestStreamingLinkGraph:
             )
             b = sorted((tuple(r) for r in want[table].collect()), key=repr)
             assert a == b, table
+
+
+class TestLinkGraphBootstrap:
+    def test_snapshot_apply_bootstraps_missing_outlinks(self, spark, tmp_path):
+        """Enabling link_graph on state that predates the stage: a full
+        snapshot bootstraps the outlinks table and the web tables equal a
+        from-scratch build; a DELTA batch cannot and must say so."""
+        import pytest as _pytest
+
+        from chunksilo_spark.plans.pipeline import apply_increment, run_pipeline
+        from chunksilo_spark.sources.corpus import aliases_df, pages_df
+
+        aliases = aliases_df(spark)
+        state, scratch = str(tmp_path / "s1"), str(tmp_path / "s2")
+        v1 = pages_df(spark, 30, partitions=2)
+        v2 = pages_df(spark, 40, partitions=2)
+
+        run_pipeline(spark, v1, aliases, state, fingerprint="v1")  # no links
+        inc = apply_increment(
+            spark, v2, aliases, state, fingerprint="v2", link_graph=True
+        )
+        want = run_pipeline(
+            spark, v2, aliases, scratch, fingerprint="v2", link_graph=True
+        )
+        for table in ("outlinks", "web_edges", "web_rank"):
+            a = sorted((tuple(r) for r in inc[table].collect()), key=repr)
+            b = sorted((tuple(r) for r in want[table].collect()), key=repr)
+            assert a == b, table
+
+        # delta mode on a THIRD state dir without the stage: explicit error
+        state2 = str(tmp_path / "s3")
+        run_pipeline(spark, v1, aliases, state2, fingerprint="v1")
+        with _pytest.raises(ValueError, match="outlinks"):
+            apply_increment(
+                spark, v2, aliases, state2, fingerprint="v2",
+                link_graph=True, delete_missing=False,
+            )

@@ -158,3 +158,20 @@ class TestSwapIn:
         }
         assert out[1] == pytest.approx(50.0)
         assert out[2] == pytest.approx(100.0)
+
+
+class TestFactoryGuard:
+    def test_rejects_ambiguous_factories(self):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="module-level"):
+            ModelSpec(lambda: object())
+
+        def local():
+            class Inner:
+                pass
+
+            return Inner
+
+        with _pytest.raises(ValueError, match="module-level"):
+            ModelSpec(local())

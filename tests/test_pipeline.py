@@ -157,11 +157,14 @@ def test_replace_crash_window_heals(spark, tmp_path):
 
 
 def test_swap_lock_respected_and_stale_lock_healed(spark, tmp_path):
-    """_heal must not rename .__old back while a FRESH swap lock is held
-    (a live writer is mid-swap); a STALE lock is a crashed writer and is
-    cleared, then healing proceeds."""
+    """_heal must not rename .__old back while another process HOLDS the
+    swap flock (a live writer is mid-swap); a lock file with no holder is
+    a crashed writer (flocks die with the process) and healing proceeds
+    immediately — and the lock file itself is never unlinked."""
+    import fcntl
     import os
     import shutil
+    import threading
     import time
 
     from chunksilo_spark.sources.storage import TableStore
@@ -172,26 +175,36 @@ def test_swap_lock_respected_and_stale_lock_healed(spark, tmp_path):
     final = store.path("t")
     lock = final + ".__swap_lock"
 
-    # fresh lock + displaced table: _heal waits for the lock, not steals it
+    # live writer: a thread holds the flock for 0.4 s mid-"swap";
+    # _heal must block on the same flock, then heal after release
     os.replace(final, final + ".__old")
-    with open(lock, "w") as f:
-        f.write("99999")
-    store.SWAP_LOCK_STALE_S = 0.3  # keep the test fast
-    t0 = time.time()
-    assert store.exists("t")  # blocks until the lock goes stale, then heals
-    assert time.time() - t0 >= 0.2  # it actually waited
-    assert os.path.exists(final) and not os.path.exists(lock)
+    acquired = threading.Event()
 
-    # stale lock (old mtime): removed immediately, heal proceeds
+    def hold():
+        with open(lock, "w") as f:
+            fcntl.flock(f, fcntl.LOCK_EX)
+            acquired.set()
+            time.sleep(0.4)
+
+    t = threading.Thread(target=hold)
+    t.start()
+    assert acquired.wait(5)
+    t0 = time.time()
+    assert store.exists("t")  # blocks until the writer releases, then heals
+    assert time.time() - t0 >= 0.25  # it actually waited on the flock
+    t.join()
+    assert os.path.exists(final)
+
+    # crashed writer: the lock FILE exists but nobody holds the flock
+    # (the OS released it at process death) -> heal immediately; the lock
+    # file is deliberately left in place (unlinking would split the lock)
     os.replace(final, final + ".__old")
     with open(lock, "w") as f:
         f.write("99999")
-    past = time.time() - 60
-    os.utime(lock, (past, past))
     t0 = time.time()
     assert store.exists("t")
-    assert time.time() - t0 < 0.2  # no wait for an already-stale lock
-    assert os.path.exists(final) and not os.path.exists(lock)
+    assert time.time() - t0 < 0.2
+    assert os.path.exists(final) and os.path.exists(lock)
     shutil.rmtree(str(tmp_path), ignore_errors=True)
 
 
