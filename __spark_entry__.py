@@ -6,7 +6,7 @@ testdata; ``oracle_sql()`` gives the DuckDB-equivalent SQL. Column names and
 rounding are aligned on both sides so the driver's order-insensitive
 value-hash comparison is exact.
 
-Of the 62 queries, 61 have DuckDB oracles (d_simhash gained one in round
+Of the 63 queries, 62 have DuckDB oracles (d_simhash gained one in round
 3 by switching its token hash to an md5-derived 64-bit value, the same
 trick as t_winnow; w2_rerank_topk gained one the same round — the
 sanctioned overlap reranker is deterministic, so the whole two-stage
@@ -908,6 +908,16 @@ def _g_outlinks(spark, sf):  # F10: href resolution algebra, all branches
     )
 
 
+def _g_two_hop(spark, sf):  # frontier expansion: distinct 2-hop reach
+    edges = _derived_edges(spark, sf)
+    sources = (
+        _t(spark, sf, "documents")
+        .where(F.col("doc_id") < 20)
+        .select(F.col("doc_id").alias("node"))
+    )
+    return gr.two_hop_counts(edges, sources)
+
+
 def _g_components(spark, sf):  # iterative min-label connected components
     # structured graph with closed-form components: clusters of 4
     # consecutive ids (each id -> its cluster base) plus a bridge edge at
@@ -1028,6 +1038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_outlinks": _g_outlinks,
         "f6_issue_keys": _f6_issue_keys,
         "g_components": _g_components,
+        "g_two_hop": _g_two_hop,
         "t_unigram_lm": _t_unigram_lm,
         "x_train_order": _x_train_order,
         "x_pack_sequences": _x_pack_sequences,
@@ -1795,6 +1806,12 @@ def oracle_sql() -> dict[str, str]:
                           || '/sub/same/dir.html'
                    END AS resolved
             FROM documents
+        """,
+        "g_two_hop": _GRAPH_EDGES_SQL + """
+        SELECT e1.src AS node, COUNT(DISTINCT e2.dst) AS n_two_hop
+        FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
+        WHERE e1.src < 20
+        GROUP BY e1.src
         """,
         # analytic component ids for the cluster+bridge graph: cluster base
         # b = doc_id - doc_id%4; a bridge at every multiple of 100 merges

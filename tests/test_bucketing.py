@@ -1,0 +1,60 @@
+"""Bucketed layout: a join of two co-bucketed tables must run with NO
+Exchange on either side (the write-once-shuffle-never-again guarantee),
+and the results must equal the plain join."""
+
+import pytest
+
+from chunksilo_spark.sources import bucketing as B
+
+
+@pytest.fixture()
+def bucket_db(spark, tmp_path):
+    db = "bucketdb_test"
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    spark.sql(f"CREATE DATABASE {db} LOCATION '{tmp_path}/wh'")
+    yield db
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+def test_cobucketed_join_has_no_exchange(spark, bucket_db):
+    docs = spark.range(0, 2000).selectExpr(
+        "id AS doc_id", "concat('t', id) AS text"
+    )
+    meta = spark.range(0, 2000).selectExpr(
+        "id AS doc_id", "id % 7 AS grp"
+    )
+    B.write_bucketed(docs, f"{bucket_db}.docs", "doc_id", 8)
+    B.write_bucketed(meta, f"{bucket_db}.meta", "doc_id", 8)
+
+    joined = B.cobucketed_join(
+        spark, f"{bucket_db}.docs", f"{bucket_db}.meta", "doc_id"
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan, plan  # the whole point of bucketing
+
+    # and it is still a correct join
+    assert joined.count() == 2000
+    row = joined.where("doc_id = 42").collect()[0]
+    assert row["text"] == "t42" and row["grp"] == 0
+
+
+def test_mismatched_bucket_counts_coalesce_without_shuffle(spark, bucket_db):
+    """Tables bucketed at different granularities (8 vs 4 — e.g. one table
+    re-bucketed after growth) still join shuffle-free when
+    coalesceBucketsInJoin is on: the finer side's buckets merge 2:1
+    instead of either side exchanging."""
+    a = spark.range(0, 1000).selectExpr("id AS k", "id * 2 AS v")
+    b = spark.range(0, 1000).selectExpr("id AS k", "id * 3 AS w")
+    B.write_bucketed(a, f"{bucket_db}.a8", "k", 8)
+    B.write_bucketed(b, f"{bucket_db}.b4", "k", 4)
+    spark.conf.set("spark.sql.bucketing.coalesceBucketsInJoin.enabled", True)
+    try:
+        joined = B.cobucketed_join(
+            spark, f"{bucket_db}.a8", f"{bucket_db}.b4", "k"
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 1000
+    finally:
+        spark.conf.unset("spark.sql.bucketing.coalesceBucketsInJoin.enabled")
