@@ -1508,7 +1508,11 @@ def oracle_sql() -> dict[str, str]:
         "d_token_jaccard": """
             WITH t AS (
                 SELECT doc_id, source, n_chars,
-                       list_distinct(string_split_regex(lower(text), '\\s+')) AS sh
+                       list_distinct(list_filter(
+                           string_split_regex(
+                               lower(regexp_replace(text, '^\\s+|\\s+$', '', 'g')),
+                               '\\s+'),
+                           x -> x <> '')) AS sh
                 FROM documents
             )
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -1532,7 +1536,12 @@ def oracle_sql() -> dict[str, str]:
                 SELECT min(doc_id) AS doc_id, min(text) AS text
                 FROM documents GROUP BY md5(text)
             ), tok AS (
-                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+                SELECT doc_id,
+                       list_filter(
+                           string_split_regex(
+                               regexp_replace(text, '^\\s+|\\s+$', '', 'g'),
+                               '\\s+'),
+                           x -> x <> '') AS w
                 FROM reps
             ), t AS (
                 SELECT doc_id, list_distinct(
@@ -1557,7 +1566,12 @@ def oracle_sql() -> dict[str, str]:
                 SELECT min(doc_id) AS doc_id, min(text) AS text
                 FROM documents GROUP BY md5(text)
             ), tok AS (
-                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+                SELECT doc_id,
+                       list_filter(
+                           string_split_regex(
+                               regexp_replace(text, '^\\s+|\\s+$', '', 'g'),
+                               '\\s+'),
+                           x -> x <> '') AS w
                 FROM reps
             ), t AS (
                 SELECT doc_id, list_distinct(

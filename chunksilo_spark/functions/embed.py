@@ -58,6 +58,10 @@ def cosine_topk(queries: np.ndarray, index: np.ndarray, k: int):
     """
     sims = queries @ index.T  # (q, n)
     k = min(k, index.shape[0])
+    if k == 0:  # empty index (e.g. empty alias dictionary): no neighbors,
+        # not a crash — callers get zero links / zero triples
+        shape = (queries.shape[0], 0)
+        return np.empty(shape, dtype=np.int64), np.empty(shape)
     part = np.argpartition(-sims, k - 1, axis=1)[:, :k]
     part_scores = np.take_along_axis(sims, part, axis=1)
     order = np.argsort(-part_scores, axis=1, kind="stable")

@@ -71,7 +71,7 @@ def ngram_jaccard_pairs(
     toks = docs.select(
         F.col("doc_id"),
         *[F.col(c) for c in bucket_cols],
-        F.array_distinct(F.split(F.lower(F.col(text_col)), r"\s+")).alias(
+        F.array_distinct(_ws_tokens(F.lower(F.col(text_col)))).alias(
             "shingles"
         ),
     )
@@ -191,12 +191,22 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _ws_tokens(col):
+    """``str.split()`` semantics as a column expression: split on any
+    whitespace run, NO empty tokens — F.trim strips spaces only, so text
+    edged with tabs/newlines would otherwise grow a '' token the python
+    kernels (word_shingles, simhash) never see."""
+    return F.array_remove(
+        F.split(F.regexp_replace(col, r"^\s+|\s+$", ""), r"\s+"), ""
+    )
+
+
 def _shingles3(text_col):
     """Distinct word-3-gram shingles as a JVM-side array expression —
     identical semantics to functions/minhash.word_shingles(text, 3) (the
     banding space: CASE-SENSITIVE whitespace tokens; texts with <3 words
     yield one joined shingle)."""
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    toks = _ws_tokens(F.col(text_col))
     grams = F.transform(
         F.sequence(F.lit(1), F.size(toks) - 2),
         lambda i: F.concat_ws(

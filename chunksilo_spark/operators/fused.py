@@ -47,6 +47,8 @@ def fused_linked_triples(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         _aid, _astr, _eid, mat = alias_bc.value
+        if mat.shape[0] == 0:  # empty dictionary: zero links, not a crash
+            return
         model = spec.resolve()  # one construction per worker process
         for pdf in batches:
             rows = {k: [] for k in (

@@ -105,6 +105,7 @@ def rerank(
     text_col: str = "text",
     id_col: str = "doc_id",
     reranker=None,
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Cross-encoder rerank stage (reference search.py:1184-1248, U4).
 
@@ -139,9 +140,13 @@ def rerank(
         f"{f.name} {f.dataType.simpleString()}" for f in candidates.schema.fields
     ) + ", rerank_score double"
     reranked = candidates.mapInPandas(run, schema=schema)
-    return reranked.orderBy(
-        F.desc("rerank_score"), F.asc(id_col)
-    ).limit(k)
+    # when id_col is not unique per row (run_search reranks CHUNKS keyed by
+    # url), the caller supplies tiebreak_col so the top-k cut is
+    # deterministic even for equal-scoring rows of one id
+    order = [F.desc("rerank_score"), F.asc(id_col)]
+    if tiebreak_col is not None:
+        order.append(F.asc(tiebreak_col))
+    return reranked.orderBy(*order).limit(k)
 
 
 def search_documents(

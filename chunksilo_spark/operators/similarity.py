@@ -236,7 +236,7 @@ N_BANDS = 4  # 4 bands x 4 bits: candidates share at least one band
 BITS_PER_BAND = N_PLANES // N_BANDS
 
 
-def _sign_sketch_batch(dim: int, vec_col: str):
+def _sign_sketch_batch(dim: int, vec_col: str, id_col: str = "vec_id"):
     rng = np.random.default_rng(_PLANES_SEED)
     planes = rng.standard_normal((dim, N_PLANES)).astype(np.float32)
 
@@ -249,17 +249,23 @@ def _sign_sketch_batch(dim: int, vec_col: str):
             sketch = np.zeros(len(pdf), dtype=np.int64)
             for i in range(N_PLANES):
                 sketch |= signs[:, i].astype(np.int64) << i
-            out = pdf[["vec_id"]].copy()
+            out = pdf[[id_col]].copy()
             out["sketch"] = sketch
             yield out
 
     return run
 
 
-def add_lsh_sketch(vectors: DataFrame, dim: int, vec_col: str = "embedding") -> DataFrame:
-    """(vec_id, sketch) — 16-bit random-hyperplane sign sketch."""
-    return vectors.select("vec_id", vec_col).mapInPandas(
-        _sign_sketch_batch(dim, vec_col), schema="vec_id long, sketch long"
+def add_lsh_sketch(
+    vectors: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, sketch) — 16-bit random-hyperplane sign sketch."""
+    return vectors.select(id_col, vec_col).mapInPandas(
+        _sign_sketch_batch(dim, vec_col, id_col),
+        schema=f"{id_col} long, sketch long",
     )
 
 
@@ -287,7 +293,7 @@ def lsh_topk(
     Scale shape: the corpus is sketched once (cacheable); the expensive
     cosine runs on the candidate subset instead of the full corpus, and the
     band join is an equi-join on (band_idx, band_val) — AQE-splittable."""
-    sketches = add_lsh_sketch(vectors, dim, vec_col)
+    sketches = add_lsh_sketch(vectors, dim, vec_col, id_col=id_col)
     bands = sketches.select(
         id_col,
         F.explode(
@@ -299,7 +305,7 @@ def lsh_topk(
     ).select(id_col, F.col("bz.band_idx"), F.col("bz.band_val"))
 
     q_bands = (
-        add_lsh_sketch(queries, dim, vec_col)
+        add_lsh_sketch(queries, dim, vec_col, id_col=id_col)
         .withColumnRenamed(id_col, "query_id")
         .select(
             "query_id",

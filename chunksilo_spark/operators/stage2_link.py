@@ -73,9 +73,16 @@ def build_alias_broadcast(spark, aliases: DataFrame):
     rows = aliases.select("entity_id", "alias", "embedding").collect()
     alias_strs = [r["alias"] for r in rows]
     entity_ids = np.array([r["entity_id"] for r in rows], dtype=np.int64)
-    mat = normalize_rows(
-        np.array([r["embedding"] for r in rows], dtype=np.float32)
-    )
+    if rows:
+        mat = normalize_rows(
+            np.array([r["embedding"] for r in rows], dtype=np.float32)
+        )
+    else:
+        # empty dictionary: a well-formed (0, dim) matrix so the linkers'
+        # empty-guard fires instead of a numpy axis error here
+        from ..functions.embed import DIM
+
+        mat = np.zeros((0, DIM), dtype=np.float32)
     alias_ids = np.arange(len(rows), dtype=np.int64)
     return spark.sparkContext.broadcast((alias_ids, alias_strs, entity_ids, mat))
 
@@ -156,6 +163,8 @@ def link_mentions(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         alias_ids, alias_strs, entity_ids, mat = alias_bc.value
+        if mat.shape[0] == 0:  # empty dictionary: zero links, not a crash
+            return
         model = spec.resolve()  # one construction per worker process
         for pdf in batches:
             if len(pdf) == 0:

@@ -12,7 +12,6 @@ table's typed columns via the shared kernels.
 
 from __future__ import annotations
 
-import re
 import time
 
 from pyspark.sql import DataFrame
@@ -36,8 +35,6 @@ from .. import config as _cfg
 RERANK_TOP_K = int(_cfg.get("retrieval.rerank_top_k"))  # reference cfgload.py:90
 MATCHED_FILES_TOP_K = int(_cfg.get("search.matched_files_top_k"))  # index.py:1256-1259
 MATCHED_FILES_CAP = int(_cfg.get("search.matched_files_cap"))  # search.py:292
-BM25_K1 = float(_cfg.get("search.bm25_k1"))
-BM25_B = float(_cfg.get("search.bm25_b"))
 
 
 def bm25_filename_scores(
@@ -72,9 +69,9 @@ def bm25_filename_scores(
         .distinct()
         .mapInPandas(tok, schema="url string, tokens array<string>")
     )
-    return bm25_scores(
-        toks, "url", F.col("tokens"), query_tokens, k1=BM25_K1, b=BM25_B
-    )
+    # k1/b come from bm25_scores' own config-bound defaults — one binding
+    # site (operators/ranking.py), no drift
+    return bm25_scores(toks, "url", F.col("tokens"), query_tokens)
 
 
 def _matched_files(documents: DataFrame, query_tokens: list[str]) -> list[dict]:
@@ -109,7 +106,13 @@ def run_search(
     t0 = time.time()
     phrases, cleaned = extract_quoted_phrases(query)
     cleaned = preprocess_query(cleaned)
-    q_tokens = [t for t in re.split(r"\s+", cleaned.lower()) if t]
+    # filename-index query tokens go through the SAME analyzer as the
+    # document side (camelCase/separator/extension split) — a raw
+    # whitespace split could never match a query that names an actual
+    # file ('setupGuide-v2.txt' vs indexed ['setup','guide','v2','txt'])
+    from ..functions.textstats import tokenize_filename
+
+    q_tokens = tokenize_filename(cleaned)
 
     # stage 1: vector top-k over the persisted index + date metadata join
     # (only warc_ts here — headings/line_offsets arrays are joined back
@@ -125,7 +128,10 @@ def run_search(
         RERANK_CANDIDATES
     )
     # stage 2: rerank (per-worker-cached model) -> threshold -> phrase filter
-    reranked = rerank(hits, cleaned, k=RERANK_TOP_K, text_col="text", id_col="url")
+    reranked = rerank(
+        hits, cleaned, k=RERANK_TOP_K, text_col="text", id_col="url",
+        tiebreak_col="chunk_id",  # equal-scoring chunks of one url: stable cut
+    )
     reranked = reranked.where(F.col("rerank_score") >= SCORE_THRESHOLD)
     reranked = phrase_post_filter(reranked, "text", phrases)
     # result-shaping metadata joins back onto the <= k winners only

@@ -10,9 +10,11 @@ continuous materialization instead of scheduled batches:
     is source-agnostic;
   * transform: the SAME extract_documents mapInPandas kernel (byte-identity
     invariant holds per micro-batch);
-  * sink: foreachBatch append of documents + quarantine + lineage — giving
-    exactly-once per micro-batch via the checkpoint dir (Spark's offset log
-    replaces the batch manifest).
+  * sink: foreachBatch writes documents + lineage into a ``batch_id=N``
+    partition with dynamic partition OVERWRITE — foreachBatch is only
+    at-least-once, so a replayed batch must land idempotently (re-running
+    batch N rewrites partition N instead of appending duplicates); the
+    checkpoint offset log then upgrades this to effective exactly-once.
 
 Watermarks/event-time windows are intentionally absent: warc_ts only
 partitions data (the reference has no event-time semantics to preserve).
@@ -30,9 +32,9 @@ def stream_pages(
     spark: SparkSession, pages_dir: str, schema: str | None = None
 ) -> DataFrame:
     """readStream over a growing parquet directory of pages rows."""
-    schema = schema or (
-        "url string, warc_ts timestamp, html binary, text string, lang string"
-    )
+    from ..sources.corpus import PAGES_SCHEMA  # one schema definition site
+
+    schema = schema or PAGES_SCHEMA
     return (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 8)
@@ -54,14 +56,28 @@ def start_ingest(
     """
     stream = stream_pages(spark, pages_dir)
 
+    from pyspark.sql import functions as F
+
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         docs = extract_documents(batch_df, partitions=8)
         docs.persist()
         try:
-            docs.write.mode("append").parquet(f"{out_dir}/documents")
-            partition_lineage(
-                docs, f"stream_batch_{batch_id}", "url"
-            ).write.mode("append").parquet(f"{out_dir}/lineage")
+            # idempotent: a replayed batch OVERWRITES its own partition
+            (
+                docs.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(f"{out_dir}/documents")
+            )
+            (
+                partition_lineage(docs, f"stream_batch_{batch_id}", "url")
+                .withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(f"{out_dir}/lineage")
+            )
         finally:
             docs.unpersist()
 

@@ -33,9 +33,12 @@ def _detect_changes(
 ) -> Iterator[pd.DataFrame]:
     last = state.get[0] if state.exists else None
     out = {"url": [], "warc_ts": [], "content_md5": []}
-    for pdf in pdfs:
-        # deterministic order within the batch: by warc_ts
-        pdf = pdf.sort_values("warc_ts")
+    # one key's rows may arrive as SEVERAL Arrow chunks: materialize them
+    # all and sort ONCE — per-chunk sorting would process cross-chunk rows
+    # in arbitrary order and persist a stale hash as the latest state
+    chunks = list(pdfs)
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values("warc_ts")
         for url, ts, html in zip(pdf["url"], pdf["warc_ts"], pdf["html"]):
             digest = hashlib.md5(bytes(html)).hexdigest()
             if digest != last:

@@ -16,7 +16,9 @@ from pyspark.sql import functions as F
 
 def site_of(url_col) -> F.Column:
     """Host part of the url (the per-site key)."""
-    return F.regexp_extract(url_col, r"https?://([^/]+)/", 1)
+    # no trailing slash in the pattern: path-less urls ('https://h.example')
+    # are the canonical homepage form and must not collapse into site=''
+    return F.regexp_extract(url_col, r"https?://([^/]+)", 1)
 
 
 def crawl_rate_per_site(

@@ -558,6 +558,29 @@ class TestStreamingIngest:
         )
         assert got == want
 
+    def test_replayed_batch_is_idempotent(self, spark, tmp_path):
+        """foreachBatch is at-least-once: re-delivering the same batches
+        (fresh checkpoint, same source and sink) must OVERWRITE the
+        batch_id partitions, not append duplicates."""
+        from chunksilo_spark.streaming.ingest import start_ingest
+
+        pages = pages_df(spark, 30, partitions=2)
+        src = str(tmp_path / "pages_src")
+        out = str(tmp_path / "stream_out")
+        pages.write.mode("overwrite").parquet(src)
+
+        q = start_ingest(spark, src, out, str(tmp_path / "c1"),
+                         available_now=True)
+        q.awaitTermination(120)
+        n1 = spark.read.parquet(f"{out}/documents").count()
+
+        # replay: new checkpoint -> batch ids restart -> same partitions
+        q = start_ingest(spark, src, out, str(tmp_path / "c2"),
+                         available_now=True)
+        q.awaitTermination(120)
+        n2 = spark.read.parquet(f"{out}/documents").count()
+        assert n1 == n2 == 30
+
 
 class TestRerank:
     def test_rerank_matches_python_oracle(self, spark):
@@ -590,3 +613,39 @@ class TestRerank:
             key=lambda x: (-x[1], x[0]),
         )[:3]
         assert got == want
+
+
+class TestReviewRegressions:
+    def test_lsh_topk_honors_id_col(self, spark, sf_dir):
+        import chunksilo_spark.operators.similarity as sim
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        q = emb.where("vec_id < 3")
+        base = {
+            (r["query_id"], r["neighbor_id"], r["rank"])
+            for r in sim.lsh_topk(emb, q, dim=64, k=3).collect()
+        }
+        renamed = emb.withColumnRenamed("vec_id", "emb_id")
+        got = {
+            (r["query_id"], r["neighbor_id"], r["rank"])
+            for r in sim.lsh_topk(
+                renamed, renamed.where("emb_id < 3"), dim=64, k=3,
+                id_col="emb_id",
+            ).collect()
+        }
+        assert got == base and len(got) > 0
+
+    def test_empty_alias_dictionary_yields_zero_links(self, spark):
+        from chunksilo_spark.operators import stage1_extract as s1
+        from chunksilo_spark.operators import stage2_link as s2
+        from chunksilo_spark.operators.fused import fused_linked_triples
+        from chunksilo_spark.sources.corpus import pages_df
+
+        empty = spark.createDataFrame(
+            [], "entity_id long, alias string, embedding array<float>"
+        )
+        bc = s2.build_alias_broadcast(spark, empty)
+        pages = pages_df(spark, 10, partitions=2)
+        assert fused_linked_triples(pages, bc).count() == 0
+        docs = s1.extract_documents(pages, partitions=2)
+        assert s2.link_mentions(s2.detect_mentions(docs), bc).count() == 0
