@@ -201,12 +201,18 @@ def _ws_tokens(col):
     )
 
 
-def _shingles3(text_col):
+def _shingles3(toks):
     """Distinct word-3-gram shingles as a JVM-side array expression —
     identical semantics to functions/minhash.word_shingles(text, 3) (the
     banding space: CASE-SENSITIVE whitespace tokens; texts with <3 words
-    yield one joined shingle)."""
-    toks = _ws_tokens(F.col(text_col))
+    yield one joined shingle).
+
+    Takes an ALREADY-PROJECTED token array column (``_ws_tokens`` output),
+    not text: interpreted higher-order lambdas have no CSE, so inlining
+    the tokenization makes every ``element_at`` re-run the whole
+    regexp+split pipeline (measured 2.9 s -> 7.1 s at sf0.1 when the
+    tokenizer grew a regexp_replace; with a projected column it is flat).
+    Same lesson as curation._word_grams."""
     grams = F.transform(
         F.sequence(F.lit(1), F.size(toks) - 2),
         lambda i: F.concat_ws(
@@ -253,9 +259,11 @@ def neardup_verified(
     # expression evaluates once per candidate doc, not twice
     # (with the cands checkpoint above: ~4.0 s -> ~3.2 s warm at sf0.1;
     # the remainder is three sequential job launches, fixed cost)
-    sh = sub.select(
-        F.col("doc_id"), _shingles3(text_col).alias("sh")
-    ).localCheckpoint()
+    sh = (
+        sub.select(F.col("doc_id"), _ws_tokens(F.col(text_col)).alias("_toks"))
+        .select(F.col("doc_id"), _shingles3(F.col("_toks")).alias("sh"))
+        .localCheckpoint()
+    )
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
