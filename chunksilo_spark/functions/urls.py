@@ -33,8 +33,11 @@ Pinned algebra, in order:
      bound, identical in Java regex / RE2 / Python re because all three
      scan left-to-right non-overlapping per pass).
 
-Bases are required to be absolute http(s) URLs WITH a path component (every
-crawl record's WARC-Target-URI is); behavior for other bases is None.
+Bases are required to be absolute http(s) URLs WITH a path component — a
+``/`` immediately after the authority (every crawl record's WARC-Target-URI
+has one); for any other base (no scheme, or path-less like
+``https://h.example``) every base-dependent branch returns None. Hrefs that
+are already absolute http(s) URLs resolve regardless of the base.
 """
 
 from __future__ import annotations
@@ -82,6 +85,13 @@ def resolve_href(base: str, href: str) -> str | None:
     if not m:
         return None
     origin = m.group(1)
+    # pinned: bases must carry a path — a '/' immediately after the
+    # authority. A path-less base (https://h.example) would concatenate into
+    # a corrupted URL in the relative branches ('https://h.examplex'), so
+    # every base-dependent branch returns None instead, keeping the
+    # docstring's "behavior for other bases is None" true.
+    if len(base) <= len(origin) or base[len(origin)] != "/":
+        return None
     if href.startswith("//"):
         return _BASE_SCHEME_C.match(base).group(1) + ":" + href
     if href.startswith("/"):

@@ -38,6 +38,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..checkpointing import cut_lineage
 from ..functions.hashing import hash64
 from ..functions.minhash import band_keys, jaccard, minhash_signatures_batch
 
@@ -128,21 +129,22 @@ def connected_components(
     vertices: (nid long); edges: (a long, b long). Iterates until no label
     changes (diameter-bounded; alias-variant clusters are stars, so 2-4
     rounds). Each round: symmetric neighbor-label min, map-side-combined;
-    localCheckpoint truncates the growing plan (SURVEY §4 custom item 3).
+    ``checkpointing.cut_lineage`` truncates the growing plan (SURVEY §4
+    custom item 3; localCheckpoint locally, reliable checkpoint when a
+    checkpoint dir is set).
 
     ``partitions`` sizes the per-iteration shuffles to the DATA, not the
     cluster: entity-dictionary graphs are orders of magnitude smaller than
     the corpus, and over-parallelizing the tiny iterative joins just buys
     scheduler overhead. Scale it up with the surface count (e.g. n/100k).
     """
-    sym = (
+    sym = cut_lineage(
         edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .repartition(partitions, "a")
-        .localCheckpoint()
     )
-    labels = vertices.select(
+    labels = cut_lineage(vertices.select(
         F.col("nid"), F.col("nid").alias("component")
-    ).repartition(partitions, "nid").localCheckpoint()
+    ).repartition(partitions, "nid"))
     def step(lbl):
         neighbor = (
             sym.join(lbl, sym["a"] == lbl["nid"])
@@ -159,7 +161,7 @@ def connected_components(
         # two propagation hops per convergence check: alias-variant clusters
         # are stars (diameter <= 3), so this halves the action count while
         # localCheckpoint still truncates lineage every round
-        new_labels = step(step(labels)).localCheckpoint()
+        new_labels = cut_lineage(step(step(labels)))
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "nid")
@@ -219,12 +221,11 @@ def canon_map(surfaces: DataFrame, col: str = "norm",
     # upstream (distinct over corpus-derived surfaces) can be huge — it is
     # consumed three times below (verts, candidate self-join), so cut the
     # recompute here
-    bands = (
+    bands = cut_lineage(
         lsh_bands(surfaces, col)
         .repartition(partitions, "band_key")
-        .localCheckpoint()
     )
-    verts = bands.select("nid", "norm").distinct().localCheckpoint()
+    verts = cut_lineage(bands.select("nid", "norm").distinct())
     edges = verify_pairs(candidate_pairs(bands), threshold)
     labels = connected_components(
         verts.select("nid"), edges, max_iter, partitions

@@ -29,6 +29,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..checkpointing import cut_lineage
+from ..functions.textstats import ws_tokens_clean
+
 # simple, portable patterns (Java regex on the Spark side, RE2 in the
 # DuckDB oracle — the subset used here behaves identically in both)
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
@@ -56,10 +59,10 @@ def _word_grams(toks: Column, n: int) -> Column:
 
 
 def _tokens(text_col: Column) -> Column:
-    # drop boundary empties: F.trim strips SPACES only, so text edged with
-    # '\n'/'\t' would otherwise yield '' tokens that the oracles' uniform
-    # list_filter(x -> x <> '') never sees (and phantom n-grams with them)
-    return F.array_remove(F.split(F.trim(text_col), r"\s+"), "")
+    # the clean pin: whitespace runs, NO empty tokens — matches the oracles'
+    # uniform list_filter(x -> x <> '') (see textstats.ws_tokens_clean for
+    # why the repo has exactly two whitespace tokenizer definitions)
+    return ws_tokens_clean(text_col)
 
 
 def repetition_profile(
@@ -174,10 +177,9 @@ def unigram_logprob(
     toks = docs.select(
         F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("tok")
     )
-    full_counts = (
+    full_counts = cut_lineage(  # vocab-sized; feeds total AND the top-K cutoff
         toks.groupBy("tok")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .localCheckpoint()  # vocab-sized; feeds total AND the top-K cutoff
     )
     total = full_counts.agg(F.sum("cnt")).collect()[0][0] or 0
     counts = full_counts.orderBy(
@@ -212,20 +214,33 @@ def stratified_sample(
     rates: dict[tuple, int] | int,
     id_col: str = "doc_id",
     buckets: int = 100,
+    default_rate: int = 0,
 ) -> DataFrame:
     """Deterministic stratified sample: keep a row iff its md5 bucket falls
     under its stratum's rate (percent when buckets=100).
 
     ``rates`` is either one int rate for every stratum or a dict
-    {stratum-tuple: rate}. A pure filter — no shuffle, no window, no
-    sampleBy RNG: the sample is a reproducible function of ``id_col``, so
-    reruns, resumed jobs and the SQL oracle all draw the SAME rows (the
-    property that matters when the sample feeds a training run)."""
+    {stratum-tuple: rate}. Strata ABSENT from the dict get ``default_rate``
+    (default 0 = excluded — pinned here so a typo'd or incomplete dict is a
+    documented choice, not silent data loss; pass ``default_rate=buckets``
+    to pass unlisted strata through). Stratum tuples must have exactly
+    ``len(strata_cols)`` values — a shorter tuple would silently
+    prefix-match, so it raises instead. A pure filter — no shuffle, no
+    window, no sampleBy RNG: the sample is a reproducible function of
+    ``id_col``, so reruns, resumed jobs and the SQL oracle all draw the
+    SAME rows (the property that matters when the sample feeds a training
+    run)."""
     bucket = _md5_bucket(F.col(id_col), buckets)
     if isinstance(rates, int):
         cond = bucket < F.lit(rates)
     else:
-        cond = F.lit(False)
+        bad = [s for s in rates if len(s) != len(strata_cols)]
+        if bad:
+            raise ValueError(
+                f"stratum tuples must have {len(strata_cols)} values "
+                f"(one per strata_col {strata_cols}); got {sorted(bad)}"
+            )
+        cond = bucket < F.lit(default_rate)
         for stratum, rate in sorted(rates.items()):
             match = F.lit(True)
             for c, v in zip(strata_cols, stratum):

@@ -26,6 +26,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..checkpointing import cut_lineage
+from ..functions.textstats import ws_tokens_clean
 from ..functions.minhash import (
     BANDS,
     ROWS_PER_BAND,
@@ -168,7 +170,7 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
     # localCheckpoint: the band table feeds BOTH sides of the self-join —
     # without it the scan+collapse+signature subtree executes twice
     # (canon.py:222-226 does the same for the surface bands)
-    bands = minhash_bands(reps, text_col).localCheckpoint()
+    bands = cut_lineage(minhash_bands(reps, text_col))
     a = bands.select(F.col("band_key"), F.col("doc_id").alias("doc_a"))
     b = bands.select(F.col("band_key"), F.col("doc_id").alias("doc_b"))
     return (
@@ -192,13 +194,10 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def _ws_tokens(col):
-    """``str.split()`` semantics as a column expression: split on any
-    whitespace run, NO empty tokens — F.trim strips spaces only, so text
-    edged with tabs/newlines would otherwise grow a '' token the python
-    kernels (word_shingles, simhash) never see."""
-    return F.array_remove(
-        F.split(F.regexp_replace(col, r"^\s+|\s+$", ""), r"\s+"), ""
-    )
+    """``str.split()`` semantics as a column expression (NO empty tokens) —
+    the pin the python kernels (word_shingles, simhash) share; delegates to
+    the repo-wide definition in functions/textstats.ws_tokens_clean."""
+    return ws_tokens_clean(col)
 
 
 def _shingles3(toks):
@@ -241,10 +240,9 @@ def neardup_verified(
     # both sides of the final pair join — without truncation the whole
     # minhash subtree (collapse + signatures + band self-join) executes
     # up to 3x in the one plan
-    cands = (
+    cands = cut_lineage(
         minhash_lsh_pairs(docs, text_col)
         .select("doc_a", "doc_b")
-        .localCheckpoint()
     )
     # shingle ONLY the docs that appear in a candidate pair: the (interpreted)
     # higher-order shingle expression is the expensive part, and candidates
@@ -259,10 +257,9 @@ def neardup_verified(
     # expression evaluates once per candidate doc, not twice
     # (with the cands checkpoint above: ~4.0 s -> ~3.2 s warm at sf0.1;
     # the remainder is three sequential job launches, fixed cost)
-    sh = (
+    sh = cut_lineage(
         sub.select(F.col("doc_id"), _ws_tokens(F.col(text_col)).alias("_toks"))
         .select(F.col("doc_id"), _shingles3(F.col("_toks")).alias("sh"))
-        .localCheckpoint()
     )
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))

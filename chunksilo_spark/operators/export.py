@@ -26,10 +26,10 @@ Scale shape:
     running sum.
   * ``domain_cap`` — per-domain top-``cap`` by quality: row_number within
     domain. Skewed domains (one host = 10% of the corpus) are the known
-    hazard: the window sorts only WITHIN each domain partition and AQE
-    splits oversized partitions; for pathological single-domain corpora,
-    pre-filter with an approximate per-domain count and hash-rate sample
-    before the exact window (documented, not needed at driver scale).
+    hazard: oversized domains (per-domain counts from one cheap groupBy)
+    route through ``skew_prefilter`` — a salted partial-top-k pre-pass
+    that bounds every window partition while preserving EXACT output
+    (every global top-cap row is top-cap within its salt bucket).
 """
 
 from __future__ import annotations
@@ -37,6 +37,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+from ..functions.textstats import ws_tokens_split
 
 
 def _md5_long(col: Column) -> Column:
@@ -84,7 +86,7 @@ def pack_sequences(
     budget bin the doc STARTS in (floor of the running token count before
     it / budget). Deterministic, window-parallel per shard.
     """
-    toks = F.size(F.split(text_col, r"\s+"))
+    toks = F.size(ws_tokens_split(text_col))  # boundary empties COUNTED
     shard = F.pmod(_md5_long(F.col(id_col).cast("string")), F.lit(shards))
     base = docs.select(
         F.col(id_col), shard.alias("shard"), toks.alias("n_tokens")
@@ -103,20 +105,81 @@ def pack_sequences(
     )
 
 
+def skew_prefilter(
+    docs: DataFrame,
+    cap: int,
+    skew_threshold: int,
+    domain_col: str = "source",
+    quality_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Bound the final domain-cap window's input under pathological skew,
+    EXACTLY (the r3 docstring promise, now code).
+
+    Domains with more than ``skew_threshold`` rows (counted with one
+    map-side-combined groupBy) take a salted partial-top-k pre-pass: rows
+    split into ``ceil(n/skew_threshold)`` md5 salt buckets, top-``cap`` per
+    (domain, salt) kept. Every true global top-``cap`` row has at most
+    ``cap-1`` rows above it overall, hence at most ``cap-1`` above it in
+    its own bucket — so it survives the pre-pass and the final exact window
+    over survivors returns byte-identical ranks. Per-task sort input is
+    bounded by ``skew_threshold`` in the pre-pass and by
+    ``n_salt_buckets * cap`` per domain in the final window, no matter how
+    skewed the corpus (a 50%-of-corpus domain included). Small domains pass
+    through untouched — at driver scale the pre-pass never triggers and the
+    plan is the plain single window."""
+    sel = docs.select(F.col(id_col), F.col(domain_col), F.col(quality_col))
+    counts = sel.groupBy(domain_col).agg(F.count(F.lit(1)).alias("_dom_n"))
+    big = counts.where(F.col("_dom_n") > skew_threshold)
+    if big.limit(1).count() == 0:
+        return sel
+    small_rows = sel.join(
+        F.broadcast(big.select(domain_col)), domain_col, "left_anti"
+    )
+    n_salt = F.greatest(
+        F.lit(1), F.ceil(F.col("_dom_n") / F.lit(skew_threshold))
+    ).cast("int")
+    salted = sel.join(F.broadcast(big), domain_col).withColumn(
+        "_salt", F.pmod(_md5_long(F.col(id_col).cast("string")), n_salt)
+    )
+    w1 = Window.partitionBy(domain_col, "_salt").orderBy(
+        F.col(quality_col).desc(), F.col(id_col).asc()
+    )
+    survivors = (
+        salted.withColumn("_r", F.row_number().over(w1))
+        .where(F.col("_r") <= cap)
+        .select(id_col, domain_col, quality_col)
+    )
+    return small_rows.select(id_col, domain_col, quality_col).unionByName(
+        survivors
+    )
+
+
 def domain_cap(
     docs: DataFrame,
     cap: int,
     domain_col: str = "source",
     quality_col: str = "n_chars",
     id_col: str = "doc_id",
+    skew_threshold: int | None = None,
 ) -> DataFrame:
     """Rows surviving a per-domain cap: the top-``cap`` docs of each domain
-    by (quality desc, id asc) -> (id, domain, domain_rank)."""
+    by (quality desc, id asc) -> (id, domain, domain_rank).
+
+    ``skew_threshold`` (default ``50 * cap``) routes oversized domains
+    through :func:`skew_prefilter` — an exactness-preserving salted
+    partial-top-k that bounds every window partition, so a single domain
+    holding 10%+ of a 100 TB corpus cannot concentrate the sort in a few
+    tasks."""
+    skew_threshold = skew_threshold or 50 * cap
+    pre = skew_prefilter(
+        docs, cap, skew_threshold, domain_col, quality_col, id_col
+    )
     w = Window.partitionBy(domain_col).orderBy(
         F.col(quality_col).desc(), F.col(id_col).asc()
     )
     return (
-        docs.select(
+        pre.select(
             F.col(id_col),
             F.col(domain_col),
             F.row_number().over(w).alias("domain_rank"),

@@ -16,9 +16,12 @@ Scale shape (the 100 TB answer, per operator):
     one equi-join of the (pre-joined, checkpointed) edge+degree relation
     with the current ranks, then a map-side-combined sum by dst. Hub skew
     (the corpus has 30%-frequency hubs) is AQE skew-join territory; lineage
-    is truncated with ``localCheckpoint`` every iteration so plans stay
-    O(1) deep regardless of iteration count (on a real cluster swap in
-    ``checkpoint`` against the reliable checkpoint dir). Dangling mass is a
+    is truncated via ``checkpointing.cut_lineage`` every iteration so plans
+    stay O(1) deep regardless of iteration count — ``localCheckpoint`` by
+    default, reliable ``checkpoint`` when a checkpoint dir is configured
+    (``checkpointing.use_reliable_checkpoints``, the production mode: a
+    lost executor makes localCheckpoint-truncated lineage unrecoverable).
+    Dangling mass is a
     one-scalar aggregate per iteration, never a corpus-sized collect.
   * ``degree_topk`` / ``two_hop_counts`` — groupBy / self-join shapes that
     Catalyst already does right (partial aggregation; equi-join on dst=src).
@@ -30,6 +33,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import urls as U
+from ..checkpointing import cut_lineage
 
 
 def resolve_href_col(base: Column, href: Column) -> Column:
@@ -66,7 +70,10 @@ def resolve_href_col(base: Column, href: Column) -> Column:
         F.when(h == "", F.lit(None).cast("string"))
         .when(h.rlike("^https?://"), h)
         .when(h.rlike(U.SCHEME_RE), F.lit(None).cast("string"))
-        .when(origin == "", F.lit(None).cast("string"))
+        # base must be http(s) WITH a path ('/' right after the authority);
+        # mirrors the kernel's path-less-base guard — a base like
+        # https://h.example would otherwise corrupt the relative branches
+        .when(~base.rlike(r"^https?://[^/]+/"), F.lit(None).cast("string"))
         .when(h.startswith("//"), F.concat(scheme, F.lit(":"), h))
         .when(h.startswith("/"), F.concat(origin, norm(h)))
         .otherwise(F.concat(origin, norm(F.concat(base_dir_path, h))))
@@ -174,28 +181,27 @@ def pagerank(
     # materialize the edge relation ONCE: nodes, degrees and the contribution
     # join all derive from it, and a live upstream plan (e.g. the outlink
     # extraction regex) would otherwise recompute per consumer
-    edges = edges.select(
+    edges = cut_lineage(edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).localCheckpoint()
-    nodes = (
+    ))
+    nodes = cut_lineage(
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint()
     )
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
     out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
     # contribution edges: (src, dst, 1/out_deg), built once, lineage cut
-    ed = edges.join(out_deg, "src").select(
+    ed = cut_lineage(edges.join(out_deg, "src").select(
         "src", "dst", (F.lit(1.0) / F.col("out_deg")).alias("inv_deg")
-    ).localCheckpoint()
-    dangling_nodes = nodes.join(
+    ))
+    dangling_nodes = cut_lineage(nodes.join(
         ed.select("src").distinct(),
         nodes["node"] == F.col("src"),
         "left_anti",
-    ).localCheckpoint()
+    ))
     has_dangling = dangling_nodes.limit(1).count() > 0
 
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
@@ -229,7 +235,7 @@ def pagerank(
         # ~1 job of fixed cost, so halving the count halves the fixed
         # overhead while plans stay <= checkpoint_every joins deep
         if has_dangling or (i + 1) % checkpoint_every == 0 or i == iters - 1:
-            ranks = ranks.localCheckpoint()
+            ranks = cut_lineage(ranks)
     return ranks
 
 

@@ -20,6 +20,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .. import config as _cfg
+from ..functions.textstats import ws_tokens_split
 
 RECENCY_HALF_LIFE_DAYS = float(_cfg.get("retrieval.recency_half_life_days"))
 RECENCY_WEIGHT = float(_cfg.get("retrieval.recency_weight"))
@@ -32,7 +33,7 @@ def token_overlap_score(text_col: Column, query_tokens: list[str]) -> Column:
     """|distinct text tokens ∩ query tokens| / |query tokens| — the
     deterministic, SQL-expressible stand-in for cosine(query, chunk) used by
     the search queries (the KG pipeline uses the real BoW cosine linker)."""
-    toks = F.split(F.lower(text_col), r"\s+")
+    toks = ws_tokens_split(F.lower(text_col))  # '' never matches a query token
     inter = F.array_intersect(toks, F.array(*[F.lit(t) for t in query_tokens]))
     return F.size(inter) / F.lit(float(len(query_tokens)))
 

@@ -24,6 +24,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..checkpointing import cut_lineage
 from ..operators import canon as canon_ops
 from ..operators import stage1_extract as s1
 from ..operators import stage2_link as s2
@@ -244,7 +245,8 @@ def apply_increment(
     log = incr.change_log(
         snap.select("url", "content_md5"),
         old_docs.select("url", "content_md5"),
-    ).localCheckpoint()  # consumed by several branches below
+    )
+    log = cut_lineage(log)  # consumed by several branches below
 
     frontier_urls = log.where(
         F.col("change").isin("new", "modified")

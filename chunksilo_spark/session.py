@@ -86,7 +86,7 @@ def get_spark_cluster(
 
 def get_spark(app: str = "chunksilo_spark", cores: int | None = None) -> SparkSession:
     cores = cores or cpu_count()
-    return (
+    spark = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app)
         .config("spark.sql.shuffle.partitions", str(2 * cores))
@@ -104,3 +104,10 @@ def get_spark(app: str = "chunksilo_spark", cores: int | None = None) -> SparkSe
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .getOrCreate()
     )
+    # opt into reliable (executor-loss-safe) lineage cuts for the iterative
+    # operators: every checkpointing.cut_lineage site switches from
+    # localCheckpoint to checkpoint when this dir is set
+    ckpt_dir = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+    if ckpt_dir and not spark.sparkContext.getCheckpointDir():
+        spark.sparkContext.setCheckpointDir(ckpt_dir)
+    return spark

@@ -57,12 +57,23 @@ def fetch_pages(
     page_size: int = 100,
     updated_since: dt.datetime | None = None,
     source_format: str = "rest",
+    max_rounds_per_unit: int = 100_000,
 ) -> DataFrame:
     """Drain every unit's paginated feed -> canonical pages DataFrame.
 
     Provenance rides in ``extras``: source_format, unit, remote_id,
     version — the ragged-metadata channel the rest of the pipeline already
     understands (readers.py).
+
+    Termination guards (a real HTTP client with a pagination bug — an
+    unchanged or cycling cursor — must not spin an executor task forever):
+    the loop raises if the client returns the same cursor twice in a row,
+    and ``max_rounds_per_unit`` hard-caps the rounds per unit (default
+    100k rounds ≈ 10M rows/unit at the default page size — raise it for
+    genuinely larger units).
+
+    ``html`` may come back as str or bytes from the client; both are
+    accepted (bytes pass through, str is utf-8 encoded).
     """
     import pandas as pd
 
@@ -75,17 +86,36 @@ def fetch_pages(
         for pdf in batches:
             for unit in pdf["unit"]:
                 cursor = None
+                rounds = 0
                 while True:
+                    prev_cursor = cursor
                     rows, cursor = c.fetch(
                         unit, cursor, page_size, updated_since
                     )
+                    rounds += 1
+                    if cursor is not None and cursor == prev_cursor:
+                        raise RuntimeError(
+                            f"rest connector: client returned an unchanged "
+                            f"cursor {cursor!r} for unit {unit!r} — "
+                            f"pagination is not progressing"
+                        )
+                    if rounds > max_rounds_per_unit:
+                        raise RuntimeError(
+                            f"rest connector: unit {unit!r} exceeded "
+                            f"{max_rounds_per_unit} pagination rounds — "
+                            f"cycling cursor or unit too large "
+                            f"(raise max_rounds_per_unit)"
+                        )
                     if rows:
                         yield pd.DataFrame(
                             {
                                 "url": [r["url"] for r in rows],
                                 "warc_ts": [r["warc_ts"] for r in rows],
                                 "html": [
-                                    r["html"].encode("utf-8") for r in rows
+                                    r["html"]
+                                    if isinstance(r["html"], bytes)
+                                    else r["html"].encode("utf-8")
+                                    for r in rows
                                 ],
                                 "text": [None] * len(rows),
                                 "lang": [r.get("lang") for r in rows],

@@ -44,14 +44,19 @@ def canon_rows(cols, rows):
     return [cols[i] for i in order], out
 
 
-def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+def run_gate(spark, sf_dir: str, only=None) -> list[str]:
+    """Run the driver-equivalent oracle gate on an existing SparkSession.
+
+    Returns the list of failing query names (empty == all consistent).
+    Pulled out of main() so pytest can run the FULL 63-query surface on the
+    shared test session every run — the driver's own CORRECTNESS artifact
+    caps at 50 rows, and round 3 proved insertion-order tails can silently
+    fall out of that window.
+    """
+    only = set(only or ())
 
     import __spark_entry__ as entry_mod
-    from chunksilo_spark.session import get_spark
 
-    spark = get_spark("oracle_check", cores=8)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -105,6 +110,18 @@ def main() -> int:
             print(f"OK    {name}: {len(srows)} rows [{time.time()-t0:.1f}s]")
         else:
             failures.append(name)
+    con.close()
+    return failures
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    from chunksilo_spark.session import get_spark
+
+    spark = get_spark("oracle_check", cores=8)
+    failures = run_gate(spark, sf_dir, only)
     spark.stop()
     if failures:
         print("FAILURES:", failures)

@@ -1,0 +1,76 @@
+"""Reliable-checkpoint mode (VERDICT r3 item #2): with a checkpoint dir
+configured, every cut_lineage site switches from localCheckpoint to reliable
+checkpoint() — same results, but lineage survives executor loss at scale."""
+
+import os
+
+import pytest
+
+from chunksilo_spark import checkpointing as cp
+from chunksilo_spark.operators import graph as G
+
+EDGES = [
+    (0, 1), (1, 2), (2, 0), (0, 2),
+    (3, 0), (2, 4),          # 4 is dangling
+    (5, 6), (6, 5),
+]
+
+
+def _with_checkpoint_dir(spark, path):
+    """Context manager: set the reliable checkpoint dir, restore None after
+    (the pytest session's SparkSession is shared; other tests must keep the
+    localCheckpoint default)."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def cm():
+        assert spark.sparkContext.getCheckpointDir() is None
+        spark.sparkContext.setCheckpointDir(path)
+        try:
+            yield
+        finally:
+            # Option(null) == None on the Scala side: resets to unset
+            spark.sparkContext._jsc.sc().setCheckpointDir(None)
+
+    return cm()
+
+
+def test_default_mode_is_local(spark):
+    df = spark.range(3)
+    assert cp.checkpoint_dir(df) is None
+    out = cp.cut_lineage(df)
+    assert out.count() == 3
+
+
+def test_pagerank_reliable_matches_local(spark, tmp_path):
+    edges = spark.createDataFrame(EDGES, "src long, dst long")
+    want = {
+        r["node"]: r["rank"] for r in G.pagerank(edges, iters=5).collect()
+    }
+    ckpt = str(tmp_path / "ckpt")
+    with _with_checkpoint_dir(spark, ckpt):
+        got = {
+            r["node"]: r["rank"] for r in G.pagerank(edges, iters=5).collect()
+        }
+        # the run really used the reliable dir: checkpoint files exist
+        found = [
+            f for root, _d, fs in os.walk(ckpt) for f in fs
+        ]
+        assert found, "no reliable checkpoint files were written"
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-12), v
+
+
+def test_components_reliable_matches_local(spark, tmp_path):
+    edges = spark.createDataFrame(EDGES, "src long, dst long")
+    want = {
+        r["node"]: r["component"]
+        for r in G.weak_components(edges).collect()
+    }
+    with _with_checkpoint_dir(spark, str(tmp_path / "ckpt2")):
+        got = {
+            r["node"]: r["component"]
+            for r in G.weak_components(edges).collect()
+        }
+    assert got == want and len(want) == 7

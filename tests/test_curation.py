@@ -4,6 +4,7 @@ deterministic stratified sampling (operators/curation.py)."""
 import hashlib
 
 import pyspark.sql.functions as F
+import pytest
 
 from chunksilo_spark.operators import curation as cu
 
@@ -110,6 +111,27 @@ class TestStratifiedSample:
         n = cu.stratified_sample(docs, ["lang"], 100).count()
         assert n == 200  # rate 100/100 keeps everything
         assert cu.stratified_sample(docs, ["lang"], 0).count() == 0
+
+    def test_wrong_arity_stratum_raises(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "en", "web")], "doc_id long, lang string, source string"
+        )
+        with pytest.raises(ValueError, match="stratum tuples"):
+            cu.stratified_sample(docs, ["lang", "source"], {("en",): 50})
+
+    def test_default_rate_for_unlisted_strata(self, spark):
+        docs = spark.createDataFrame(
+            [(i, "en" if i % 2 else "de") for i in range(200)],
+            "doc_id long, lang string",
+        )
+        # unlisted 'de' excluded by default...
+        only_en = cu.stratified_sample(docs, ["lang"], {("en",): 100})
+        assert {r["lang"] for r in only_en.collect()} == {"en"}
+        # ...and passed through whole with default_rate=buckets
+        both = cu.stratified_sample(
+            docs, ["lang"], {("en",): 100}, default_rate=100
+        )
+        assert both.where("lang = 'de'").count() == 100
 
 
 class TestUnigramLogprob:

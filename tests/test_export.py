@@ -109,3 +109,36 @@ class TestDomainCap:
         for r in rows:
             counts[r["source"]] = counts.get(r["source"], 0) + 1
         assert counts and all(c <= 3 for c in counts.values())
+
+    def test_skew_prefilter_bounds_window_input_exactly(self, spark):
+        """One domain = 50% of all rows (the pathological-skew case the r3
+        docstring promised to handle): the pre-filter must bound the final
+        window's input AND the capped output must be byte-identical to the
+        plain exact window."""
+        cap, thresh, n_big, n_small = 5, 100, 1000, 40
+        rows = [
+            (i, "bigdom" if i < n_big else f"dom{i % 7}", "t", (i * 37) % 997)
+            for i in range(n_big + 7 * n_small)
+        ]
+        df = spark.createDataFrame(rows, SCHEMA)
+
+        pre = ex.skew_prefilter(df, cap, thresh, "source", "n_chars", "doc_id")
+        big_survivors = pre.where("source = 'bigdom'").count()
+        n_salt = -(-n_big // thresh)  # ceil
+        assert big_survivors <= n_salt * cap  # bounded window input
+        assert big_survivors >= cap  # enough rows to fill the cap
+        # small domains pass through untouched
+        assert pre.where("source <> 'bigdom'").count() == 7 * n_small
+
+        got = sorted(
+            tuple(r)
+            for r in ex.domain_cap(
+                df, cap=cap, skew_threshold=thresh
+            ).collect()
+        )
+        want = sorted(
+            tuple(r)
+            # threshold above every domain size -> the plain exact window
+            for r in ex.domain_cap(df, cap=cap, skew_threshold=10**9).collect()
+        )
+        assert got == want and len(got) == 8 * cap

@@ -65,6 +65,21 @@ class TestResolveKernel:
     def test_non_absolute_base(self):
         assert U.resolve_href("not-a-url", "x.html") is None
 
+    def test_pathless_base_never_corrupts(self):
+        # a base with no '/' after the authority (canonical homepage form)
+        # must NOT concatenate into 'https://h.examplex'; every
+        # base-dependent branch returns None, absolute hrefs still resolve
+        for base in ("https://h.example", "http://h.example",
+                     "https://h.example?q=1"):
+            for href in ("x.html", "./x.html", "../x.html", "/rooted.html",
+                         "//cdn.example/l.js"):
+                assert U.resolve_href(base, href) is None, (base, href)
+            assert (
+                U.resolve_href(base, "https://other.example/a.html")
+                == "https://other.example/a.html"
+            )
+            assert U.resolve_href(base, "mailto:x@y.z") is None
+
     def test_above_root_never_eats_the_host(self):
         # normalization runs on the PATH only: whatever residue the
         # fixed-pass semantics leave, the authority survives verbatim
@@ -92,7 +107,11 @@ class TestResolveKernel:
 
 class TestResolveColumnTwin:
     def test_expr_matches_kernel_on_grid(self, spark):
-        rows = [(b, h) for b in BASES for h in HREFS]
+        # include path-less / malformed bases so the kernel/column guard
+        # parity is exercised, not just pathed crawler bases
+        bases = BASES + ["https://h.example", "http://h.example",
+                         "https://h.example?q=1", "not-a-url"]
+        rows = [(b, h) for b in bases for h in HREFS]
         df = spark.createDataFrame(rows, "base string, href string")
         got = {
             (r["base"], r["href"]): r["resolved"]

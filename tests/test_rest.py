@@ -104,6 +104,40 @@ class TestFetchPages:
         assert sample["extras"]["source_format"] == "rest"
 
 
+class StuckCursorClient(FakeClient):
+    """Pagination bug stand-in: returns the same cursor forever."""
+
+    def fetch(self, unit, cursor, page_size, updated_since):
+        return [self.row(unit, 0)], 1  # cursor never advances past 1
+
+
+class BytesHtmlClient(FakeClient):
+    """A client that naturally returns bytes bodies (e.g. raw HTTP
+    content) — the connector must accept both str and bytes."""
+
+    def row(self, unit, i):
+        r = super().row(unit, i)
+        r["html"] = r["html"].encode("utf-8")
+        return r
+
+
+class TestTerminationGuards:
+    def test_unchanged_cursor_raises(self, spark):
+        import pytest as _pytest
+
+        spec = ModelSpec(StuckCursorClient)
+        with _pytest.raises(Exception) as ei:  # PySpark wraps the RuntimeError
+            rest.fetch_pages(spark, ["alpha"], spec, page_size=5).collect()
+        assert "pagination is not progressing" in str(ei.value)
+
+    def test_bytes_html_accepted(self, spark):
+        got = rest.fetch_pages(
+            spark, ["alpha"], ModelSpec(BytesHtmlClient), page_size=7
+        ).collect()
+        assert len(got) == FakeClient().n_rows("alpha")
+        assert all(r["html"].startswith(b"<html>") for r in got)
+
+
 class TestIncrementalFrontier:
     def test_version_ledger(self, spark):
         fetched = rest.fetch_pages(spark, ["alpha"], SPEC, page_size=50)
