@@ -289,20 +289,23 @@ def _pipeline_cluster_main(
         spark.stop()
 
 
-def _compare_commit_section(
-    pages_dir: str, n_pages: int, cores: int
+def _paired_compare_section(
+    pages_dir: str,
+    n_pages: int,
+    cores: int,
+    commit: str,
+    run_flag: str,
+    wall_of,
 ) -> dict | None:
-    """Interleaved paired kg_pipeline walls: CURRENT code vs an earlier
-    commit, same staged input, same cores, alternating runs. This host
-    drifts +-30% over minutes (BENCH/BASELINE.md §3), so two single-shot
-    numbers from different rounds prove nothing about a regression; pairs
-    measured back-to-back do. Gated by BENCH_COMPARE_COMMIT (a git rev;
-    '' or '0' disables); the snapshot is extracted once via git archive."""
+    """Interleaved paired walls for one bench job: CURRENT code vs an
+    earlier commit, same staged input, same cores, alternating runs. This
+    host drifts +-30% over minutes (BENCH/BASELINE.md §3), so two
+    single-shot numbers from different rounds prove nothing about a
+    regression; pairs measured back-to-back do. The snapshot is extracted
+    once via git archive; ``wall_of`` maps the run's JSON to the wall in
+    seconds (the link-graph run reports extract + pagerank separately)."""
     import subprocess
 
-    commit = os.environ.get("BENCH_COMPARE_COMMIT", "ae14d11")
-    if commit in ("", "0"):
-        return None
     repo = os.path.dirname(os.path.abspath(__file__))
     try:
         snap = os.path.join(tempfile.gettempdir(), f"bench_snap_{commit}")
@@ -319,19 +322,18 @@ def _compare_commit_section(
         cur_walls, old_walls = [], []
         for _ in range(repeats):
             cur = _subprocess_json(
-                ["--pipeline-local-run", str(cores), pages_dir, str(n_pages)]
+                [run_flag, str(cores), pages_dir, str(n_pages)]
             )
             old_out = subprocess.run(
                 [
                     sys.executable, os.path.join(snap, "bench.py"),
-                    "--pipeline-local-run", str(cores), pages_dir,
-                    str(n_pages),
+                    run_flag, str(cores), pages_dir, str(n_pages),
                 ],
                 capture_output=True, text=True, check=True,
             )
             old = json.loads(old_out.stdout.strip().splitlines()[-1])
-            cur_walls.append(cur["wall_s"])
-            old_walls.append(old["wall_s"])
+            cur_walls.append(wall_of(cur))
+            old_walls.append(wall_of(old))
 
         def med(xs: list[float]) -> float:
             s = sorted(xs)
@@ -349,8 +351,42 @@ def _compare_commit_section(
             "method": "interleaved current/commit pairs, same staged input",
         }
     except Exception as e:  # noqa: BLE001 — evidence section, never fatal
-        sys.stderr.write(f"commit-compare section skipped: {e}\n")
+        sys.stderr.write(f"paired-compare ({run_flag}) skipped: {e}\n")
         return None
+
+
+def _compare_commit_section(
+    pages_dir: str, n_pages: int, cores: int
+) -> dict | None:
+    """kg_pipeline regression guard. Gated by BENCH_COMPARE_COMMIT (a git
+    rev; '' or '0' disables both compare sections)."""
+    commit = os.environ.get("BENCH_COMPARE_COMMIT", "ae14d11")
+    if commit in ("", "0"):
+        return None
+    return _paired_compare_section(
+        pages_dir, n_pages, cores, commit,
+        "--pipeline-local-run", lambda r: r["wall_s"],
+    )
+
+
+def _compare_linkgraph_section(
+    pages_dir: str, n_pages: int, cores: int
+) -> dict | None:
+    """web_link_graph regression guard (it is the slowest headline since
+    round 3 and previously had none). The baseline commit must support
+    --linkgraph-run, so it defaults to the end-of-round-3 tree; override
+    with BENCH_COMPARE_COMMIT_LINKGRAPH. Disabled together with
+    BENCH_COMPARE_COMMIT."""
+    if os.environ.get("BENCH_COMPARE_COMMIT", "x") in ("", "0"):
+        return None
+    commit = os.environ.get("BENCH_COMPARE_COMMIT_LINKGRAPH", "4c7385d")
+    if commit in ("", "0"):
+        return None
+    return _paired_compare_section(
+        pages_dir, n_pages, cores, commit,
+        "--linkgraph-run",
+        lambda r: round(r["wall_extract_s"] + r["wall_pagerank_s"], 3),
+    )
 
 
 def main() -> None:
@@ -396,6 +432,9 @@ def main() -> None:
     compare = _compare_commit_section(pages_dir, n_pages, hi)
     if compare is not None:
         result["kg_pipeline_paired_compare"] = compare
+    lg_compare = _compare_linkgraph_section(pages_dir, n_pages, hi)
+    if lg_compare is not None:
+        result["link_graph_paired_compare"] = lg_compare
 
     if os.environ.get("BENCH_SCALING", "1") == "1":
         # scaling evidence runs on a larger corpus so per-core compute

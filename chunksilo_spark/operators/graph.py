@@ -239,19 +239,26 @@ def pagerank(
     return ranks
 
 
-def two_hop_counts(edges: DataFrame, sources: DataFrame) -> DataFrame:
-    """Distinct 2-hop reach per source node: (node, n_two_hop).
-
-    One self-equi-join on dst=src + distinct-count — the frontier-expansion
-    primitive; at scale the join shuffles on the hop key and AQE handles
-    hub skew.
-    """
+def _two_hop_joined(edges: DataFrame, sources: DataFrame) -> DataFrame:
+    """The hop-expansion join of :func:`two_hop_counts`, exposed so the
+    hub-skew test can measure its output partition sizes directly."""
     e1 = edges.join(sources, edges["src"] == sources["node"], "left_semi")
     e2 = edges.select(
         F.col("src").alias("mid"), F.col("dst").alias("dst2")
     )
+    return e1.join(e2, e1["dst"] == e2["mid"])
+
+
+def two_hop_counts(edges: DataFrame, sources: DataFrame) -> DataFrame:
+    """Distinct 2-hop reach per source node: (node, n_two_hop).
+
+    One self-equi-join on dst=src + distinct-count — the frontier-expansion
+    primitive; at scale the join shuffles on the hop key and AQE splits the
+    hub partitions (tests/test_graph.py pins a 30%-hub fixture asserting no
+    straggler partition exceeds 4x the median with skew-join on).
+    """
     return (
-        e1.join(e2, e1["dst"] == e2["mid"])
+        _two_hop_joined(edges, sources)
         .groupBy(F.col("src").alias("node"))
         .agg(F.countDistinct("dst2").alias("n_two_hop"))
     )

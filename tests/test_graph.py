@@ -4,6 +4,7 @@ oracle, degrees and 2-hop reach."""
 
 from urllib.parse import urljoin
 
+import pyspark.sql.functions as F
 import pytest
 
 from chunksilo_spark.functions import urls as U
@@ -234,6 +235,88 @@ class TestDegreesAndHops:
         }
         # 0 -> 9 -> 8; 3 -> 8 -> 7
         assert got == {0: 1, 3: 1}
+
+
+class TestHubSkew:
+    """The corpus has 30%-frequency hub pages (SURVEY §5.2); the analogous
+    discipline for the graph family: with AQE skew-join ON, the two-hop
+    expansion join must not leave a straggler partition > 4x the median —
+    and the fixture must be skewed enough that DISABLING skew handling
+    violates that bound (so the test actually discriminates)."""
+
+    CONFS = {
+        # scaled-down AQE skew thresholds: the production defaults (256 MB)
+        # assume production shuffle sizes; the RATIO discipline is what we
+        # pin here
+        "spark.sql.adaptive.skewJoin.enabled": None,  # set per run
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "65536",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "65536",
+    }
+
+    @staticmethod
+    def _nid(i):
+        import hashlib
+
+        return "https://site%d.example/%s" % (
+            i % 97, hashlib.md5(str(i).encode()).hexdigest()
+        )
+
+    def _edges(self, spark):
+        hub = self._nid(10**9)
+        rows = [(self._nid(i), hub) for i in range(30_000)]  # ~33% -> hub
+        rows += [
+            (self._nid(i), self._nid(30_000 + i % 1000))
+            for i in range(30_000, 90_000)
+        ]
+        rows += [(hub, self._nid(2_000_000 + j)) for j in range(10)]
+        return spark.createDataFrame(rows, "src string, dst string")
+
+    def _partition_ratio(self, spark, edges, skew_on):
+        import statistics
+
+        confs = dict(self.CONFS)
+        confs["spark.sql.adaptive.skewJoin.enabled"] = str(skew_on).lower()
+        old = {k: spark.conf.get(k, None) for k in confs}
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        try:
+            joined = G._two_hop_joined(
+                edges, edges.select(F.col("src").alias("node")).distinct()
+            )
+            # keep a payload column alive so pruning doesn't shrink the
+            # shuffle below the (byte-based) skew thresholds
+            sizes = joined.groupBy(
+                F.spark_partition_id().alias("p")
+            ).agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min(F.length("src")).alias("keep"),
+            )
+            s = sorted(r["n"] for r in sizes.collect())
+            return s[-1] / max(statistics.median(s), 1)
+        finally:
+            for k, v in old.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+
+    def test_skew_join_bounds_stragglers(self, spark):
+        edges = self._edges(spark)
+        off = self._partition_ratio(spark, edges, skew_on=False)
+        assert off > 4.0, f"fixture not skewed enough to discriminate: {off}"
+        on = self._partition_ratio(spark, edges, skew_on=True)
+        assert on <= 4.0, f"straggler partition {on:.1f}x median with AQE on"
+
+    def test_pagerank_correct_on_hub_skew(self, spark):
+        edges = self._edges(spark)
+        ranks = G.pagerank(edges, iters=2)
+        total = ranks.agg(F.sum("rank")).collect()[0][0]
+        assert total == pytest.approx(1.0, abs=1e-9)
+        # the hub must absorb by far the largest rank
+        top = G.rank_topk(ranks, 1).collect()[0]
+        assert top["node"] == self._nid(10**9)
 
 
 class TestCorpusLinkGraph:

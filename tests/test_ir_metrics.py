@@ -40,6 +40,10 @@ def recall_at_k(ranked: list[str], relevant: set[str], k: int) -> float:
     return len(set(ranked[:k]) & relevant) / min(len(relevant), k)
 
 
+def precision_at_k(ranked: list[str], relevant: set[str], k: int) -> float:
+    return len(set(ranked[:k]) & relevant) / k
+
+
 def ndcg_at_k(ranked: list[str], relevant: set[str], k: int) -> float:
     dcg = sum(
         1.0 / math.log2(i + 2) for i, u in enumerate(ranked[:k]) if u in relevant
@@ -98,10 +102,53 @@ def test_retrieval_beats_random_on_mrr_and_ndcg(spark, ground_truth):
     assert mean(got_ndcg) >= 2.0 * mean(rnd_ndcg)
 
 
+def test_reference_ci_metric_report(spark, ground_truth):
+    """The reference's CI gates retrieval at P@5 0.491 / MRR 0.518
+    (reference .github/workflows/test-rag-metrics.yml) with its real ONNX
+    embedder. With the sanctioned BoW stand-in those absolutes are not
+    reachable (hash collisions at 384 dims), so this test REPORTS the same
+    three metrics on the labeled synthetic corpus — the numbers recorded in
+    BENCH/BASELINE.md §2 — and pins floors so a regression in the retrieval
+    surface (chunking, embedding, scoring, rank order) fails loudly."""
+    pool, rel, qids, docs, all_urls = ground_truth
+    p5s, mrrs, ndcg5s = [], [], []
+    for eid in qids:
+        query = pool[eid][0]
+        rows = vector_search(docs, query, k=100).collect()
+        seen, ranked = set(), []
+        for r in rows:
+            if r["url"] not in seen:
+                seen.add(r["url"])
+                ranked.append(r["url"])
+        relevant = rel[eid]
+        p5s.append(precision_at_k(ranked, relevant, 5))
+        mrrs.append(mrr(ranked, relevant))
+        ndcg5s.append(ndcg_at_k(ranked, relevant, 5))
+
+    mean = lambda xs: sum(xs) / len(xs)  # noqa: E731
+    report = {
+        "P@5": round(mean(p5s), 3),
+        "MRR": round(mean(mrrs), 3),
+        "NDCG@5": round(mean(ndcg5s), 3),
+        "reference_ci": {"P@5": 0.491, "MRR": 0.518},
+        "queries": len(qids),
+        "pages": N_PAGES,
+    }
+    print(f"IR metric report (BoW stand-in embedder): {report}")
+    # floors: ~2/3 of the values measured when this report was recorded
+    # (P@5 0.100 / MRR 0.267 / NDCG@5 0.109) — loose enough for corpus
+    # tweaks, tight enough to catch rank breakage
+    assert mean(p5s) >= 0.065
+    assert mean(mrrs) >= 0.175
+    assert mean(ndcg5s) >= 0.07
+
+
 def test_metric_kernels_against_known_values(spark):
     ranked = ["a", "b", "c", "d"]
     assert mrr(ranked, {"c"}) == pytest.approx(1 / 3)
     assert mrr(ranked, {"x"}) == 0.0
+    assert precision_at_k(ranked, {"a", "c", "x"}, 2) == pytest.approx(1 / 2)
+    assert precision_at_k(ranked, {"a", "b"}, 4) == pytest.approx(1 / 2)
     # capped recall: denominator is min(|relevant|, k) (R-precision style)
     assert recall_at_k(ranked, {"a", "d", "x"}, 2) == pytest.approx(1 / 2)
     assert recall_at_k(ranked, {"a", "d"}, 4) == pytest.approx(1.0)
