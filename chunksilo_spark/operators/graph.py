@@ -173,10 +173,11 @@ def pagerank(
     (redistributed uniformly, so sum(rank) == 1 every iteration).
 
     The edge relation is pre-joined with out-degrees ONCE and checkpointed;
-    each iteration shuffles only (node, rank) pairs. dangling_t is a single
-    scalar aggregate per iteration (two jobs/iter total) — acceptable on a
-    cluster, and zero-cost when the graph has no dangling nodes (the scan
-    short-circuits on an empty anti-join).
+    each iteration shuffles only (node, rank) pairs. dangling_t stays IN
+    THE PLAN as a 1-row aggregate broadcast-cross-joined onto the rank
+    update (no per-iteration driver collect), so a dangling graph costs
+    ONE job per iteration — the eager lineage cut — instead of two; with
+    no dangling nodes the subtree is omitted entirely.
     """
     # materialize the edge relation ONCE: nodes, degrees and the contribution
     # join all derive from it, and a live upstream plan (e.g. the outlink
@@ -206,34 +207,39 @@ def pagerank(
 
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     for i in range(iters):
-        dangling = 0.0
-        if has_dangling:
-            dangling = (
-                ranks.join(dangling_nodes, "node", "left_semi")
-                .agg(F.sum("rank"))
-                .collect()[0][0]
-                or 0.0
-            )
         contrib = (
             ed.join(ranks, ed["src"] == ranks["node"])
             .groupBy("dst")
             .agg(F.sum(F.col("rank") * F.col("inv_deg")).alias("c"))
         )
-        base = (1.0 - damping) / n + damping * dangling / n
-        ranks = nodes.join(
-            contrib, nodes["node"] == contrib["dst"], "left"
-        ).select(
+        new = nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+        if has_dangling:
+            # 1-row dangling-mass aggregate, broadcast-cross-joined so it
+            # stays in the plan (the old per-iteration .collect() cost a
+            # whole extra job). Float op ORDER mirrors the python/SQL
+            # oracles exactly: (1-d)/n precomputed, then (d * dang) / n.
+            dang = (
+                ranks.join(dangling_nodes, "node", "left_semi")
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dang"))
+            )
+            new = new.crossJoin(F.broadcast(dang))
+            base_col = F.lit((1.0 - damping) / n) + (
+                F.lit(damping) * F.col("_dang")
+            ) / F.lit(float(n))
+        else:
+            base_col = F.lit((1.0 - damping) / n)
+        ranks = new.select(
             "node",
             (
-                F.lit(base)
+                base_col
                 + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))
             ).alias("rank"),
         )
-        # lineage cut: every iteration when the dangling aggregate forces a
-        # mid-loop action anyway (an uncut plan would recompute per action),
-        # else every ``checkpoint_every`` rounds — the eager checkpoint is
-        # ~1 job of fixed cost, so halving the count halves the fixed
-        # overhead while plans stay <= checkpoint_every joins deep
+        # lineage cut: every iteration for dangling graphs (the dang and
+        # contrib subtrees both read `ranks`, so an uncut plan would
+        # evaluate the previous iteration twice), else every
+        # ``checkpoint_every`` rounds — plans stay <= checkpoint_every
+        # joins deep and each eager cut is the iteration's ONE job
         if has_dangling or (i + 1) % checkpoint_every == 0 or i == iters - 1:
             ranks = cut_lineage(ranks)
     return ranks

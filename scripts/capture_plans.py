@@ -53,7 +53,8 @@ CAPTURE = [
     ("x_pack_sequences", "running-sum window partitioned by shard — "
      "single hash Exchange, per-partition running state"),
     ("x_domain_cap", "windowed top-cap per domain: one Exchange on the "
-     "domain key, filter on row_number"),
+     "domain key, filter on row_number; oversized domains (none at driver "
+     "scale) would route through the salted skew_prefilter first"),
     ("t_unigram_lm", "vocab table joins back as BroadcastHashJoin — the "
      "per-doc scoring pass is map-side, only the unigram count shuffles"),
 ]
