@@ -41,7 +41,24 @@ def cut_lineage(df: DataFrame) -> DataFrame:
     """Truncate ``df``'s lineage: reliable ``checkpoint()`` when a
     checkpoint dir is configured, else ``localCheckpoint()``. Both are
     eager — iterative callers rely on the cut materializing NOW so the next
-    round's plan starts from the checkpointed relation."""
+    round's plan starts from the checkpointed relation.
+
+    Reliable mode persists before checkpointing: a bare ``checkpoint()``
+    computes the plan once for the eager count and AGAIN when the
+    checkpoint files are written (classic RDD double-compute); caching in
+    between means the write pass reads the cache. The cache is released
+    immediately — the returned relation reads from the checkpoint files.
+    Superseded checkpoint files are removed by Spark's context cleaner
+    (``spark.cleaner.referenceTracking.cleanCheckpoints`` is set by
+    session.py) once the old RDD is garbage-collected; point the dir at
+    job-scoped storage so whatever outlives the cleaner dies with the job.
+    """
     if checkpoint_dir(df) is not None:
-        return df.checkpoint(eager=True)
+        from pyspark import StorageLevel
+
+        cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            return cached.checkpoint(eager=True)
+        finally:
+            cached.unpersist()
     return df.localCheckpoint()

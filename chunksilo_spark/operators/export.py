@@ -38,6 +38,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..checkpointing import cut_lineage
 from ..functions.textstats import ws_tokens_split
 
 
@@ -116,43 +117,75 @@ def skew_prefilter(
     """Bound the final domain-cap window's input under pathological skew,
     EXACTLY (the r3 docstring promise, now code).
 
-    Domains with more than ``skew_threshold`` rows (counted with one
-    map-side-combined groupBy) take a salted partial-top-k pre-pass: rows
-    split into ``ceil(n/skew_threshold)`` md5 salt buckets, top-``cap`` per
-    (domain, salt) kept. Every true global top-``cap`` row has at most
-    ``cap-1`` rows above it overall, hence at most ``cap-1`` above it in
-    its own bucket — so it survives the pre-pass and the final exact window
-    over survivors returns byte-identical ranks. Per-task sort input is
-    bounded by ``skew_threshold`` in the pre-pass and by
-    ``n_salt_buckets * cap`` per domain in the final window, no matter how
-    skewed the corpus (a 50%-of-corpus domain included). Small domains pass
-    through untouched — at driver scale the pre-pass never triggers and the
-    plan is the plain single window."""
+    Domains with more than ``skew_threshold`` rows take salted
+    partial-top-k rounds: rows split into ``ceil(n/skew_threshold)`` md5
+    salt buckets, top-``cap`` per (domain, salt) kept, REPEATED until every
+    surviving domain fits under ``skew_threshold`` (one round shrinks a
+    domain to ``ceil(n/threshold)*cap`` — still linear in ``n`` — so a
+    single pass is only a constant-factor reduction; the loop is what makes
+    the bound real: with ``threshold >= 2*cap`` each round shrinks by
+    >= threshold/(2*cap), so a 10^10-row domain at the default 50x ratio
+    is under threshold in 4 rounds). Exactness is inductive: every true
+    global top-``cap`` row has at most ``cap-1`` rows above it, hence at
+    most ``cap-1`` above it in its salt bucket, so it survives every round
+    and the final exact window returns byte-identical ranks.
+
+    Cost shape: the corpus-wide per-domain count runs ONCE (map-side
+    combined, lineage-cut so the routing decision and the broadcast joins
+    reuse it); the corpus relation itself is deliberately NOT checkpointed
+    — both branches re-read the source with pushdown, which beats
+    materializing a corpus-sized snapshot. Loop rounds act only on the
+    geometrically-shrinking big-domain subset, lineage-cut per round.
+    ``skew_threshold <= 0`` disables the pre-filter entirely (plain
+    window, no extra scan or driver action)."""
     sel = docs.select(F.col(id_col), F.col(domain_col), F.col(quality_col))
+    if skew_threshold <= 0:
+        return sel
+    if skew_threshold < 2 * cap:
+        raise ValueError(
+            f"skew_threshold ({skew_threshold}) must be >= 2*cap ({2 * cap}) "
+            "so each salted round shrinks oversized domains geometrically"
+        )
     counts = sel.groupBy(domain_col).agg(F.count(F.lit(1)).alias("_dom_n"))
-    big = counts.where(F.col("_dom_n") > skew_threshold)
-    if big.limit(1).count() == 0:
+    over = cut_lineage(counts.where(F.col("_dom_n") > skew_threshold))
+    if over.limit(1).count() == 0:
         return sel
     small_rows = sel.join(
-        F.broadcast(big.select(domain_col)), domain_col, "left_anti"
-    )
-    n_salt = F.greatest(
-        F.lit(1), F.ceil(F.col("_dom_n") / F.lit(skew_threshold))
-    ).cast("int")
-    salted = sel.join(F.broadcast(big), domain_col).withColumn(
-        "_salt", F.pmod(_md5_long(F.col(id_col).cast("string")), n_salt)
-    )
+        F.broadcast(over.select(domain_col)), domain_col, "left_anti"
+    ).select(id_col, domain_col, quality_col)
+    big_rows = sel.join(
+        F.broadcast(over.select(domain_col)), domain_col, "left_semi"
+    ).select(id_col, domain_col, quality_col)
+
     w1 = Window.partitionBy(domain_col, "_salt").orderBy(
         F.col(quality_col).desc(), F.col(id_col).asc()
     )
-    survivors = (
-        salted.withColumn("_r", F.row_number().over(w1))
-        .where(F.col("_r") <= cap)
-        .select(id_col, domain_col, quality_col)
-    )
-    return small_rows.select(id_col, domain_col, quality_col).unionByName(
-        survivors
-    )
+    while True:
+        # `over` holds the still-oversized domains with their current counts
+        done = big_rows.join(
+            F.broadcast(over.select(domain_col)), domain_col, "left_anti"
+        )
+        n_salt = F.greatest(
+            F.lit(1), F.ceil(F.col("_dom_n") / F.lit(skew_threshold))
+        ).cast("int")
+        survivors = (
+            big_rows.join(F.broadcast(over), domain_col)
+            .withColumn(
+                "_salt",
+                F.pmod(_md5_long(F.col(id_col).cast("string")), n_salt),
+            )
+            .withColumn("_r", F.row_number().over(w1))
+            .where(F.col("_r") <= cap)
+            .select(id_col, domain_col, quality_col)
+        )
+        big_rows = cut_lineage(done.unionByName(survivors))
+        over = cut_lineage(
+            big_rows.groupBy(domain_col)
+            .agg(F.count(F.lit(1)).alias("_dom_n"))
+            .where(F.col("_dom_n") > skew_threshold)
+        )
+        if over.limit(1).count() == 0:
+            return small_rows.unionByName(big_rows)
 
 
 def domain_cap(
@@ -166,12 +199,13 @@ def domain_cap(
     """Rows surviving a per-domain cap: the top-``cap`` docs of each domain
     by (quality desc, id asc) -> (id, domain, domain_rank).
 
-    ``skew_threshold`` (default ``50 * cap``) routes oversized domains
-    through :func:`skew_prefilter` — an exactness-preserving salted
-    partial-top-k that bounds every window partition, so a single domain
-    holding 10%+ of a 100 TB corpus cannot concentrate the sort in a few
-    tasks."""
-    skew_threshold = skew_threshold or 50 * cap
+    ``skew_threshold`` (default ``50 * cap``; pass ``0`` to disable) routes
+    oversized domains through :func:`skew_prefilter` — exactness-preserving
+    salted partial-top-k rounds that bound the final window's input to
+    ``skew_threshold`` rows per domain, so a single domain holding 10%+ of
+    a 100 TB corpus cannot concentrate the sort in one task."""
+    if skew_threshold is None:
+        skew_threshold = 50 * cap
     pre = skew_prefilter(
         docs, cap, skew_threshold, domain_col, quality_col, id_col
     )

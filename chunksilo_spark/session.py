@@ -78,6 +78,11 @@ def get_spark_cluster(
         .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # reliable cut_lineage checkpoints: let the context cleaner
+        # delete superseded iterations' checkpoint files once their
+        # RDDs are garbage-collected (otherwise every pagerank/CC
+        # round leaves a permanent rdd-N dir on durable storage)
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
         .getOrCreate()
     )
     spark.sparkContext.addPyFile(package_zip())
@@ -102,6 +107,11 @@ def get_spark(app: str = "chunksilo_spark", cores: int | None = None) -> SparkSe
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # reliable cut_lineage checkpoints: let the context cleaner
+        # delete superseded iterations' checkpoint files once their
+        # RDDs are garbage-collected (otherwise every pagerank/CC
+        # round leaves a permanent rdd-N dir on durable storage)
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
         .getOrCreate()
     )
     # opt into reliable (executor-loss-safe) lineage cuts for the iterative

@@ -99,7 +99,11 @@ def fetch_pages(
                             f"cursor {cursor!r} for unit {unit!r} — "
                             f"pagination is not progressing"
                         )
-                    if rounds > max_rounds_per_unit:
+                    # the cap applies only to CONTINUING pagination: a unit
+                    # whose final page lands exactly on the cap (cursor is
+                    # None) has legitimately finished — its rows must be
+                    # yielded and the loop breaks below, not raise
+                    if cursor is not None and rounds >= max_rounds_per_unit:
                         raise RuntimeError(
                             f"rest connector: unit {unit!r} exceeded "
                             f"{max_rounds_per_unit} pagination rounds — "

@@ -4,6 +4,8 @@ repartitioning."""
 
 import hashlib
 
+import pytest
+
 from chunksilo_spark.operators import export as ex
 
 ROWS = [
@@ -110,23 +112,25 @@ class TestDomainCap:
             counts[r["source"]] = counts.get(r["source"], 0) + 1
         assert counts and all(c <= 3 for c in counts.values())
 
-    def test_skew_prefilter_bounds_window_input_exactly(self, spark):
-        """One domain = 50% of all rows (the pathological-skew case the r3
-        docstring promised to handle): the pre-filter must bound the final
-        window's input AND the capped output must be byte-identical to the
-        plain exact window."""
-        cap, thresh, n_big, n_small = 5, 100, 1000, 40
+    @staticmethod
+    def _skew_df(spark, n_big, n_small=40):
         rows = [
             (i, "bigdom" if i < n_big else f"dom{i % 7}", "t", (i * 37) % 997)
             for i in range(n_big + 7 * n_small)
         ]
-        df = spark.createDataFrame(rows, SCHEMA)
+        return spark.createDataFrame(rows, SCHEMA)
+
+    def test_skew_prefilter_bounds_window_input_exactly(self, spark):
+        """One domain = 50% of all rows (the pathological-skew case the r3
+        docstring promised to handle): the pre-filter must bound the final
+        window's input to <= skew_threshold rows per domain AND the capped
+        output must be byte-identical to the plain exact window."""
+        cap, thresh, n_big, n_small = 5, 100, 1000, 40
+        df = self._skew_df(spark, n_big, n_small)
 
         pre = ex.skew_prefilter(df, cap, thresh, "source", "n_chars", "doc_id")
         big_survivors = pre.where("source = 'bigdom'").count()
-        n_salt = -(-n_big // thresh)  # ceil
-        assert big_survivors <= n_salt * cap  # bounded window input
-        assert big_survivors >= cap  # enough rows to fill the cap
+        assert cap <= big_survivors <= thresh  # the REAL bound, not n/50
         # small domains pass through untouched
         assert pre.where("source <> 'bigdom'").count() == 7 * n_small
 
@@ -138,7 +142,31 @@ class TestDomainCap:
         )
         want = sorted(
             tuple(r)
-            # threshold above every domain size -> the plain exact window
-            for r in ex.domain_cap(df, cap=cap, skew_threshold=10**9).collect()
+            # skew_threshold=0 disables the pre-filter -> plain exact window
+            for r in ex.domain_cap(df, cap=cap, skew_threshold=0).collect()
         )
         assert got == want and len(got) == 8 * cap
+
+    def test_skew_prefilter_multi_round_reduction(self, spark):
+        """threshold/cap ratio small enough that one salted round leaves the
+        domain oversized (1000 -> 250 -> 65 -> 20 at cap=5/thresh=20): the
+        loop must keep reducing to <= threshold and stay exact."""
+        cap, thresh = 5, 20
+        df = self._skew_df(spark, n_big=1000, n_small=3)
+        pre = ex.skew_prefilter(df, cap, thresh, "source", "n_chars", "doc_id")
+        assert cap <= pre.where("source = 'bigdom'").count() <= thresh
+        got = sorted(
+            tuple(r)
+            for r in ex.domain_cap(df, cap=cap, skew_threshold=thresh).collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in ex.domain_cap(df, cap=cap, skew_threshold=0).collect()
+        )
+        # 7 small domains hold 3 rows each (< cap), bigdom contributes cap
+        assert got == want and len(got) == cap + 7 * 3
+
+    def test_skew_threshold_validation(self, spark):
+        df = self._skew_df(spark, n_big=10)
+        with pytest.raises(ValueError, match="2\\*cap"):
+            ex.skew_prefilter(df, cap=5, skew_threshold=9)
