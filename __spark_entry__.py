@@ -564,6 +564,14 @@ def _d_neardup_verified(spark, sf):  # LSH candidates -> exact verification
     return dd.neardup_verified(_t(spark, sf, "documents"), threshold=0.5)
 
 
+def _d_dedup_clusters(spark, sf):  # end-to-end dedup: doc -> cluster -> keep?
+    # exact-dup collapse + verified near-dup pairs + connected components;
+    # oracle = the all-pairs jaccard SQL closed transitively with a
+    # recursive CTE (an independent closure computation, not min-label
+    # propagation)
+    return dd.dedup_clusters(_t(spark, sf, "documents"), threshold=0.5)
+
+
 def _t_corpus_filter(spark, sf):  # composite training-data filter
     docs = _t(spark, sf, "documents")
     words = ws_tokens_split(F.lower("text"))
@@ -1034,6 +1042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_token_jaccard": _d_token_jaccard,
         "d_minhash_lsh": _d_minhash_lsh,
         "d_neardup_verified": _d_neardup_verified,
+        "d_dedup_clusters": _d_dedup_clusters,
         "d_simhash": _d_simhash,
         "s_knn_bruteforce": _s_knn_bruteforce,
         "s_knn_lsh": _s_knn_lsh,
@@ -1041,7 +1050,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_winnow": _t_winnow,
         "d_embedding_neardup": _d_embedding_neardup,
         "a6_rollup_sets": _a6_rollup_sets,
-        "w7_percentiles": _w7_percentiles,
         "m_binary_meta": _m_binary_meta,
         "m_decode_features": _m_decode_features,
         # -- rotated to the tail: three-rounds driver-green scalar rows,
@@ -1059,6 +1067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w5_first_match_line": _w5_first_match_line,
         "a2_first_per_key": _a2_first_per_key,
         "o3_except_users": _o3_except_users,
+        "w7_percentiles": _w7_percentiles,
     }
 
 
@@ -1547,6 +1556,49 @@ def oracle_sql() -> dict[str, str]:
         # (min doc_id per md5(text) group — mirrors the operator's pre-collapse).
         # DuckDB's 1-based list indexing: shingle i = w[i..i+2], i in
         # range(1, len(w)-1) == len(w)-2 shingles, same as word_shingles(t, 3).
+        "d_dedup_clusters": """
+            WITH RECURSIVE reps AS (
+                SELECT md5(text) AS h, min(doc_id) AS rep, min(text) AS text
+                FROM documents GROUP BY md5(text)
+            ), tok AS (
+                SELECT rep AS doc_id,
+                       list_filter(
+                           string_split_regex(
+                               regexp_replace(text, '^\\s+|\\s+$', '', 'g'),
+                               '\\s+'),
+                           x -> x <> '') AS w
+                FROM reps
+            ), t AS (
+                SELECT doc_id, list_distinct(
+                    CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                         ELSE list_transform(range(1, len(w) - 1),
+                              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                    END) AS sh
+                FROM tok
+            ), pairs AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM t a JOIN t b ON a.doc_id < b.doc_id
+                WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                      / greatest(len(a.sh) + len(b.sh)
+                                 - len(list_intersect(a.sh, b.sh)), 1) >= 0.5
+            ), edges AS (
+                SELECT doc_a AS a, doc_b AS b FROM pairs
+                UNION SELECT doc_b, doc_a FROM pairs
+            ), reach(node, label) AS (
+                SELECT a, a FROM edges
+                UNION
+                SELECT e.b, r.label FROM edges e JOIN reach r ON e.a = r.node
+            ), labels AS (
+                SELECT node, min(label) AS cluster_id FROM reach GROUP BY node
+            ), doc_rep AS (
+                SELECT d.doc_id, r.rep
+                FROM documents d JOIN reps r ON md5(d.text) = r.h
+            )
+            SELECT dr.doc_id,
+                   coalesce(l.cluster_id, dr.rep) AS cluster_id,
+                   (dr.doc_id = coalesce(l.cluster_id, dr.rep)) AS is_survivor
+            FROM doc_rep dr LEFT JOIN labels l ON dr.rep = l.node
+        """,
         "d_neardup_verified": """
             WITH reps AS (
                 SELECT min(doc_id) AS doc_id, min(text) AS text

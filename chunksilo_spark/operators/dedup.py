@@ -277,6 +277,56 @@ def neardup_verified(
     )
 
 
+def dedup_clusters(
+    docs: DataFrame, threshold: float = 0.5, text_col: str = "text"
+) -> DataFrame:
+    """END-TO-END dedup materialization -> (doc_id, cluster_id,
+    is_survivor): the "which rows does the training set keep" primitive
+    that pair detection alone doesn't answer.
+
+    cluster_id = the min doc_id transitively reachable through exact
+    duplicates (byte-identical text) and verified near-dup pairs
+    (:func:`neardup_verified`, Jaccard >= threshold on word 3-gram
+    shingles); is_survivor marks the one kept doc per cluster (the min
+    id). Docs in no pair are their own singleton cluster.
+
+    100 TB shape: the exact-dup map is one md5 groupBy (map-side
+    combined); near-dup verification already touches candidates only; the
+    connected-components loop (canon's min-label propagation) runs on the
+    PAIR GRAPH — dup-cluster-sized, never corpus-sized — and the cluster
+    labels join back to the corpus as a broadcast-sized relation for any
+    realistic dup rate (falls back to a shuffle join past the broadcast
+    threshold, still keyed on the md5 the corpus already grouped by).
+    """
+    from .canon import connected_components
+
+    doc_rep = docs.select(
+        F.col("doc_id"), F.md5(F.col(text_col)).alias("_h")
+    ).join(
+        docs.groupBy(F.md5(F.col(text_col)).alias("_h")).agg(
+            F.min("doc_id").alias("rep")
+        ),
+        "_h",
+    ).select("doc_id", "rep")
+    pairs = neardup_verified(docs, threshold, text_col).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    verts = (
+        pairs.select(F.col("a").alias("nid"))
+        .unionByName(pairs.select(F.col("b").alias("nid")))
+        .distinct()
+    )
+    labels = connected_components(verts, pairs)
+    return (
+        doc_rep.join(labels, doc_rep["rep"] == labels["nid"], "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("rep")).alias("cluster_id"),
+        )
+        .withColumn("is_survivor", F.col("doc_id") == F.col("cluster_id"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 

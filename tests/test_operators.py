@@ -125,6 +125,54 @@ class TestDedup:
         # MinHash estimate tracks the exact 3-gram Jaccard on found pairs
         assert abs(est[(1, 2)] - verified[(1, 2)]) <= 0.25
 
+    def test_dedup_clusters_end_to_end(self, spark):
+        """doc -> cluster_id -> is_survivor vs a plain-python union-find
+        over the same exact-dup groups + verified pairs: a chain of
+        near-dups must land in ONE cluster (transitivity), exact dups ride
+        their representative, untouched docs are singleton survivors."""
+        base = "the quick brown fox jumps over the lazy dog " * 8
+        rows = [
+            (1, base),
+            (2, base),                                  # exact dup of 1
+            (3, base + "extra tail words here"),        # near-dup of 1
+            (4, base + "extra tail words here indeed"), # near-dup of 3 (chain)
+            (5, "unrelated content entirely " + "other words " * 10),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+        # python oracle: union-find over exact groups + verified pairs
+        parent = {i: i for i, _ in rows}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        def union(a, b):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+
+        by_text = {}
+        for i, t in rows:
+            by_text.setdefault(t, []).append(i)
+        for ids in by_text.values():
+            for j in ids[1:]:
+                union(ids[0], j)
+        for r in dd.neardup_verified(docs, threshold=0.5).collect():
+            union(r["doc_a"], r["doc_b"])
+        want = {i: find(i) for i, _ in rows}
+
+        got = {
+            r["doc_id"]: (r["cluster_id"], r["is_survivor"])
+            for r in dd.dedup_clusters(docs, threshold=0.5).collect()
+        }
+        assert {i: c for i, (c, _s) in got.items()} == want
+        assert {i for i, (_c, s) in got.items() if s} == set(want.values())
+        # the chain 1-2-3-4 collapsed into one cluster rooted at 1
+        assert want[4] == 1 and len(set(want.values())) == 2
+
     def test_minhash_batch_matches_single(self):
         from chunksilo_spark.functions.minhash import (
             minhash_signature,
