@@ -564,6 +564,18 @@ def _d_neardup_verified(spark, sf):  # LSH candidates -> exact verification
     return dd.neardup_verified(_t(spark, sf, "documents"), threshold=0.5)
 
 
+def _d_neardup_incremental(spark, sf):  # delta-vs-corpus dedup (no self-join)
+    # the daily-delta shape: new docs (doc_id % 5 == 0) matched against the
+    # existing corpus; oracle = md5 equi-join for exact + all-pairs 3-gram
+    # jaccard across the same split
+    docs = _t(spark, sf, "documents")
+    return dd.neardup_against(
+        docs.where(F.col("doc_id") % 5 == 0),
+        docs.where(F.col("doc_id") % 5 != 0),
+        threshold=0.5,
+    )
+
+
 def _d_dedup_clusters(spark, sf):  # end-to-end dedup: doc -> cluster -> keep?
     # exact-dup collapse + verified near-dup pairs + connected components;
     # oracle = the all-pairs jaccard SQL closed transitively with a
@@ -1017,7 +1029,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- previously-green rows that keep their driver window slot --
         "q1_pricing_summary": _q1_pricing_summary,
         "j1_new_keys": _j1_new_keys,
-        "j2_deleted_keys": _j2_deleted_keys,
         "incr_change_detect": _incr_change_detect,
         "q3_shipping_priority": _q3_shipping_priority,
         "q5_local_supplier": _q5_local_supplier,
@@ -1043,6 +1054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_minhash_lsh": _d_minhash_lsh,
         "d_neardup_verified": _d_neardup_verified,
         "d_dedup_clusters": _d_dedup_clusters,
+        "d_neardup_incremental": _d_neardup_incremental,
         "d_simhash": _d_simhash,
         "s_knn_bruteforce": _s_knn_bruteforce,
         "s_knn_lsh": _s_knn_lsh,
@@ -1068,6 +1080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a2_first_per_key": _a2_first_per_key,
         "o3_except_users": _o3_except_users,
         "w7_percentiles": _w7_percentiles,
+        "j2_deleted_keys": _j2_deleted_keys,
     }
 
 
@@ -1556,6 +1569,59 @@ def oracle_sql() -> dict[str, str]:
         # (min doc_id per md5(text) group — mirrors the operator's pre-collapse).
         # DuckDB's 1-based list indexing: shingle i = w[i..i+2], i in
         # range(1, len(w)-1) == len(w)-2 shingles, same as word_shingles(t, 3).
+        "d_neardup_incremental": """
+            WITH corp AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+            newd AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+            crep AS (
+                SELECT md5(text) AS h, min(doc_id) AS match_id,
+                       min(text) AS text
+                FROM corp GROUP BY md5(text)
+            ), exact AS (
+                SELECT n.doc_id, c.match_id, 1.0 AS jaccard, 'exact' AS kind
+                FROM newd n JOIN crep c ON md5(n.text) = c.h
+            ), nrest AS (
+                SELECT n.doc_id, n.text FROM newd n
+                LEFT JOIN crep c ON md5(n.text) = c.h WHERE c.h IS NULL
+            ), nt AS (
+                SELECT doc_id, list_distinct(
+                    CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                         ELSE list_transform(range(1, len(w) - 1),
+                              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                    END) AS sh
+                FROM (SELECT doc_id,
+                             list_filter(
+                                 string_split_regex(
+                                     regexp_replace(text, '^\\s+|\\s+$', '', 'g'),
+                                     '\\s+'),
+                                 x -> x <> '') AS w
+                      FROM nrest)
+            ), ct AS (
+                SELECT match_id, list_distinct(
+                    CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                         ELSE list_transform(range(1, len(w) - 1),
+                              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                    END) AS sh
+                FROM (SELECT match_id,
+                             list_filter(
+                                 string_split_regex(
+                                     regexp_replace(text, '^\\s+|\\s+$', '', 'g'),
+                                     '\\s+'),
+                                 x -> x <> '') AS w
+                      FROM crep)
+            ), near AS (
+                SELECT a.doc_id, b.match_id,
+                       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                             / greatest(len(a.sh) + len(b.sh)
+                                        - len(list_intersect(a.sh, b.sh)), 1),
+                             6) AS jaccard,
+                       'near' AS kind
+                FROM nt a CROSS JOIN ct b
+                WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                      / greatest(len(a.sh) + len(b.sh)
+                                 - len(list_intersect(a.sh, b.sh)), 1) >= 0.5
+            )
+            SELECT * FROM exact UNION ALL SELECT * FROM near
+        """,
         "d_dedup_clusters": """
             WITH RECURSIVE reps AS (
                 SELECT md5(text) AS h, min(doc_id) AS rep, min(text) AS text

@@ -277,6 +277,78 @@ def neardup_verified(
     )
 
 
+def neardup_against(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental near-dup: match NEW docs against an EXISTING corpus ->
+    (doc_id, match_id, jaccard, kind) — kind is 'exact' (byte-identical
+    text, jaccard pinned 1.0) or 'near' (word-3-gram Jaccard >= threshold
+    vs a corpus exact-dup representative).
+
+    The daily-delta shape at 100 TB: a crawl increment dedups against the
+    historical index WITHOUT any corpus self-join. Exact matches are one
+    md5 equi-join (no shingling); only the remaining new docs band, and
+    the corpus side bands its exact-dup REPRESENTATIVES once (in
+    production these band rows are the stored index — 32 small rows per
+    distinct content). Candidates come from a band-key equi-join (never
+    all-pairs); exact Jaccard verification touches candidate docs only,
+    with the token array projected before the shingle lambda (the no-CSE
+    rule)."""
+    new_h = new_docs.select(
+        "doc_id", F.md5(F.col(text_col)).alias("_h"), F.col(text_col)
+    )
+    corp_rep = corpus.groupBy(F.md5(F.col(text_col)).alias("_h")).agg(
+        F.min("doc_id").alias("match_id"),
+        F.first(text_col).alias(text_col),
+    )
+    exact = new_h.join(corp_rep.select("_h", "match_id"), "_h").select(
+        "doc_id",
+        "match_id",
+        F.lit(1.0).alias("jaccard"),
+        F.lit("exact").alias("kind"),
+    )
+    new_rest = new_h.join(
+        corp_rep.select("_h"), "_h", "left_anti"
+    ).select("doc_id", text_col)
+    nb = minhash_bands(new_rest, text_col)
+    cb = minhash_bands(
+        corp_rep.select(F.col("match_id").alias("doc_id"), F.col(text_col)),
+        text_col,
+    ).select(F.col("doc_id").alias("match_id"), "band_key")
+    cands = cut_lineage(
+        nb.join(cb, "band_key").select("doc_id", "match_id").distinct()
+    )
+    n_sh = (
+        new_rest.join(
+            cands.select("doc_id").distinct(), "doc_id", "left_semi"
+        )
+        .select(F.col("doc_id"), _ws_tokens(F.col(text_col)).alias("_toks"))
+        .select(F.col("doc_id"), _shingles3(F.col("_toks")).alias("sh_a"))
+    )
+    c_sh = (
+        corp_rep.select(F.col("match_id"), F.col(text_col))
+        .join(cands.select("match_id").distinct(), "match_id", "left_semi")
+        .select(F.col("match_id"), _ws_tokens(F.col(text_col)).alias("_toks"))
+        .select(F.col("match_id"), _shingles3(F.col("_toks")).alias("sh_b"))
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    near = (
+        cands.join(n_sh, "doc_id")
+        .join(c_sh, "match_id")
+        .withColumn(
+            "jaccard",
+            F.round(inter.cast("double") / F.greatest(union, F.lit(1)), 6),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_id", "match_id", "jaccard", F.lit("near").alias("kind"))
+    )
+    return exact.unionByName(near)
+
+
 def dedup_clusters(
     docs: DataFrame, threshold: float = 0.5, text_col: str = "text"
 ) -> DataFrame:

@@ -173,6 +173,32 @@ class TestDedup:
         # the chain 1-2-3-4 collapsed into one cluster rooted at 1
         assert want[4] == 1 and len(set(want.values())) == 2
 
+    def test_neardup_against_corpus(self, spark):
+        """Delta-vs-corpus dedup: exact matches ride the md5 fast path
+        (jaccard pinned 1.0), near matches verify against corpus
+        REPRESENTATIVES only, clean docs match nothing — and the corpus is
+        never self-joined."""
+        base = "the quick brown fox jumps over the lazy dog " * 8
+        corpus = spark.createDataFrame(
+            [(10, base), (11, base),              # exact-dup group, rep=10
+             (12, "totally different corpus words " + "filler " * 10)],
+            "doc_id long, text string",
+        )
+        new = spark.createDataFrame(
+            [(100, base),                          # exact match -> 10
+             (101, base + "extra tail words here"),  # near match -> 10
+             (102, "fresh unique content " + "never seen " * 10)],
+            "doc_id long, text string",
+        )
+        got = {
+            (r["doc_id"], r["match_id"]): (r["kind"], r["jaccard"])
+            for r in dd.neardup_against(new, corpus, threshold=0.5).collect()
+        }
+        assert got[(100, 10)] == ("exact", 1.0)
+        kind, jac = got[(101, 10)]
+        assert kind == "near" and 0.5 <= jac < 1.0
+        assert len(got) == 2  # doc 102 matches nothing; 11 never a match_id
+
     def test_minhash_batch_matches_single(self):
         from chunksilo_spark.functions.minhash import (
             minhash_signature,
