@@ -62,6 +62,34 @@ def test_pagerank_reliable_matches_local(spark, tmp_path):
         assert got[v] == pytest.approx(want[v], abs=1e-12), v
 
 
+def test_pipeline_increment_under_reliable_checkpoints(spark, tmp_path):
+    """The full incremental DAG (stage-1 extract, linker, canon CC, change
+    log — several cut_lineage sites deep) run in reliable-checkpoint mode
+    must reproduce the default-mode tables: the mode composes through the
+    whole pipeline, not just the isolated graph loops."""
+    from chunksilo_spark.plans.pipeline import apply_increment, run_pipeline
+    from chunksilo_spark.sources.corpus import aliases_df, pages_df
+
+    aliases = aliases_df(spark)
+    v1 = pages_df(spark, 30, partitions=2)
+    v2 = pages_df(spark, 40, partitions=2)
+
+    state_default = str(tmp_path / "default")
+    run_pipeline(spark, v1, aliases, state_default, fingerprint="v1")
+    want = apply_increment(spark, v2, aliases, state_default, fingerprint="v2")
+
+    state_reliable = str(tmp_path / "reliable")
+    with _with_checkpoint_dir(spark, str(tmp_path / "ckpt_pipe")):
+        run_pipeline(spark, v1, aliases, state_reliable, fingerprint="v1")
+        got = apply_increment(
+            spark, v2, aliases, state_reliable, fingerprint="v2"
+        )
+    for table in ("documents", "triples", "nodes", "edges"):
+        a = sorted((tuple(r) for r in got[table].collect()), key=repr)
+        b = sorted((tuple(r) for r in want[table].collect()), key=repr)
+        assert a == b, table
+
+
 def test_components_reliable_matches_local(spark, tmp_path):
     edges = spark.createDataFrame(EDGES, "src long, dst long")
     want = {
