@@ -57,6 +57,10 @@ CAPTURE = [
      "scale) would route through the salted skew_prefilter first"),
     ("t_unigram_lm", "vocab table joins back as BroadcastHashJoin — the "
      "per-doc scoring pass is map-side, only the unigram count shuffles"),
+    ("d_dedup_clusters", "components run on the (checkpointed) pair graph "
+     "only; cluster labels join back to the corpus as a broadcast"),
+    ("d_neardup_incremental", "md5 equi-join fast path + band-key equi-join "
+     "of new-side bands vs corpus rep bands — no corpus self-join"),
 ]
 
 
