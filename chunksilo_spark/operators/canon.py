@@ -123,6 +123,7 @@ def verify_pairs(
 def connected_components(
     vertices: DataFrame, edges: DataFrame, max_iter: int = 20,
     partitions: int = 16,
+    strict: bool = False,
 ) -> DataFrame:
     """Min-label propagation -> (nid, component) with component = min nid.
 
@@ -137,6 +138,13 @@ def connected_components(
     cluster: entity-dictionary graphs are orders of magnitude smaller than
     the corpus, and over-parallelizing the tiny iterative joins just buys
     scheduler overhead. Scale it up with the surface count (e.g. n/100k).
+
+    ``strict=True`` RAISES if labels have not converged after ``max_iter``
+    rounds instead of silently returning partial components — required by
+    callers whose graphs can have long chains (dedup clusters of
+    incrementally-edited documents have diameter ~chain length, unlike the
+    star-shaped alias clusters this default was tuned for; each round
+    propagates 2 hops, so size max_iter >= diameter/2).
     """
     sym = cut_lineage(
         edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
@@ -171,6 +179,13 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        if strict:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} "
+                f"rounds ({2 * max_iter} propagation hops) — the graph has "
+                f"a component of diameter > {2 * max_iter}; raise max_iter"
+            )
     return labels
 
 

@@ -277,6 +277,19 @@ def neardup_verified(
     )
 
 
+def rep_id_map(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(_h, rep): min doc_id per md5(text) group — THE exact-dup collapse
+    rule (first-seen/min-id-wins, same pin as ``exact_dedup`` /
+    ``exact_dup_representatives``; edit all in lockstep). Shuffles only
+    (hash, id) pairs — text never enters the exchange — so it is the cheap
+    way to key corpus-scale relations by content identity."""
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("_h"), "doc_id")
+        .groupBy("_h")
+        .agg(F.min("doc_id").alias("rep"))
+    )
+
+
 def neardup_against(
     new_docs: DataFrame,
     corpus: DataFrame,
@@ -296,28 +309,43 @@ def neardup_against(
     distinct content). Candidates come from a band-key equi-join (never
     all-pairs); exact Jaccard verification touches candidate docs only,
     with the token array projected before the shingle lambda (the no-CSE
-    rule)."""
+    rule).
+
+    Plan shape: the content-identity map (``rep_id_map``) is the one
+    relation consumed everywhere, so it is lineage-cut — the corpus md5
+    groupBy runs ONCE and shuffles no text; representative TEXTS come from
+    a semi-join of the corpus against the map's ids (scan + join, no
+    corpus-text shuffle at all). Band inputs are explicitly repartitioned
+    — the groupBy/join outputs otherwise AQE-coalesce to few tasks and
+    serialize the python-heavy signature stage (the minhash_lsh_pairs
+    lesson)."""
+    n_part = int(
+        new_docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    corp_map = cut_lineage(
+        rep_id_map(corpus, text_col).withColumnRenamed("rep", "match_id")
+    )
     new_h = new_docs.select(
         "doc_id", F.md5(F.col(text_col)).alias("_h"), F.col(text_col)
     )
-    corp_rep = corpus.groupBy(F.md5(F.col(text_col)).alias("_h")).agg(
-        F.min("doc_id").alias("match_id"),
-        F.first(text_col).alias(text_col),
-    )
-    exact = new_h.join(corp_rep.select("_h", "match_id"), "_h").select(
+    exact = new_h.join(corp_map, "_h").select(
         "doc_id",
         "match_id",
         F.lit(1.0).alias("jaccard"),
         F.lit("exact").alias("kind"),
     )
     new_rest = new_h.join(
-        corp_rep.select("_h"), "_h", "left_anti"
+        corp_map.select("_h"), "_h", "left_anti"
     ).select("doc_id", text_col)
-    nb = minhash_bands(new_rest, text_col)
-    cb = minhash_bands(
-        corp_rep.select(F.col("match_id").alias("doc_id"), F.col(text_col)),
-        text_col,
-    ).select(F.col("doc_id").alias("match_id"), "band_key")
+    rep_docs = corpus.select("doc_id", text_col).join(
+        corp_map.select(F.col("match_id").alias("doc_id")),
+        "doc_id",
+        "left_semi",
+    )
+    nb = minhash_bands(new_rest.repartition(n_part), text_col)
+    cb = minhash_bands(rep_docs.repartition(n_part), text_col).select(
+        F.col("doc_id").alias("match_id"), "band_key"
+    )
     cands = cut_lineage(
         nb.join(cb, "band_key").select("doc_id", "match_id").distinct()
     )
@@ -329,7 +357,7 @@ def neardup_against(
         .select(F.col("doc_id"), _shingles3(F.col("_toks")).alias("sh_a"))
     )
     c_sh = (
-        corp_rep.select(F.col("match_id"), F.col(text_col))
+        rep_docs.select(F.col("doc_id").alias("match_id"), F.col(text_col))
         .join(cands.select("match_id").distinct(), "match_id", "left_semi")
         .select(F.col("match_id"), _ws_tokens(F.col(text_col)).alias("_toks"))
         .select(F.col("match_id"), _shingles3(F.col("_toks")).alias("sh_b"))
@@ -374,12 +402,7 @@ def dedup_clusters(
 
     doc_rep = docs.select(
         F.col("doc_id"), F.md5(F.col(text_col)).alias("_h")
-    ).join(
-        docs.groupBy(F.md5(F.col(text_col)).alias("_h")).agg(
-            F.min("doc_id").alias("rep")
-        ),
-        "_h",
-    ).select("doc_id", "rep")
+    ).join(rep_id_map(docs, text_col), "_h").select("doc_id", "rep")
     pairs = neardup_verified(docs, threshold, text_col).select(
         F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
     )
@@ -388,7 +411,12 @@ def dedup_clusters(
         .unionByName(pairs.select(F.col("b").alias("nid")))
         .distinct()
     )
-    labels = connected_components(verts, pairs)
+    # strict: near-dup graphs can carry long CHAINS (a doc edited
+    # incrementally, each version similar to its neighbor) — unlike the
+    # star-shaped alias clusters CC's default was tuned for, so silent
+    # non-convergence would split one true cluster into several. 100
+    # rounds = diameter 200; beyond that we want the loud failure.
+    labels = connected_components(verts, pairs, max_iter=100, strict=True)
     return (
         doc_rep.join(labels, doc_rep["rep"] == labels["nid"], "left")
         .select(

@@ -270,7 +270,9 @@ def two_hop_counts(edges: DataFrame, sources: DataFrame) -> DataFrame:
     )
 
 
-def weak_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+def weak_components(
+    edges: DataFrame, max_iter: int = 20, strict: bool = False
+) -> DataFrame:
     """Weakly-connected components of a (src, dst) long-id edge set ->
     (node, component) with component = min member id.
 
@@ -288,9 +290,9 @@ def weak_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         .union(e.select(F.col("b").alias("nid")))
         .distinct()
     )
-    return connected_components(vertices, e, max_iter=max_iter).select(
-        F.col("nid").alias("node"), "component"
-    )
+    return connected_components(
+        vertices, e, max_iter=max_iter, strict=strict
+    ).select(F.col("nid").alias("node"), "component")
 
 
 def rank_topk(ranks: DataFrame, k: int) -> DataFrame:

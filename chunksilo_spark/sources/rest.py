@@ -102,8 +102,11 @@ def fetch_pages(
                     # the cap applies only to CONTINUING pagination: a unit
                     # whose final page lands exactly on the cap (cursor is
                     # None) has legitimately finished — its rows must be
-                    # yielded and the loop breaks below, not raise
-                    if cursor is not None and rounds >= max_rounds_per_unit:
+                    # yielded and the loop breaks below, not raise. Strictly
+                    # greater: a client that terminates with a trailing
+                    # ([], None) sentinel gets its full max_rounds of data
+                    # pages (the cap fires on round max+1 at the earliest)
+                    if cursor is not None and rounds > max_rounds_per_unit:
                         raise RuntimeError(
                             f"rest connector: unit {unit!r} exceeded "
                             f"{max_rounds_per_unit} pagination rounds — "

@@ -319,6 +319,26 @@ class TestHubSkew:
         assert top["node"] == self._nid(10**9)
 
 
+class TestComponentsStrict:
+    # path graph 0-1-2-...-6: diameter 6, so max_iter=1 (2 hops) cannot
+    # converge — strict mode must raise instead of silently returning
+    # split components (the long-chain dedup hazard)
+    CHAIN = [(i, i + 1) for i in range(6)]
+
+    def test_strict_raises_on_non_convergence(self, spark):
+        edges = spark.createDataFrame(self.CHAIN, "src long, dst long")
+        with pytest.raises(Exception, match="did not converge"):
+            G.weak_components(edges, max_iter=1, strict=True).collect()
+
+    def test_enough_rounds_converges_strict(self, spark):
+        edges = spark.createDataFrame(self.CHAIN, "src long, dst long")
+        got = {
+            r["node"]: r["component"]
+            for r in G.weak_components(edges, max_iter=4, strict=True).collect()
+        }
+        assert got == {i: 0 for i in range(7)}
+
+
 class TestCorpusLinkGraph:
     N = 60
 
