@@ -52,6 +52,8 @@ HEADLINE = [
     "s_knn_lsh",
     "s_knn_ivf",
     "d_neardup_verified",
+    "d_dedup_clusters",
+    "d_neardup_incremental",
     "d_contamination",
     "incr_change_detect",
 ]
