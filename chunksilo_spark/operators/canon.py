@@ -143,8 +143,12 @@ def connected_components(
     rounds instead of silently returning partial components — required by
     callers whose graphs can have long chains (dedup clusters of
     incrementally-edited documents have diameter ~chain length, unlike the
-    star-shaped alias clusters this default was tuned for; each round
-    propagates 2 hops, so size max_iter >= diameter/2).
+    star-shaped alias clusters this default was tuned for). Each round
+    propagates 2 hops, so ``max_iter >= ceil(diameter/2)`` suffices:
+    convergence exactly at the boundary round is detected by ONE extra
+    single-hop probe (the in-loop check needs a change-free round, which a
+    boundary convergence never gets), so strict mode raises only on
+    genuine non-convergence.
     """
     sym = cut_lineage(
         edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
@@ -181,11 +185,23 @@ def connected_components(
             break
     else:
         if strict:
-            raise RuntimeError(
-                f"connected_components did not converge in {max_iter} "
-                f"rounds ({2 * max_iter} propagation hops) — the graph has "
-                f"a component of diameter > {2 * max_iter}; raise max_iter"
+            # the loop's change check trails by one round: labels that
+            # converged exactly at round max_iter still report changed > 0
+            # (they improved INTO the fixpoint). One single-hop probe
+            # settles it — a fixpoint is unchanged under one more step.
+            probe_changed = (
+                step(labels).alias("n")
+                .join(labels.alias("o"), "nid")
+                .where(F.col("n.component") < F.col("o.component"))
+                .count()
             )
+            if probe_changed > 0:
+                raise RuntimeError(
+                    f"connected_components did not converge in {max_iter} "
+                    f"rounds ({2 * max_iter} propagation hops) — a "
+                    f"component has diameter > {2 * max_iter}; raise "
+                    f"max_iter"
+                )
     return labels
 
 

@@ -41,16 +41,28 @@ from ..functions.minhash import (
 # exact
 
 
-def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Groups of byte-identical texts: (text_md5, n_docs, keep_doc_id).
+def content_key(text_col: str) -> "F.Column":
+    """THE content-identity key: md5 of the raw text. Every exact-dup
+    collapse in this module groups by this expression."""
+    return F.md5(F.col(text_col))
 
-    keep_doc_id = min doc_id (first-seen-wins analog, reference
-    index.py:1011-1020 overlapping-mount dedup)."""
+
+def rep_pick() -> "F.Column":
+    """THE survivor rule: min doc_id per content group (first-seen-wins
+    analog, reference index.py:1011-1020 overlapping-mount dedup). Pinned
+    once — exact_dedup, exact_dup_representatives, rep_id_map and
+    neardup_against all build on this exact aggregate, so a future change
+    to the rule edits one expression."""
+    return F.min("doc_id")
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical texts: (text_md5, n_docs, keep_doc_id)."""
     return (
-        docs.groupBy(F.md5(F.col(text_col)).alias("text_md5"))
+        docs.groupBy(content_key(text_col).alias("text_md5"))
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.min("doc_id").alias("keep_doc_id"),
+            rep_pick().alias("keep_doc_id"),
         )
     )
 
@@ -138,9 +150,9 @@ def exact_dup_representatives(
     carries ~one text per distinct content per input partition, not the
     whole corpus."""
     return (
-        docs.groupBy(F.md5(F.col(text_col)).alias("text_md5"))
+        docs.groupBy(content_key(text_col).alias("text_md5"))
         .agg(
-            F.min("doc_id").alias("doc_id"),
+            rep_pick().alias("doc_id"),
             F.first(text_col).alias(text_col),  # all texts in group identical
         )
         .select("doc_id", text_col)
@@ -278,15 +290,15 @@ def neardup_verified(
 
 
 def rep_id_map(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(_h, rep): min doc_id per md5(text) group — THE exact-dup collapse
-    rule (first-seen/min-id-wins, same pin as ``exact_dedup`` /
-    ``exact_dup_representatives``; edit all in lockstep). Shuffles only
-    (hash, id) pairs — text never enters the exchange — so it is the cheap
-    way to key corpus-scale relations by content identity."""
+    """(_h, rep): the content-identity map — ``rep_pick`` per
+    ``content_key`` group (the shared pin). Shuffles only (hash, id)
+    pairs — text never enters the exchange — so it is the cheap way to
+    key corpus-scale relations by content identity when the text itself
+    is not needed downstream."""
     return (
-        docs.select(F.md5(F.col(text_col)).alias("_h"), "doc_id")
+        docs.select(content_key(text_col).alias("_h"), "doc_id")
         .groupBy("_h")
-        .agg(F.min("doc_id").alias("rep"))
+        .agg(rep_pick().alias("rep"))
     )
 
 
@@ -311,22 +323,30 @@ def neardup_against(
     with the token array projected before the shingle lambda (the no-CSE
     rule).
 
-    Plan shape: the content-identity map (``rep_id_map``) is the one
-    relation consumed everywhere, so it is lineage-cut — the corpus md5
-    groupBy runs ONCE and shuffles no text; representative TEXTS come from
-    a semi-join of the corpus against the map's ids (scan + join, no
-    corpus-text shuffle at all). Band inputs are explicitly repartitioned
-    — the groupBy/join outputs otherwise AQE-coalesce to few tasks and
+    Plan shape: the corpus collapse runs ONCE — a map-side-combined
+    groupBy carrying (hash, rep id, one text per distinct content) — and
+    is lineage-cut, so ALL its consumers (the exact equi-join, the
+    left_anti routing, the corpus-side banding, and the candidate shingle
+    side) read the materialized representatives rather than re-running
+    the corpus scan+shuffle. Band inputs are explicitly repartitioned —
+    the groupBy/join outputs otherwise AQE-coalesce to few tasks and
     serialize the python-heavy signature stage (the minhash_lsh_pairs
     lesson)."""
     n_part = int(
         new_docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
     )
-    corp_map = cut_lineage(
-        rep_id_map(corpus, text_col).withColumnRenamed("rep", "match_id")
+    reps_full = cut_lineage(
+        corpus.groupBy(content_key(text_col).alias("_h")).agg(
+            rep_pick().alias("match_id"),
+            F.first(text_col).alias(text_col),  # identical within group
+        )
+    )
+    corp_map = reps_full.select("_h", "match_id")
+    rep_docs = reps_full.select(
+        F.col("match_id").alias("doc_id"), F.col(text_col)
     )
     new_h = new_docs.select(
-        "doc_id", F.md5(F.col(text_col)).alias("_h"), F.col(text_col)
+        "doc_id", content_key(text_col).alias("_h"), F.col(text_col)
     )
     exact = new_h.join(corp_map, "_h").select(
         "doc_id",
@@ -337,11 +357,6 @@ def neardup_against(
     new_rest = new_h.join(
         corp_map.select("_h"), "_h", "left_anti"
     ).select("doc_id", text_col)
-    rep_docs = corpus.select("doc_id", text_col).join(
-        corp_map.select(F.col("match_id").alias("doc_id")),
-        "doc_id",
-        "left_semi",
-    )
     nb = minhash_bands(new_rest.repartition(n_part), text_col)
     cb = minhash_bands(rep_docs.repartition(n_part), text_col).select(
         F.col("doc_id").alias("match_id"), "band_key"
@@ -415,7 +430,8 @@ def dedup_clusters(
     # incrementally, each version similar to its neighbor) — unlike the
     # star-shaped alias clusters CC's default was tuned for, so silent
     # non-convergence would split one true cluster into several. 100
-    # rounds = diameter 200; beyond that we want the loud failure.
+    # rounds covers diameter <= 200 (boundary convergence is probe-
+    # verified, not spuriously failed); beyond that, the loud failure.
     labels = connected_components(verts, pairs, max_iter=100, strict=True)
     return (
         doc_rep.join(labels, doc_rep["rep"] == labels["nid"], "left")

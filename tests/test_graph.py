@@ -330,6 +330,17 @@ class TestComponentsStrict:
         with pytest.raises(Exception, match="did not converge"):
             G.weak_components(edges, max_iter=1, strict=True).collect()
 
+    def test_boundary_convergence_is_not_a_false_positive(self, spark):
+        # diameter 6, max_iter=3 (exactly ceil(diameter/2)): labels converge
+        # IN the final round, so the in-loop change check still reads
+        # changed > 0 — the single-hop probe must accept, not raise
+        edges = spark.createDataFrame(self.CHAIN, "src long, dst long")
+        got = {
+            r["node"]: r["component"]
+            for r in G.weak_components(edges, max_iter=3, strict=True).collect()
+        }
+        assert got == {i: 0 for i in range(7)}
+
     def test_enough_rounds_converges_strict(self, spark):
         edges = spark.createDataFrame(self.CHAIN, "src long, dst long")
         got = {
