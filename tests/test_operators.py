@@ -199,6 +199,18 @@ class TestDedup:
         assert kind == "near" and 0.5 <= jac < 1.0
         assert len(got) == 2  # doc 102 matches nothing; 11 never a match_id
 
+    def test_new_ops_on_empty_inputs(self, spark):
+        empty = spark.createDataFrame([], "doc_id long, text string")
+        docs = spark.createDataFrame(
+            [(1, "some words here " * 5)], "doc_id long, text string"
+        )
+        assert dd.dedup_clusters(empty).count() == 0
+        assert dd.neardup_against(empty, docs).count() == 0
+        assert dd.neardup_against(docs, empty).count() == 0
+        # a corpus with no dups: everyone is their own survivor
+        row = dd.dedup_clusters(docs).collect()[0]
+        assert (row["cluster_id"], row["is_survivor"]) == (1, True)
+
     def test_minhash_batch_matches_single(self):
         from chunksilo_spark.functions.minhash import (
             minhash_signature,
