@@ -94,3 +94,89 @@ def test_extras_provenance_flows_to_documents(spark, tmp_path):
     assert "extras" not in plain.columns
     got = extract_documents(plain, 1).select("extras").collect()
     assert all(r["extras"] is not None for r in got)
+
+
+class TestWarcReader:
+    """WARC response records (the Common Crawl interchange) -> pages:
+    round-trip a deterministically-built archive (plain + multi-member
+    gzip), skip warcinfo/malformed records, feed stage 1."""
+
+    @staticmethod
+    def _warc_record(rtype, uri, date, body, rec_id="<urn:uuid:x>"):
+        http = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+        headers = [b"WARC/1.0", b"WARC-Type: " + rtype]
+        if uri:
+            headers.append(b"WARC-Target-URI: " + uri)
+        headers += [
+            b"WARC-Date: " + date,
+            b"WARC-Record-ID: " + rec_id.encode(),
+            b"Content-Length: " + str(len(http)).encode(),
+        ]
+        return b"\r\n".join(headers) + b"\r\n\r\n" + http + b"\r\n\r\n"
+
+    def _build(self):
+        from chunksilo_spark.sources.corpus import build_entity_pool, generate_page
+
+        pool = build_entity_pool()
+        pages = [generate_page(i, pool) for i in range(12)]
+        blob = self._warc_record(  # warcinfo: must be skipped
+            b"warcinfo", None, b"2024-01-01T00:00:00Z", b"software: test"
+        )
+        for i, p in enumerate(pages):
+            blob += self._warc_record(
+                b"response",
+                p["url"].encode(),
+                b"2024-03-05T12:30:0%d" % (i % 10) + b"Z",
+                p["html"],
+                f"<urn:uuid:{i}>",
+            )
+        blob += b"WARC/1.0\r\nWARC-Type: response\r\ntruncated garbage"
+        return pages, blob
+
+    def test_plain_and_gzip_roundtrip(self, spark, tmp_path):
+        import gzip
+
+        from chunksilo_spark.sources.readers import (
+            parse_warc_records,
+            read_warc_pages,
+        )
+
+        pages, blob = self._build()
+        plain_dir = tmp_path / "warc_plain"
+        plain_dir.mkdir()
+        (plain_dir / "shard-00000.warc").write_bytes(blob)
+        gz_dir = tmp_path / "warc_gz"
+        gz_dir.mkdir()
+        # multi-member gzip, like Common Crawl's per-record compression
+        half = len(blob) // 2
+        (gz_dir / "shard-00000.warc.gz").write_bytes(
+            gzip.compress(blob[:half]) + gzip.compress(blob[half:])
+        )
+
+        want = {
+            uri: body for uri, _d, body, _r in parse_warc_records(blob)
+        }
+        assert len(want) == 12  # oracle itself sees all responses
+
+        for d in (plain_dir, gz_dir):
+            got = {
+                r["url"]: bytes(r["html"])
+                for r in read_warc_pages(spark, str(d)).collect()
+            }
+            assert got == want, d
+        rows = read_warc_pages(spark, str(plain_dir)).collect()
+        one = rows[0]
+        assert one["warc_ts"] is not None
+        assert one["extras"]["source_format"] == "warc"
+        assert one["extras"]["warc_record_id"].startswith("<urn:uuid:")
+
+    def test_flows_into_stage1(self, spark, tmp_path):
+        from chunksilo_spark.sources.readers import read_warc_pages
+
+        _pages, blob = self._build()
+        d = tmp_path / "warc_s1"
+        d.mkdir()
+        (d / "a.warc").write_bytes(blob)
+        docs = extract_documents(read_warc_pages(spark, str(d)), 2)
+        ok = docs.where("ok").count()
+        assert ok >= 10  # quarantine rows excepted, extraction runs
