@@ -416,7 +416,7 @@ def dedup_clusters(
     from .canon import connected_components
 
     doc_rep = docs.select(
-        F.col("doc_id"), F.md5(F.col(text_col)).alias("_h")
+        F.col("doc_id"), content_key(text_col).alias("_h")
     ).join(rep_id_map(docs, text_col), "_h").select("doc_id", "rep")
     pairs = neardup_verified(docs, threshold, text_col).select(
         F.col("doc_a").alias("a"), F.col("doc_b").alias("b")

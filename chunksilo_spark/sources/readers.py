@@ -84,62 +84,155 @@ PAGES_SCHEMA = (
 )
 
 
+def _dechunk(body: bytes) -> bytes | None:
+    """Decode HTTP/1.1 chunked transfer framing; None on malformed."""
+    out = []
+    pos = 0
+    while True:
+        eol = body.find(b"\r\n", pos)
+        if eol < 0:
+            return None
+        try:
+            size = int(body[pos:eol].split(b";")[0], 16)
+        except ValueError:
+            return None
+        if size == 0:
+            return b"".join(out)
+        start = eol + 2
+        end = start + size
+        if end > len(body):
+            return None
+        out.append(body[start:end])
+        pos = end + 2  # skip the chunk's trailing CRLF
+
+
 def parse_warc_records(data: bytes):
-    """Yield (uri, iso_date, body_bytes, record_id) for every WARC/1.0
-    ``response`` record in ``data``; malformed records are skipped
-    (convert-or-skip — a truncated tail must not kill the shard). Pure
-    function so the pytest oracle parses the same bytes the UDF does."""
+    """Yield (uri, iso_date, body_bytes, record_id, http_status) for every
+    WARC ``response`` record in ``data``.
+
+    Accepts WARC/1.0 and WARC/1.1 version lines and case-insensitive
+    record types. Bodies are HTTP-decoded: chunked transfer framing is
+    removed and Content-Encoding gzip/x-gzip is decompressed. Records are
+    SKIPPED (convert-or-skip — a bad record or truncated tail must not
+    kill the shard) when: Content-Length is missing/invalid, the declared
+    length runs past end-of-data (truncated shard), the chunked framing
+    or gzip body is malformed, or WARC-Target-URI/WARC-Date are absent.
+    Angle-bracket URI wrapping (<https://...>, the WARC/1.0 ABNF form) is
+    stripped. Resync after a record with a bad header block is heuristic
+    (scan for the next version marker) — bytes inside an unconsumed
+    payload could in principle fabricate a record, which the
+    Content-Length bounds check above makes harmless-but-skippable.
+    Pure function so the pytest oracle parses the same bytes the UDF
+    does."""
+    import gzip as _gzip
+
     pos = 0
     n = len(data)
     while pos < n:
-        start = data.find(b"WARC/1.0\r\n", pos)
+        start = data.find(b"WARC/1.", pos)
         if start < 0:
+            return
+        ver_eol = data.find(b"\r\n", start)
+        if ver_eol < 0:
             return
         head_end = data.find(b"\r\n\r\n", start)
         if head_end < 0:
             return
         headers = {}
-        for line in data[start + 10:head_end].split(b"\r\n"):
-            k, _, v = line.partition(b":")
-            if _:
+        for line in data[ver_eol + 2:head_end].split(b"\r\n"):
+            k, sep, v = line.partition(b":")
+            if sep:
                 headers[k.strip().lower()] = v.strip()
         try:
             length = int(headers[b"content-length"])
         except (KeyError, ValueError):
-            pos = head_end + 4  # resync at the next record marker
+            pos = head_end + 4  # resync at the next version marker
             continue
-        payload = data[head_end + 4:head_end + 4 + length]
-        pos = head_end + 4 + length
-        if headers.get(b"warc-type") != b"response":
+        payload_start = head_end + 4
+        if payload_start + length > n:
+            return  # truncated shard tail: skip, never emit a partial body
+        payload = data[payload_start:payload_start + length]
+        pos = payload_start + length
+        if headers.get(b"warc-type", b"").lower() != b"response":
             continue
-        uri = headers.get(b"warc-target-uri")
+        uri = headers.get(b"warc-target-uri", b"").strip(b"<>")
         date = headers.get(b"warc-date")
         if not uri or not date:
             continue
         # payload = HTTP response: status line + headers, blank line, body
         http_end = payload.find(b"\r\n\r\n")
-        body = payload[http_end + 4:] if http_end >= 0 else payload
+        if http_end < 0:
+            continue
+        http_head = payload[:http_end]
+        body = payload[http_end + 4:]
+        status_line = http_head.split(b"\r\n", 1)[0]
+        parts = status_line.split()
+        status = parts[1].decode("ascii", "replace") if len(parts) > 1 else ""
+        hh = {}
+        for line in http_head.split(b"\r\n")[1:]:
+            k, sep, v = line.partition(b":")
+            if sep:
+                hh[k.strip().lower()] = v.strip().lower()
+        if b"chunked" in hh.get(b"transfer-encoding", b""):
+            body = _dechunk(body)
+            if body is None:
+                continue
+        if hh.get(b"content-encoding") in (b"gzip", b"x-gzip"):
+            try:
+                body = _gzip.decompress(body)
+            except OSError:
+                continue
         yield (
             uri.decode("utf-8", "replace"),
             date.decode("ascii", "replace"),
             body,
             headers.get(b"warc-record-id", b"").decode("ascii", "replace"),
+            status,
         )
 
 
-def read_warc_pages(spark: SparkSession, path: str) -> DataFrame:
+def read_warc_pages(
+    spark: SparkSession,
+    path: str,
+    statuses: tuple[str, ...] = ("200",),
+    batch_rows: int = 2000,
+) -> DataFrame:
     """WARC archives -> pages. One task per file (``binaryFile`` — a
     Common Crawl shard is ~1 GB and gzip members can't be split mid-file
     anyway; parallelism comes from the tens of thousands of shards per
     crawl). ``.gz`` files are decompressed with multi-member gzip (the CC
-    per-record-gzip layout). text/lang are null — stage 1 derives them."""
+    per-record-gzip layout). text/lang are null — stage 1 derives them.
+
+    Only responses whose HTTP status is in ``statuses`` (default: 200)
+    become pages — 3xx redirect stubs and 4xx/5xx error boilerplate would
+    otherwise pollute the corpus and form giant near-dup clusters; the
+    status rides in ``extras['http_status']`` regardless. Rows are
+    yielded in ``batch_rows`` chunks so worker memory holds one batch of
+    bodies, not a whole decompressed shard's worth, on top of the shard
+    bytes themselves. Timestamps are parsed tz-aware UTC (WARC-Date is
+    always Zulu) so the stored instant is correct under ANY Spark session
+    timezone — a naive datetime would be reinterpreted in session-local
+    time."""
     import datetime as dt
-    import gzip
     from typing import Iterator
 
     import pandas as pd
 
+    def flush(rows):
+        return pd.DataFrame(
+            {
+                "url": rows["url"],
+                "warc_ts": pd.to_datetime(rows["warc_ts"], utc=True),
+                "html": rows["html"],
+                "text": [None] * len(rows["url"]),
+                "lang": [None] * len(rows["url"]),
+                "extras": rows["extras"],
+            }
+        )
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import gzip
+
         for pdf in batches:
             for fpath, blob in zip(pdf["path"], pdf["content"]):
                 data = bytes(blob)
@@ -149,11 +242,15 @@ def read_warc_pages(spark: SparkSession, path: str) -> DataFrame:
                     except OSError:
                         continue  # unreadable shard: skip, don't kill
                 rows = {"url": [], "warc_ts": [], "html": [], "extras": []}
-                for uri, date, body, rec_id in parse_warc_records(data):
+                for uri, date, body, rec_id, status in parse_warc_records(
+                    data
+                ):
+                    if status not in statuses:
+                        continue
                     try:
                         ts = dt.datetime.fromisoformat(
                             date.replace("Z", "+00:00")
-                        ).replace(tzinfo=None)
+                        ).astimezone(dt.timezone.utc)
                     except ValueError:
                         ts = None
                     rows["url"].append(uri)
@@ -164,19 +261,16 @@ def read_warc_pages(spark: SparkSession, path: str) -> DataFrame:
                             "source_format": "warc",
                             "warc_file": fpath,
                             "warc_record_id": rec_id,
+                            "http_status": status,
                         }
                     )
+                    if len(rows["url"]) >= batch_rows:
+                        yield flush(rows)
+                        rows = {
+                            "url": [], "warc_ts": [], "html": [], "extras": []
+                        }
                 if rows["url"]:
-                    yield pd.DataFrame(
-                        {
-                            "url": rows["url"],
-                            "warc_ts": rows["warc_ts"],
-                            "html": rows["html"],
-                            "text": [None] * len(rows["url"]),
-                            "lang": [None] * len(rows["url"]),
-                            "extras": rows["extras"],
-                        }
-                    )
+                    yield flush(rows)
 
     raw = spark.read.format("binaryFile").load(path)
     return raw.select("path", "content").mapInPandas(run, schema=PAGES_SCHEMA)

@@ -154,7 +154,8 @@ class TestWarcReader:
         )
 
         want = {
-            uri: body for uri, _d, body, _r in parse_warc_records(blob)
+            uri: body
+            for uri, _d, body, _r, _s in parse_warc_records(blob)
         }
         assert len(want) == 12  # oracle itself sees all responses
 
@@ -169,6 +170,71 @@ class TestWarcReader:
         assert one["warc_ts"] is not None
         assert one["extras"]["source_format"] == "warc"
         assert one["extras"]["warc_record_id"].startswith("<urn:uuid:")
+        assert one["extras"]["http_status"] == "200"
+        # WARC-Date is Zulu: the stored instant must be the UTC wall time
+        # regardless of session timezone handling on collect
+        by_url = {r["url"]: r for r in rows}
+        first = min(by_url)  # deterministic pick
+        assert by_url[first]["warc_ts"].year == 2024
+
+    def test_hardened_parsing(self, spark, tmp_path):
+        """WARC/1.1 version lines, bracketed URIs, chunked bodies, gzip
+        bodies, non-200 skip, truncated Content-Length skip."""
+        import gzip
+
+        from chunksilo_spark.sources.readers import parse_warc_records
+
+        def rec(uri, body, version=b"WARC/1.0", status=b"200 OK",
+                http_extra=b"", rtype=b"response"):
+            http = (b"HTTP/1.1 " + status + b"\r\n"
+                    b"Content-Type: text/html\r\n" + http_extra
+                    + b"\r\n" + body)
+            head = (version + b"\r\nWARC-Type: " + rtype
+                    + b"\r\nWARC-Target-URI: " + uri
+                    + b"\r\nWARC-Date: 2024-03-05T12:30:00Z"
+                    + b"\r\nContent-Length: " + str(len(http)).encode())
+            return head + b"\r\n\r\n" + http + b"\r\n\r\n"
+
+        chunked = b"5\r\n<p>ab\r\n4\r\ncd</\r\n2\r\np>\r\n0\r\n\r\n"
+        gz_body = gzip.compress(b"<p>zip body</p>")
+        blob = (
+            rec(b"https://a.example/one", b"<p>plain</p>", b"WARC/1.1")
+            + rec(b"<https://a.example/two>", b"<p>bracket</p>")
+            + rec(b"https://a.example/chunk", chunked,
+                  http_extra=b"Transfer-Encoding: chunked\r\n")
+            + rec(b"https://a.example/gz", gz_body,
+                  http_extra=b"Content-Encoding: gzip\r\n")
+            + rec(b"https://a.example/missing", b"<p>404 page</p>",
+                  status=b"404 Not Found")
+        )
+        # truncated tail: declared length runs past end of data
+        blob += (b"WARC/1.0\r\nWARC-Type: response\r\n"
+                 b"WARC-Target-URI: https://a.example/cut\r\n"
+                 b"WARC-Date: 2024-03-05T12:30:00Z\r\n"
+                 b"Content-Length: 99999\r\n\r\nHTTP/1.1 200 OK\r\n\r\nxx")
+
+        got = {
+            u: (body, status)
+            for u, _d, body, _r, status in parse_warc_records(blob)
+        }
+        assert got["https://a.example/one"][0] == b"<p>plain</p>"
+        assert got["https://a.example/two"][0] == b"<p>bracket</p>"  # stripped
+        assert got["https://a.example/chunk"][0] == b"<p>abcd</p>"
+        assert got["https://a.example/gz"][0] == b"<p>zip body</p>"
+        assert got["https://a.example/missing"][1] == "404"
+        assert "https://a.example/cut" not in got  # truncated: skipped
+
+        d = tmp_path / "warc_hard"
+        d.mkdir()
+        (d / "a.warc").write_bytes(blob)
+        from chunksilo_spark.sources.readers import read_warc_pages
+
+        urls = {r["url"] for r in read_warc_pages(spark, str(d)).collect()}
+        # the reader additionally drops the non-200 record
+        assert urls == {
+            "https://a.example/one", "https://a.example/two",
+            "https://a.example/chunk", "https://a.example/gz",
+        }
 
     def test_flows_into_stage1(self, spark, tmp_path):
         from chunksilo_spark.sources.readers import read_warc_pages
