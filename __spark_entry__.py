@@ -17,6 +17,7 @@ pytest P/R == 1.0 vs the golden corpus (tests/test_pipeline.py).
 from __future__ import annotations
 
 import math
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -558,6 +559,13 @@ def _d_simhash(spark, sf):  # SimHash fingerprints (md5 token hash -> SQL oracle
     return dd.simhash_fingerprints(_t(spark, sf, "documents"))
 
 
+def _d_dup_spans(spark, sf):  # corpus-duplicated word-8-gram spans per doc
+    # the word-granularity exact-substring-dedup profile (Lee et al. 2021);
+    # oracle re-derives the positioned-gram funnel and the interval merge in
+    # pure SQL
+    return dd.dup_ngram_spans(_t(spark, sf, "documents"), n=8, min_count=2)
+
+
 def _d_neardup_verified(spark, sf):  # LSH candidates -> exact verification
     # exact word-3-gram Jaccard (the space the bands estimate) over the LSH
     # candidates only; oracle = brute-force all-pairs in the same space
@@ -772,7 +780,10 @@ def _kg_pipeline_mini(spark, sf):  # end-to-end KG DAG (rows-only)
 
 
 _KG_QUERY = "Acme Systems acquired partnered with Vertex"
-_KG_CHUNKS_PATH = "/tmp/chunksilo_kg_chunks_150"
+# see _SCRATCH_ROOT below for why this is env-overridable
+_KG_CHUNKS_PATH = (
+    os.environ.get("CHUNKSILO_SCRATCH_ROOT", "/tmp") + "/chunksilo_kg_chunks_150"
+)
 
 
 def _kg_query_vec() -> list[float]:
@@ -809,8 +820,16 @@ def _kg_vector_search(spark, sf):  # U1+U2+U3+W1 end-to-end
     )
 
 
-_INCR_STATE_DIR = "/tmp/chunksilo_incr_state"
-_INCR_SCRATCH_DIR = "/tmp/chunksilo_incr_scratch"
+# Scratch root for the stateful queries (incr_apply, kg_vector_search).
+# Fixed by default so the driver's Spark run and its DuckDB oracle agree on
+# the path even if they import this module in separate processes; the env
+# override exists so TWO CONCURRENT gate runs (e.g. a manual
+# check_oracles.py while the pytest oracle gate is running) don't rmtree
+# each other's state mid-build — conftest.py points the pytest session at
+# its own tmp root.
+_SCRATCH_ROOT = os.environ.get("CHUNKSILO_SCRATCH_ROOT", "/tmp")
+_INCR_STATE_DIR = f"{_SCRATCH_ROOT}/chunksilo_incr_state"
+_INCR_SCRATCH_DIR = f"{_SCRATCH_ROOT}/chunksilo_incr_scratch"
 
 
 def _incr_pages_v2(spark):
@@ -1056,6 +1075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_dedup_clusters": _d_dedup_clusters,
         "d_neardup_incremental": _d_neardup_incremental,
         "d_simhash": _d_simhash,
+        "d_dup_spans": _d_dup_spans,
         "s_knn_bruteforce": _s_knn_bruteforce,
         "s_knn_lsh": _s_knn_lsh,
         "s_knn_ivf": _s_knn_ivf,
@@ -1806,6 +1826,55 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(f.h, 0) // 281474976710656 AS INTEGER)
                        AS bucket16
             FROM documents d LEFT JOIN fp f USING (doc_id)
+        """,
+        # duplicated word-8-gram spans: positioned grams -> corpus-frequency
+        # filter -> per-doc interval merge, all re-derived in SQL
+        "d_dup_spans": """
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(trim(text), '\\s+'),
+                                   x -> x <> '') AS toks
+                FROM documents
+            ), g AS (
+                SELECT doc_id, len(toks) AS n_toks, i - 1 AS pos,
+                       md5(array_to_string(list_slice(toks, i, i + 7), ' ')) AS gh
+                FROM t, unnest(generate_series(1, len(toks) - 7)) AS u(i)
+                WHERE len(toks) >= 8
+            ), dup AS (
+                SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2
+            ), hits AS (
+                SELECT doc_id, n_toks, pos FROM g
+                WHERE gh IN (SELECT gh FROM dup)
+            ), marked AS (
+                SELECT doc_id, n_toks, pos,
+                       CASE WHEN max(pos + 8) OVER (
+                                PARTITION BY doc_id ORDER BY pos ASC
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING) IS NULL
+                             OR pos >= max(pos + 8) OVER (
+                                PARTITION BY doc_id ORDER BY pos ASC
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING)
+                       THEN 1 ELSE 0 END AS new_span
+                FROM hits
+            ), runs AS (
+                SELECT doc_id, n_toks, pos, new_span,
+                       sum(new_span) OVER (PARTITION BY doc_id
+                           ORDER BY pos ASC ROWS UNBOUNDED PRECEDING) AS span_id
+                FROM marked
+            ), spans AS (
+                SELECT doc_id, n_toks, span_id, count(*) AS g_in_span,
+                       min(pos) AS s, max(pos) + 8 AS e
+                FROM runs GROUP BY doc_id, n_toks, span_id
+            )
+            SELECT doc_id,
+                   CAST(sum(g_in_span) AS BIGINT) AS n_dup_grams,
+                   count(*) AS n_spans,
+                   CAST(sum(e - s) AS BIGINT) AS dup_tokens,
+                   n_toks,
+                   round(CAST(sum(e - s) AS DOUBLE) / greatest(n_toks, 1), 6)
+                       AS dup_frac
+            FROM spans GROUP BY doc_id, n_toks
         """,
         # winnowing re-derived in SQL: every 8-char window's md5 prefix,
         # keep the 4 lexicographically smallest, md5 the concatenation

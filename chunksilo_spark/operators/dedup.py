@@ -486,3 +486,107 @@ def embedding_neardup(
     return brute_force_topk(vectors, sample, k=1, id_col=id_col, vec_col=vec_col).where(
         F.col("cosine") >= threshold
     )
+
+
+# ---------------------------------------------------------------------------
+# duplicated n-gram spans (exact substring dedup at word-gram granularity)
+
+
+def dup_ngram_spans(
+    docs: DataFrame,
+    n: int = 8,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc profile of corpus-duplicated word n-gram SPANS — the
+    word-granularity analog of exact substring deduplication (Lee et al.
+    2021, "Deduplicating Training Data Makes Language Models Better"): a
+    token position is "duplicated" when it starts an n-gram that occurs
+    >= min_count times in the whole corpus (across OR within docs), and
+    overlapping duplicated n-grams merge into maximal spans — the units a
+    span-removal pass would cut.
+
+    Returns one row per doc that carries at least one duplicated gram:
+    (doc_id, n_dup_grams, n_spans, dup_tokens, n_toks, dup_frac) where
+    dup_tokens counts tokens covered by the merged spans and dup_frac =
+    dup_tokens / n_toks (rounded 6).
+
+    100 TB shape — the suffix-array of the paper doesn't distribute, this
+    funnel does:
+      * positioned grams are one posexplode scan; the gram travels as its
+        md5 (16 bytes, uniform), never the raw string;
+      * the frequency count is a groupBy on that uniform hash with
+        map-side combine — the only corpus-scale shuffle;
+      * positions join back to the >=min_count hash set with a LEFT SEMI
+        equi-join (AQE-sizable; at real scale the duplicated-gram set is
+        corpus-sized while boilerplate-heavy, so semi-join, not
+        broadcast);
+      * span merging is windowed per doc_id — bounded by doc length, no
+        cross-doc data movement beyond the doc_id re-shuffle.
+    """
+    from pyspark.sql import Window
+    from .curation import _word_grams
+
+    toks = docs.select(
+        F.col(id_col), ws_tokens_clean(F.col(text_col)).alias("_toks")
+    )
+    # (doc_id, n_toks, pos, gram_md5): pos is 0-based token index of the
+    # gram start; md5 immediately so the raw gram string never shuffles
+    grams = toks.select(
+        F.col(id_col),
+        F.size("_toks").alias("n_toks"),
+        F.posexplode(_word_grams(F.col("_toks"), n)).alias("pos", "_gram"),
+    ).select(id_col, "n_toks", "pos", F.md5("_gram").alias("_gh"))
+    dup_keys = (
+        grams.groupBy("_gh").count().where(F.col("count") >= min_count)
+    )
+    hits = grams.join(dup_keys.select("_gh"), "_gh", "left_semi")
+
+    # classic interval merge, windowed per doc: a duplicated gram at pos
+    # covers [pos, pos+n); a new span starts where pos clears the running
+    # max end of every earlier gram in the doc
+    prev = (
+        Window.partitionBy(id_col)
+        .orderBy(F.col("pos").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_end = F.max(F.col("pos") + n).over(prev)
+    marked = hits.withColumn(
+        "_new_span",
+        F.when(prev_end.isNull() | (F.col("pos") >= prev_end), 1).otherwise(0),
+    )
+    run = (
+        Window.partitionBy(id_col)
+        .orderBy(F.col("pos").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    spans = (
+        marked.withColumn("_span_id", F.sum("_new_span").over(run))
+        .groupBy(id_col, "n_toks", "_span_id")
+        .agg(
+            F.count(F.lit(1)).alias("_grams_in_span"),
+            F.min("pos").alias("_start"),
+            (F.max("pos") + n).alias("_end"),
+        )
+    )
+    return (
+        spans.groupBy(id_col, "n_toks")
+        .agg(
+            F.sum("_grams_in_span").alias("n_dup_grams"),
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.col("_end") - F.col("_start")).alias("dup_tokens"),
+        )
+        .select(
+            id_col,
+            "n_dup_grams",
+            "n_spans",
+            "dup_tokens",
+            "n_toks",
+            F.round(
+                F.col("dup_tokens").cast("double")
+                / F.greatest(F.col("n_toks"), F.lit(1)).cast("double"),
+                6,
+            ).alias("dup_frac"),
+        )
+    )

@@ -211,6 +211,53 @@ class TestDedup:
         row = dd.dedup_clusters(docs).collect()[0]
         assert (row["cluster_id"], row["is_survivor"]) == (1, True)
 
+    def test_dup_ngram_spans_python_oracle(self, spark):
+        # two docs share one 8-gram ("a..h"); docs 1 and 4 are exact dups
+        # (every gram duplicated, one maximal span covering everything);
+        # doc 5 repeats an 8-gram WITHIN itself (min_count counts total
+        # occurrences, not distinct docs); doc 3 has no dup grams (absent
+        # from the result); doc 6 is too short to carry any 8-gram.
+        rows = [
+            (1, "a b c d e f g h i j k l"),
+            (2, "a b c d e f g h X Y Z W"),
+            (3, "totally unique words in this row and beyond them"),
+            (4, "a b c d e f g h i j k l"),
+            (5, "p q r s t u v w GAP p q r s t u v w"),
+            (6, "too short"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (
+                r["n_dup_grams"],
+                r["n_spans"],
+                r["dup_tokens"],
+                r["n_toks"],
+            )
+            for r in dd.dup_ngram_spans(df, n=8).collect()
+        }
+        assert got == {
+            # docs 1/4: 5 grams, merged into [0, 12) — the whole doc
+            1: (5, 1, 12, 12),
+            4: (5, 1, 12, 12),
+            # doc 2: only the pos-0 gram is shared -> span [0, 8)
+            2: (1, 1, 8, 12),
+            # doc 5: "p..w" occurs at pos 0 and pos 9 -> two spans of 8,
+            # separated by GAP (17 toks, gap at pos 8)
+            5: (2, 2, 16, 17),
+        }
+
+    def test_dup_ngram_spans_empty_and_no_dups(self, spark):
+        empty = spark.createDataFrame([], "doc_id long, text string")
+        assert dd.dup_ngram_spans(empty).count() == 0
+        uniq = spark.createDataFrame(
+            [(i, "w%d " % i * 9) for i in range(3)],
+            "doc_id long, text string",
+        )
+        # each doc is 9 copies of ITS OWN token: its 8-grams repeat within
+        # the doc (2 occurrences) -> every doc fully covered
+        out = {r["doc_id"]: r["dup_frac"] for r in dd.dup_ngram_spans(uniq).collect()}
+        assert out == {0: 1.0, 1: 1.0, 2: 1.0}
+
     def test_minhash_batch_matches_single(self):
         from chunksilo_spark.functions.minhash import (
             minhash_signature,
