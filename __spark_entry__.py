@@ -559,6 +559,20 @@ def _d_simhash(spark, sf):  # SimHash fingerprints (md5 token hash -> SQL oracle
     return dd.simhash_fingerprints(_t(spark, sf, "documents"))
 
 
+def _d_semdedup(spark, sf):  # SemDeDup: cluster + within-cluster cosine prune
+    # sign-bucket clustering (SQL-exact); threshold 0.25 because the
+    # synthetic embeddings are near-orthogonal (max in-bucket cosine
+    # ~0.47) — at 0.9 the drop set is empty and the query proves nothing
+    return dd.semdedup(_t(spark, sf, "embeddings"), threshold=0.25)
+
+
+def _t_quality_model(spark, sf):  # fastText-style hashed linear classifier
+    # md5-seeded pseudo-weights (a trained vector drops in as a plan
+    # literal with the same shape); one scan, zero shuffle; the oracle
+    # re-derives hash -> bucket -> weight -> sigmoid in pure SQL
+    return cu.hashed_linear_quality(_t(spark, sf, "documents"))
+
+
 def _d_dup_spans(spark, sf):  # corpus-duplicated word-8-gram spans per doc
     # the word-granularity exact-substring-dedup profile (Lee et al. 2021);
     # oracle re-derives the positioned-gram funnel and the interval merge in
@@ -1076,6 +1090,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_neardup_incremental": _d_neardup_incremental,
         "d_simhash": _d_simhash,
         "d_dup_spans": _d_dup_spans,
+        "d_semdedup": _d_semdedup,
+        "t_quality_model": _t_quality_model,
         "s_knn_bruteforce": _s_knn_bruteforce,
         "s_knn_lsh": _s_knn_lsh,
         "s_knn_ivf": _s_knn_ivf,
@@ -1875,6 +1891,56 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(sum(e - s) AS DOUBLE) / greatest(n_toks, 1), 6)
                        AS dup_frac
             FROM spans GROUP BY doc_id, n_toks
+        """,
+        # SemDeDup: sign-bucket clusters + within-cluster cosine prune,
+        # min-id survivor; clusters and cosines re-derived in SQL
+        "d_semdedup": """
+            WITH v AS (
+                SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+            ), c AS (
+                SELECT vec_id, e,
+                       (CASE WHEN e[1] >= 0 THEN 1 ELSE 0 END)
+                     + (CASE WHEN e[2] >= 0 THEN 2 ELSE 0 END)
+                     + (CASE WHEN e[3] >= 0 THEN 4 ELSE 0 END)
+                     + (CASE WHEN e[4] >= 0 THEN 8 ELSE 0 END)
+                     + (CASE WHEN e[5] >= 0 THEN 16 ELSE 0 END)
+                     + (CASE WHEN e[6] >= 0 THEN 32 ELSE 0 END) AS cluster_id
+                FROM v
+            ), p AS (
+                SELECT b.vec_id AS vec_id, min(a.vec_id) AS dup_of
+                FROM c a JOIN c b
+                  ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+                WHERE list_cosine_similarity(a.e, b.e) >= 0.25
+                GROUP BY b.vec_id
+            )
+            SELECT c.vec_id, c.cluster_id, p.dup_of,
+                   p.dup_of IS NULL AS keep
+            FROM c LEFT JOIN p USING (vec_id)
+        """,
+        # hashed-linear quality classifier: token -> md5 bucket -> md5-seeded
+        # weight -> mean -> sigmoid, all re-derived in SQL
+        "t_quality_model": """
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                   x -> x <> '') AS toks
+                FROM documents
+            ), s AS (
+                SELECT doc_id, len(toks) AS n_toks,
+                       COALESCE(list_sum(list_transform(toks, tok ->
+                           (CAST(('0x' || substr(md5('qw:' || CAST(
+                                ('0x' || substr(md5(tok), 1, 15))::UBIGINT
+                                    % 1024 AS VARCHAR)), 1, 15))::UBIGINT
+                                % 2001 AS DOUBLE) - 1000) / 1000.0
+                       )), 0.0) AS sum_w
+                FROM t
+            ), sc AS (
+                SELECT doc_id, n_toks,
+                       round(1.0 / (1.0 + exp(-(sum_w / greatest(n_toks, 1)))),
+                             6) AS score
+                FROM s
+            )
+            SELECT doc_id, n_toks, score, score >= 0.5 AS keep FROM sc
         """,
         # winnowing re-derived in SQL: every 8-char window's md5 prefix,
         # keep the 4 lexicographically smallest, md5 the concatenation

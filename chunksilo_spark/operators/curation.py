@@ -247,3 +247,87 @@ def stratified_sample(
                 match = match & (F.col(c) == F.lit(v))
             cond = F.when(match, bucket < F.lit(rate)).otherwise(cond)
     return docs.where(cond)
+
+
+# ---------------------------------------------------------------------------
+# hashed-feature linear quality classifier (fastText-style)
+
+
+def hashed_linear_quality(
+    docs: DataFrame,
+    n_buckets: int = 1024,
+    bias: float = 0.0,
+    weights: list[float] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_toks, score, keep) — a linear text classifier over hashed
+    unigram features, the fastText-style quality filter of the CCNet /
+    GPT-3 "books-vs-web" lineage: every lowercased whitespace token hashes
+    into one of ``n_buckets`` feature buckets, the doc's score is
+    sigmoid(bias + mean bucket weight), keep = score >= 0.5.
+
+    ``weights``: a trained weight vector (len == n_buckets) drops in as a
+    plan-literal array — the model rides the closure/broadcast exactly like
+    a real exported fastText/sklearn linear head, no join, no shuffle, no
+    Python. When None, deterministic pseudo-weights are derived per bucket
+    from md5("qw:" + bucket) in [-1, 1] — a seeded stand-in with the same
+    plan shape (and, unlike a trained artifact, exactly re-derivable in
+    ANSI SQL, so the driver oracle checks the whole funnel).
+
+    100 TB shape: ONE codegen'd scan; the per-token work is a higher-order
+    ``aggregate`` over an ALREADY-PROJECTED token array (the no-CSE
+    lesson); nothing shuffles, so the filter composes with any downstream
+    dedup/sampling pass for free.
+    """
+    D = int(n_buckets)
+    toks = docs.select(
+        F.col(id_col),
+        _tokens(F.lower(F.col(text_col))).alias("_toks"),
+    )
+
+    def bucket_of(tok):
+        return F.pmod(
+            F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long"),
+            F.lit(D),
+        )
+
+    if weights is not None:
+        if len(weights) != D:
+            raise ValueError(
+                f"weights must have len == n_buckets ({D}), got {len(weights)}"
+            )
+        warr = F.lit([float(w) for w in weights])
+
+        def weight_of(tok):
+            return F.element_at(warr, (bucket_of(tok) + 1).cast("int"))
+
+    else:
+
+        def weight_of(tok):
+            # md5-seeded pseudo-weight in [-1, 1]: (md5("qw:"+bucket) %
+            # 2001 - 1000) / 1000 — same hex-prefix construction as
+            # _md5_bucket, so the SQL twin is exact
+            h = F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("qw:"), bucket_of(tok).cast("string"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            return (F.pmod(h, F.lit(2001)) - 1000).cast("double") / 1000.0
+
+    n = F.size("_toks")
+    sum_w = F.aggregate(
+        "_toks", F.lit(0.0), lambda acc, t: acc + weight_of(t)
+    )
+    z = F.lit(float(bias)) + sum_w / F.greatest(n, F.lit(1)).cast("double")
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    return toks.select(
+        F.col(id_col),
+        n.alias("n_toks"),
+        score.alias("score"),
+        (score >= 0.5).alias("keep"),
+    )

@@ -590,3 +590,111 @@ def dup_ngram_spans(
             ).alias("dup_frac"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (embedding-cluster + within-cluster cosine pruning)
+
+
+def sign_bucket_clusters(
+    vectors: DataFrame,
+    n_sign_bits: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, vec, cluster_id) — cluster = the packed sign bits of the first
+    ``n_sign_bits`` dimensions (a 1-plane-per-axis LSH): deterministic,
+    zero-shuffle, and exactly re-derivable in ANSI SQL, which makes the
+    driver's semdedup oracle possible. A k-means assignment (the SemDeDup
+    paper's clustering; see ivf pieces in similarity.py) plugs into
+    :func:`semdedup` through the same ``cluster_col`` seam."""
+    vec = F.col(vec_col).cast("array<double>")
+    bits = F.lit(0)
+    for j in range(n_sign_bits):
+        bits = bits + F.when(
+            F.element_at(vec, j + 1) >= 0, F.lit(1 << j)
+        ).otherwise(F.lit(0))
+    return vectors.select(
+        F.col(id_col), vec.alias("_v"), bits.alias("cluster_id")
+    )
+
+
+def semdedup(
+    vectors: DataFrame,
+    threshold: float = 0.9,
+    n_sign_bits: int = 6,
+    cluster_col: str | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic dedup by embedding — cluster
+    the corpus, then within each cluster drop every item that has a
+    LOWER-id neighbor with cosine >= threshold (min-id survivor, the same
+    pinned rule as rep_pick). Returns (id, cluster_id, dup_of, keep):
+    dup_of = the smallest such neighbor id (NULL for survivors).
+
+    ``cluster_col``: pass an existing assignment column (e.g. a k-means /
+    IVF list id) to dedup within it; default derives the SQL-exact
+    sign-bucket clustering above.
+
+    100 TB shape: the pairwise pass is an EQUI-JOIN on cluster_id — never
+    corpus-all-pairs — and the paper's premise is that the clustering
+    bounds cluster size (k scales with the corpus: 50k clusters for
+    LAION-440M; sign-bit planes double the cluster count per bit). Cosine
+    is a JVM higher-order expression on double arrays (no Python, no
+    UDF); the survivor reduction is a min-groupBy on the (sparse) pair
+    relation, and the labels LEFT-join back on the cluster-partitioned
+    corpus."""
+    if cluster_col is None:
+        clustered = sign_bucket_clusters(
+            vectors, n_sign_bits, id_col=id_col, vec_col=vec_col
+        )
+    else:
+        clustered = vectors.select(
+            F.col(id_col),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+            F.col(cluster_col).alias("cluster_id"),
+        )
+    a = clustered.select(
+        F.col(id_col).alias("_ida"),
+        F.col("_v").alias("_va"),
+        F.col("cluster_id"),
+    )
+    b = clustered.select(
+        F.col(id_col).alias("_idb"),
+        F.col("_v").alias("_vb"),
+        F.col("cluster_id"),
+    )
+    dot = F.aggregate(
+        F.zip_with("_va", "_vb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v
+        )
+    )
+    # threshold compares the UNROUNDED cosine: both engines do sequential
+    # double folds, so they disagree only within ~1 ulp of the threshold —
+    # rounding first would widen that flip window to every value near a
+    # rounding boundary
+    cos = dot / F.greatest(
+        norm(F.col("_va")) * norm(F.col("_vb")), F.lit(1e-12)
+    )
+    dups = (
+        a.join(b, "cluster_id")
+        .where(F.col("_ida") < F.col("_idb"))
+        .where(cos >= threshold)
+        .groupBy(F.col("_idb").alias(id_col))
+        .agg(F.min("_ida").alias("dup_of"))
+    )
+    return (
+        clustered.join(dups, id_col, "left")
+        .select(
+            id_col,
+            "cluster_id",
+            "dup_of",
+            F.col("dup_of").isNull().alias("keep"),
+        )
+    )

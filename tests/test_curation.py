@@ -191,3 +191,48 @@ class TestEdgeWhitespaceTokens:
             for r in cu.unigram_logprob(df, vocab_size=2).collect()
         }
         assert lm == {0: 3, 1: 3}
+
+
+class TestHashedLinearQuality:
+    def test_matches_python_oracle(self, spark):
+        import math
+
+        rows = [(0, "Alpha beta GAMMA delta"), (1, ""), (2, "one")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["n_toks"], r["score"], r["keep"])
+            for r in cu.hashed_linear_quality(df, n_buckets=1024).collect()
+        }
+
+        def bucket(t):
+            return int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % 1024
+
+        def w(b):
+            h = int(hashlib.md5(f"qw:{b}".encode()).hexdigest()[:15], 16)
+            return (h % 2001 - 1000) / 1000.0
+
+        for doc_id, text in rows:
+            toks = text.lower().split()
+            z = sum(w(bucket(t)) for t in toks) / max(len(toks), 1)
+            score = round(1 / (1 + math.exp(-z)), 6)
+            assert got[doc_id] == (len(toks), score, score >= 0.5)
+
+    def test_trained_weights_drop_in(self, spark):
+        # a "trained" 4-bucket head rides the plan as a literal: every
+        # token of doc 0 lands in some bucket; flipping that bucket's
+        # weight flips the doc's score around 0.5
+        df = spark.createDataFrame([(0, "tok tok tok")], "doc_id long, text string")
+        b = int(hashlib.md5(b"tok").hexdigest()[:15], 16) % 4
+        up = [0.0] * 4
+        up[b] = 2.0
+        down = [0.0] * 4
+        down[b] = -2.0
+        hi = cu.hashed_linear_quality(df, n_buckets=4, weights=up).collect()[0]
+        lo = cu.hashed_linear_quality(df, n_buckets=4, weights=down).collect()[0]
+        assert hi["keep"] and not lo["keep"]
+        assert hi["score"] > 0.5 > lo["score"]
+
+    def test_weight_arity_raises(self, spark):
+        df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            cu.hashed_linear_quality(df, n_buckets=8, weights=[1.0, 2.0])

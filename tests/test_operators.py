@@ -258,6 +258,53 @@ class TestDedup:
         out = {r["doc_id"]: r["dup_frac"] for r in dd.dup_ngram_spans(uniq).collect()}
         assert out == {0: 1.0, 1: 1.0, 2: 1.0}
 
+    def test_semdedup_known_geometry(self, spark):
+        # four vectors in the all-positive sign bucket: 1 is a copy of 0,
+        # 2 is a scaled copy of 0 (cosine 1.0 — semantic dup, different
+        # norm), 3 is near-orthogonal to all; 4 sits in a different sign
+        # bucket but parallel to 0 — clusters must isolate it (no pair).
+        rows = [
+            (0, [1.0, 1.0, 0.0, 0.0]),
+            (1, [1.0, 1.0, 0.0, 0.0]),
+            (2, [2.0, 2.0, 0.0, 0.0]),
+            (3, [1.0, 0.01, 0.0, 0.0]),
+            (4, [-1.0, -1.0, 0.0, 0.0]),
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        got = {
+            r["vec_id"]: (r["dup_of"], r["keep"])
+            for r in dd.semdedup(df, threshold=0.9, n_sign_bits=2).collect()
+        }
+        assert got == {
+            0: (None, True),
+            1: (0, False),
+            2: (0, False),
+            3: (None, True),
+            4: (None, True),
+        }
+
+    def test_semdedup_cluster_col_seam(self, spark):
+        # an externally-supplied assignment (e.g. k-means list ids)
+        # replaces the sign buckets: parallel vectors in DIFFERENT
+        # supplied clusters must not pair
+        rows = [
+            (0, [1.0, 0.0], 7),
+            (1, [1.0, 0.0], 7),
+            (2, [1.0, 0.0], 8),
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, list_id int"
+        )
+        got = {
+            r["vec_id"]: r["keep"]
+            for r in dd.semdedup(df, threshold=0.9, cluster_col="list_id").collect()
+        }
+        assert got == {0: True, 1: False, 2: True}
+
+    def test_semdedup_empty(self, spark):
+        empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+        assert dd.semdedup(empty).count() == 0
+
     def test_minhash_batch_matches_single(self):
         from chunksilo_spark.functions.minhash import (
             minhash_signature,
