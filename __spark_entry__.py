@@ -975,6 +975,12 @@ def _g_two_hop(spark, sf):  # frontier expansion: distinct 2-hop reach
     return gr.two_hop_counts(edges, sources)
 
 
+def _g_triangles(spark, sf):  # degree-oriented triangle counting
+    # oracle is an INDEPENDENT non-oriented derivation (chained a<b<c
+    # joins), so a green row checks the orientation trick end-to-end
+    return gr.triangle_counts(_derived_edges(spark, sf))
+
+
 def _g_components(spark, sf):  # iterative min-label connected components
     # structured graph with closed-form components: clusters of 4
     # consecutive ids (each id -> its cluster base) plus a bridge edge at
@@ -1051,6 +1057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incr_apply": _incr_apply,
         "g_outlinks": _g_outlinks,
         "g_degree_topk": _g_degree_topk,
+        "g_triangles": _g_triangles,
         "g_pagerank": _g_pagerank,
         "g_components": _g_components,
         "g_two_hop": _g_two_hop,
@@ -2068,6 +2075,25 @@ def oracle_sql() -> dict[str, str]:
         "g_degree_topk": _GRAPH_EDGES_SQL + """
         SELECT dst AS node, COUNT(*) AS degree FROM edges
         GROUP BY dst ORDER BY degree DESC, node ASC LIMIT 20
+        """,
+        # per-node triangle counts, derived WITHOUT the Spark side's
+        # degree orientation: canonical a<b undirected edges, chained
+        # a<b<c joins, corners unioned
+        "g_triangles": _GRAPH_EDGES_SQL + """
+        , und AS (
+            SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+            FROM edges WHERE src <> dst
+        ), tri AS (
+            SELECT e1.a AS x, e1.b AS y, e2.b AS z
+            FROM und e1
+            JOIN und e2 ON e2.a = e1.b
+            JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+        ), corners AS (
+            SELECT x AS node FROM tri
+            UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri
+        )
+        SELECT node, count(*) AS n_triangles FROM corners GROUP BY node
         """,
         # independent ANALYTIC resolution of each href branch (the Spark
         # side runs the generic resolve_href_col algebra; the oracle derives

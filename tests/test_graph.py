@@ -556,3 +556,50 @@ class TestLinkGraphBootstrap:
                 spark, v2, aliases, state2, fingerprint="v2",
                 link_graph=True, delete_missing=False,
             )
+
+
+class TestTriangles:
+    def test_matches_python_oracle_random_graph(self, spark):
+        import random
+        from collections import Counter
+        from itertools import combinations
+
+        random.seed(7)
+        edges = set()
+        for _ in range(240):
+            edges.add((random.randrange(30), random.randrange(30)))
+        und = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+        adj: dict[int, set[int]] = {}
+        for a, b in und:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        cnt: Counter = Counter()
+        for x, y, z in combinations(sorted(adj), 3):
+            if y in adj[x] and z in adj[x] and z in adj[y]:
+                cnt[x] += 1
+                cnt[y] += 1
+                cnt[z] += 1
+        df = spark.createDataFrame(sorted(edges), "src long, dst long")
+        got = {
+            r["node"]: r["n_triangles"]
+            for r in G.triangle_counts(df).collect()
+        }
+        assert got == dict(cnt)
+
+    def test_direction_selfloop_and_duplicate_invariance(self, spark):
+        # one triangle; reversed duplicates, a self-loop and a repeated
+        # edge must not change the count (undirected SIMPLE graph)
+        rows = [(1, 2), (2, 3), (3, 1), (2, 1), (3, 3), (1, 2)]
+        df = spark.createDataFrame(rows, "src long, dst long")
+        got = {
+            r["node"]: r["n_triangles"]
+            for r in G.triangle_counts(df).collect()
+        }
+        assert got == {1: 1, 2: 1, 3: 1}
+
+    def test_star_hub_has_no_triangles(self, spark):
+        # a pure hub (star) closes nothing: the oriented wedge join walks
+        # only low-degree endpoints, and the result must be empty
+        rows = [(0, i) for i in range(1, 50)]
+        df = spark.createDataFrame(rows, "src long, dst long")
+        assert G.triangle_counts(df).count() == 0
