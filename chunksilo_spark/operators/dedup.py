@@ -514,16 +514,18 @@ def dup_ngram_spans(
 
     100 TB shape — the suffix-array of the paper doesn't distribute, this
     funnel does:
-      * positioned grams are one posexplode scan; the gram travels as its
+      * positioned grams are ONE posexplode scan; the gram travels as its
         md5 (16 bytes, uniform), never the raw string;
-      * the frequency count is a groupBy on that uniform hash with
-        map-side combine — the only corpus-scale shuffle;
-      * positions join back to the >=min_count hash set with a LEFT SEMI
-        equi-join (AQE-sizable; at real scale the duplicated-gram set is
-        corpus-sized while boilerplate-heavy, so semi-join, not
-        broadcast);
+      * the corpus frequency is a count-window partitioned by that hash —
+        one shuffle of the gram relation, versus the groupBy-then-semi-join
+        formulation's two full gram shuffles plus a second explode of the
+        whole corpus (measured: the window plan scans documents once, the
+        join plan twice). The window's sort is spill-safe, so a
+        boilerplate gram with 10^8 occurrences degrades to disk sort, not
+        OOM (a collect_list-per-gram formulation would);
       * span merging is windowed per doc_id — bounded by doc length, no
-        cross-doc data movement beyond the doc_id re-shuffle.
+        cross-doc data movement beyond the doc_id re-shuffle of the
+        (sparse) duplicated-position rows.
     """
     from pyspark.sql import Window
     from .curation import _word_grams
@@ -538,10 +540,12 @@ def dup_ngram_spans(
         F.size("_toks").alias("n_toks"),
         F.posexplode(_word_grams(F.col("_toks"), n)).alias("pos", "_gram"),
     ).select(id_col, "n_toks", "pos", F.md5("_gram").alias("_gh"))
-    dup_keys = (
-        grams.groupBy("_gh").count().where(F.col("count") >= min_count)
+    freq = F.count(F.lit(1)).over(Window.partitionBy("_gh"))
+    hits = (
+        grams.withColumn("_freq", freq)
+        .where(F.col("_freq") >= min_count)
+        .drop("_freq", "_gh")
     )
-    hits = grams.join(dup_keys.select("_gh"), "_gh", "left_semi")
 
     # classic interval merge, windowed per doc: a duplicated gram at pos
     # covers [pos, pos+n); a new span starts where pos clears the running

@@ -61,6 +61,19 @@ CAPTURE = [
      "only; cluster labels join back to the corpus as a broadcast"),
     ("d_neardup_incremental", "md5 equi-join fast path + band-key equi-join "
      "of new-side bands vs corpus rep bands — no corpus self-join"),
+    ("d_dup_spans", "ONE documents scan + ONE gram-keyed Exchange: corpus "
+     "gram frequency as a count-window (not groupBy+semi-join, which would "
+     "scan and shuffle the gram relation twice); both doc-windows share "
+     "one sort after the doc_id Exchange"),
+    ("d_semdedup", "within-cluster pairwise pass is an equi-join on "
+     "cluster_id (never corpus all-pairs); cosine is a JVM higher-order "
+     "fold; survivor labels join back"),
+    ("t_quality_model", "hashed-linear classifier: single pruned scan, "
+     "pure projections, NO Exchange anywhere"),
+    ("g_triangles", "degree-oriented wedge join: und/oriented relations "
+     "are lineage-cut (scanned as checkpointed RDDs, each computed once); "
+     "wedge + closing joins are equi-joins, corner union aggregates "
+     "map-side"),
 ]
 
 
