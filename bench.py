@@ -55,6 +55,10 @@ HEADLINE = [
     "d_dedup_clusters",
     "d_neardup_incremental",
     "d_contamination",
+    "d_dup_spans",
+    "d_semdedup",
+    "t_quality_model",
+    "g_triangles",
     "incr_change_detect",
 ]
 
