@@ -106,26 +106,12 @@ def _dechunk(body: bytes) -> bytes | None:
         pos = end + 2  # skip the chunk's trailing CRLF
 
 
-def parse_warc_records(data: bytes):
-    """Yield (uri, iso_date, body_bytes, record_id, http_status) for every
-    WARC ``response`` record in ``data``.
-
-    Accepts WARC/1.0 and WARC/1.1 version lines and case-insensitive
-    record types. Bodies are HTTP-decoded: chunked transfer framing is
-    removed and Content-Encoding gzip/x-gzip is decompressed. Records are
-    SKIPPED (convert-or-skip — a bad record or truncated tail must not
-    kill the shard) when: Content-Length is missing/invalid, the declared
-    length runs past end-of-data (truncated shard), the chunked framing
-    or gzip body is malformed, or WARC-Target-URI/WARC-Date are absent.
-    Angle-bracket URI wrapping (<https://...>, the WARC/1.0 ABNF form) is
-    stripped. Resync after a record with a bad header block is heuristic
-    (scan for the next version marker) — bytes inside an unconsumed
-    payload could in principle fabricate a record, which the
-    Content-Length bounds check above makes harmless-but-skippable.
-    Pure function so the pytest oracle parses the same bytes the UDF
-    does."""
-    import gzip as _gzip
-
+def _warc_raw_records(data: bytes):
+    """Yield (headers, payload) for every syntactically intact WARC record
+    in ``data`` — the byte walk shared by the response parser (WARC) and
+    the conversion parser (WET). Header keys are lowercased bytes. The
+    skip/resync/truncation discipline documented on
+    :func:`parse_warc_records` lives here."""
     pos = 0
     n = len(data)
     while pos < n:
@@ -153,6 +139,30 @@ def parse_warc_records(data: bytes):
             return  # truncated shard tail: skip, never emit a partial body
         payload = data[payload_start:payload_start + length]
         pos = payload_start + length
+        yield headers, payload
+
+
+def parse_warc_records(data: bytes):
+    """Yield (uri, iso_date, body_bytes, record_id, http_status) for every
+    WARC ``response`` record in ``data``.
+
+    Accepts WARC/1.0 and WARC/1.1 version lines and case-insensitive
+    record types. Bodies are HTTP-decoded: chunked transfer framing is
+    removed and Content-Encoding gzip/x-gzip is decompressed. Records are
+    SKIPPED (convert-or-skip — a bad record or truncated tail must not
+    kill the shard) when: Content-Length is missing/invalid, the declared
+    length runs past end-of-data (truncated shard), the chunked framing
+    or gzip body is malformed, or WARC-Target-URI/WARC-Date are absent.
+    Angle-bracket URI wrapping (<https://...>, the WARC/1.0 ABNF form) is
+    stripped. Resync after a record with a bad header block is heuristic
+    (scan for the next version marker) — bytes inside an unconsumed
+    payload could in principle fabricate a record, which the
+    Content-Length bounds check above makes harmless-but-skippable.
+    Pure function so the pytest oracle parses the same bytes the UDF
+    does."""
+    import gzip as _gzip
+
+    for headers, payload in _warc_raw_records(data):
         if headers.get(b"warc-type", b"").lower() != b"response":
             continue
         uri = headers.get(b"warc-target-uri", b"").strip(b"<>")
@@ -189,6 +199,96 @@ def parse_warc_records(data: bytes):
             headers.get(b"warc-record-id", b"").decode("ascii", "replace"),
             status,
         )
+
+
+def parse_wet_records(data: bytes):
+    """Yield (uri, iso_date, text, record_id) for every WARC ``conversion``
+    record — the WET layout (Common Crawl's pre-extracted text sibling of
+    WARC): the payload IS the extracted UTF-8 text, no HTTP envelope, so
+    there is no status/chunked/gzip handling. Same skip discipline and
+    same pure-function contract as :func:`parse_warc_records` (the pytest
+    oracle parses the same bytes the UDF does)."""
+    for headers, payload in _warc_raw_records(data):
+        if headers.get(b"warc-type", b"").lower() != b"conversion":
+            continue
+        uri = headers.get(b"warc-target-uri", b"").strip(b"<>")
+        date = headers.get(b"warc-date")
+        if not uri or not date:
+            continue
+        yield (
+            uri.decode("utf-8", "replace"),
+            date.decode("ascii", "replace"),
+            payload.decode("utf-8", "replace"),
+            headers.get(b"warc-record-id", b"").decode("ascii", "replace"),
+        )
+
+
+def read_wet_pages(
+    spark: SparkSession,
+    path: str,
+    batch_rows: int = 2000,
+) -> DataFrame:
+    """WET archives -> pages with ``text`` pre-filled and ``html`` null
+    (the extraction already happened upstream — stage 1's decode step
+    passes these rows straight through to chunking). Same one-task-per-
+    shard / multi-member-gzip / batched-flush shape as
+    :func:`read_warc_pages`."""
+    import datetime as dt
+    from typing import Iterator
+
+    import pandas as pd
+
+    def flush(rows):
+        return pd.DataFrame(
+            {
+                "url": rows["url"],
+                "warc_ts": pd.to_datetime(rows["warc_ts"], utc=True),
+                "html": [None] * len(rows["url"]),
+                "text": rows["text"],
+                "lang": [None] * len(rows["url"]),
+                "extras": rows["extras"],
+            }
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import gzip
+
+        for pdf in batches:
+            for fpath, blob in zip(pdf["path"], pdf["content"]):
+                data = bytes(blob)
+                if fpath.endswith(".gz"):
+                    try:
+                        data = gzip.decompress(data)  # multi-member ok
+                    except OSError:
+                        continue  # unreadable shard: skip, don't kill
+                rows = {"url": [], "warc_ts": [], "text": [], "extras": []}
+                for uri, date, text, rec_id in parse_wet_records(data):
+                    try:
+                        ts = dt.datetime.fromisoformat(
+                            date.replace("Z", "+00:00")
+                        ).astimezone(dt.timezone.utc)
+                    except ValueError:
+                        ts = None
+                    rows["url"].append(uri)
+                    rows["warc_ts"].append(ts)
+                    rows["text"].append(text)
+                    rows["extras"].append(
+                        {
+                            "source_format": "wet",
+                            "warc_file": fpath,
+                            "warc_record_id": rec_id,
+                        }
+                    )
+                    if len(rows["url"]) >= batch_rows:
+                        yield flush(rows)
+                        rows = {
+                            "url": [], "warc_ts": [], "text": [], "extras": []
+                        }
+                if rows["url"]:
+                    yield flush(rows)
+
+    raw = spark.read.format("binaryFile").load(path)
+    return raw.select("path", "content").mapInPandas(run, schema=PAGES_SCHEMA)
 
 
 def read_warc_pages(

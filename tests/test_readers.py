@@ -246,3 +246,82 @@ class TestWarcReader:
         docs = extract_documents(read_warc_pages(spark, str(d)), 2)
         ok = docs.where("ok").count()
         assert ok >= 10  # quarantine rows excepted, extraction runs
+
+
+class TestWetReader:
+    """WET (conversion-record) shards: payload IS the extracted text."""
+
+    @staticmethod
+    def _wet_record(uri, date, text, rec_id="<urn:uuid:w>"):
+        body = text.encode("utf-8")
+        headers = [b"WARC/1.0", b"WARC-Type: conversion"]
+        if uri:
+            headers.append(b"WARC-Target-URI: " + uri)
+        headers += [
+            b"WARC-Date: " + date,
+            b"WARC-Record-ID: " + rec_id.encode(),
+            b"Content-Length: " + str(len(body)).encode(),
+        ]
+        return b"\r\n".join(headers) + b"\r\n\r\n" + body + b"\r\n\r\n"
+
+    def _build(self):
+        texts = [f"Extracted text of page {i}. Unicode: café {i}" for i in range(7)]
+        blob = b"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 4\r\n\r\nsw:x\r\n\r\n"
+        for i, t in enumerate(texts):
+            blob += self._wet_record(
+                b"https://wet.example/p%d" % i,
+                b"2024-06-01T08:00:0%d" % (i % 10) + b"Z",
+                t,
+                f"<urn:uuid:w{i}>",
+            )
+        return texts, blob
+
+    def test_parse_and_reader_roundtrip(self, spark, tmp_path):
+        import gzip
+
+        from chunksilo_spark.sources.readers import (
+            parse_wet_records,
+            read_wet_pages,
+        )
+
+        texts, blob = self._build()
+        # pure-parser oracle
+        recs = list(parse_wet_records(blob))
+        assert [t for _, _, t, _ in recs] == texts
+        assert all(u.startswith("https://wet.example/") for u, _, _, _ in recs)
+
+        d_plain = tmp_path / "wet_plain"
+        d_plain.mkdir()
+        (d_plain / "a.warc.wet").write_bytes(blob)
+        d_gz = tmp_path / "wet_gz"
+        d_gz.mkdir()
+        (d_gz / "a.warc.wet.gz").write_bytes(gzip.compress(blob))
+
+        for d in (d_plain, d_gz):
+            df = read_wet_pages(spark, str(d)).orderBy("url")
+            rows = df.collect()
+            assert [r["text"] for r in rows] == texts
+            assert all(r["html"] is None for r in rows)
+            assert all(r["extras"]["source_format"] == "wet" for r in rows)
+            assert rows[0]["warc_ts"] is not None
+
+    def test_response_records_ignored_and_vice_versa(self, spark):
+        from chunksilo_spark.sources.readers import (
+            parse_warc_records,
+            parse_wet_records,
+        )
+
+        texts, wet_blob = self._build()
+        # a WET parse of a response-record shard yields nothing, and the
+        # response parser yields nothing from a WET shard — the shared
+        # walker must not cross-contaminate record types
+        http = b"HTTP/1.1 200 OK\r\n\r\n<html>x</html>"
+        resp = (
+            b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"WARC-Target-URI: https://r.example/\r\n"
+            b"WARC-Date: 2024-06-01T00:00:00Z\r\n"
+            b"Content-Length: " + str(len(http)).encode() + b"\r\n\r\n"
+            + http + b"\r\n\r\n"
+        )
+        assert list(parse_wet_records(resp)) == []
+        assert list(parse_warc_records(wet_blob)) == []
