@@ -559,6 +559,36 @@ def _d_simhash(spark, sf):  # SimHash fingerprints (md5 token hash -> SQL oracle
     return dd.simhash_fingerprints(_t(spark, sf, "documents"))
 
 
+def _t_url_filter(spark, sf):  # C4/RefinedWeb-style URL curation verdicts
+    # urls synthesized per doc_id (documents carry no url column); the
+    # CASE construction is mirrored verbatim in the oracle, while the
+    # VERDICTS are derived independently (suffix-explode arrays_overlap on
+    # the Spark side vs host LIKE-suffix disjunction in SQL)
+    d = F.col("doc_id")
+    url = (
+        F.when(d % 89 == 0, F.concat(F.lit("ftp://files.example/f"), d.cast("string")))
+        .when(d % 83 == 0, F.concat(F.lit("https://long.example/"), F.lpad(F.lit(""), 600, "x")))
+        .when(d % 13 == 0, F.concat(F.lit("https://ads.tracker.example/p"), d.cast("string")))
+        .when(d % 17 == 0, F.concat(F.lit("https://site.example/p"), d.cast("string"), F.lit("?utm_source=feed")))
+        .when(d % 19 == 0, F.concat(F.lit("https://deep.example/a/b/c/d/e/f/g/"), d.cast("string"), F.lit(".html")))
+        .otherwise(
+            F.concat(
+                F.lit("https://site"), (d % 7).cast("string"),
+                F.lit(".example/dir"), (d % 3).cast("string"),
+                F.lit("/page"), d.cast("string"), F.lit(".html"),
+            )
+        )
+    )
+    pages = _t(spark, sf, "documents").select(F.col("doc_id"), url.alias("url"))
+    return cu.url_quality_filter(
+        pages,
+        blocked_hosts=["tracker.example", "spam.example"],
+        blocked_patterns=[r"[?&]utm_"],
+        max_path_depth=6,
+        max_url_len=512,
+    ).select("doc_id", "url", "host", "path_depth", "reject_reason")
+
+
 def _d_semdedup(spark, sf):  # SemDeDup: cluster + within-cluster cosine prune
     # sign-bucket clustering (SQL-exact); threshold 0.25 because the
     # synthetic embeddings are near-orthogonal (max in-bucket cosine
@@ -1099,6 +1129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_dup_spans": _d_dup_spans,
         "d_semdedup": _d_semdedup,
         "t_quality_model": _t_quality_model,
+        "t_url_filter": _t_url_filter,
         "s_knn_bruteforce": _s_knn_bruteforce,
         "s_knn_lsh": _s_knn_lsh,
         "s_knn_ivf": _s_knn_ivf,
@@ -1923,6 +1954,51 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.vec_id, c.cluster_id, p.dup_of,
                    p.dup_of IS NULL AS keep
             FROM c LEFT JOIN p USING (vec_id)
+        """,
+        # URL curation verdicts: construction mirrored, verdicts derived
+        # independently (LIKE-suffix disjunction vs suffix-explode)
+        "t_url_filter": """
+            WITH p AS (
+                SELECT doc_id,
+                    CASE WHEN doc_id % 89 = 0
+                             THEN 'ftp://files.example/f' || doc_id::VARCHAR
+                         WHEN doc_id % 83 = 0
+                             THEN 'https://long.example/' || repeat('x', 600)
+                         WHEN doc_id % 13 = 0
+                             THEN 'https://ads.tracker.example/p' || doc_id::VARCHAR
+                         WHEN doc_id % 17 = 0
+                             THEN 'https://site.example/p' || doc_id::VARCHAR
+                                  || '?utm_source=feed'
+                         WHEN doc_id % 19 = 0
+                             THEN 'https://deep.example/a/b/c/d/e/f/g/'
+                                  || doc_id::VARCHAR || '.html'
+                         ELSE 'https://site' || (doc_id % 7)::VARCHAR
+                              || '.example/dir' || (doc_id % 3)::VARCHAR
+                              || '/page' || doc_id::VARCHAR || '.html'
+                    END AS url
+                FROM documents
+            ), a AS (
+                SELECT doc_id, url,
+                       lower(regexp_extract(url, '^https?://([^/:?#]+)', 1))
+                           AS host,
+                       len(string_split(regexp_replace(url,
+                           '^[a-z][a-z0-9+.\\-]*://[^/]*', ''), '/')) - 1
+                           AS path_depth
+                FROM p
+            )
+            SELECT doc_id, url, host, path_depth,
+                   CASE WHEN NOT regexp_matches(url, '^https?://')
+                            THEN 'scheme'
+                        WHEN length(url) > 512 THEN 'url_too_long'
+                        WHEN host = 'tracker.example'
+                          OR host LIKE '%.tracker.example'
+                          OR host = 'spam.example'
+                          OR host LIKE '%.spam.example' THEN 'blocked_host'
+                        WHEN regexp_matches(url, '[?&]utm_')
+                            THEN 'blocked_pattern'
+                        WHEN path_depth > 6 THEN 'path_too_deep'
+                   END AS reject_reason
+            FROM a
         """,
         # hashed-linear quality classifier: token -> md5 bucket -> md5-seeded
         # weight -> mean -> sigmoid, all re-derived in SQL

@@ -331,3 +331,90 @@ def hashed_linear_quality(
         score.alias("score"),
         (score >= 0.5).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# URL quality filtering (domain blocklist + pattern rules)
+
+
+def url_quality_filter(
+    pages: DataFrame,
+    blocked_hosts: "list[str] | DataFrame | None" = None,
+    blocked_patterns: tuple[str, ...] = (),
+    max_path_depth: int = 12,
+    max_url_len: int = 2048,
+    url_col: str = "url",
+) -> DataFrame:
+    """The URL-level curation pass of a crawl pipeline (C4 / RefinedWeb /
+    UT1-blocklist style): annotate every row with (host, path_depth,
+    reject_reason) where reject_reason is the FIRST failing rule in
+    priority order — 'scheme' (not http/https), 'url_too_long',
+    'blocked_host' (the host or ANY parent domain is blocklisted),
+    'blocked_pattern' (url matches a rule regex), 'path_too_deep' — or
+    NULL for keepers. Original columns pass through.
+
+    Blocklist matching is by domain suffix: host "ads.tracker.example"
+    is caught by entry "tracker.example". Two shapes:
+      * ``blocked_hosts`` as a python list -> the suffix check rides the
+        plan as ``arrays_overlap`` with a literal array — zero joins,
+        zero shuffles (right for config-sized lists, and SQL-exact for
+        the driver oracle);
+      * as a DataFrame (column ``blocked_host``) -> the host's label
+        suffixes (bounded by label count, ~6) explode and equi-join the
+        BROADCAST blocklist — the UT1-at-scale shape (millions of
+        entries still broadcast; past that the same equi-join shuffles),
+        never a LIKE-suffix cross-join.
+    """
+    url = F.col(url_col)
+    host = F.lower(F.regexp_extract(url, r"^https?://([^/:?#]+)", 1))
+    after_authority = F.regexp_replace(
+        url, r"^[a-z][a-z0-9+.\-]*://[^/]*", ""
+    )
+    depth = F.size(F.split(after_authority, "/")) - 1
+    base = pages.withColumn("host", host).withColumn("path_depth", depth)
+
+    labels = F.split(F.col("host"), r"\.")
+    suffixes = F.transform(
+        F.sequence(F.lit(0), F.size(labels) - 1),
+        lambda i: F.array_join(
+            F.slice(labels, i + 1, F.size(labels) - i), "."
+        ),
+    )
+    if blocked_hosts is None:
+        is_blocked = F.lit(False)
+    elif isinstance(blocked_hosts, DataFrame):
+        hits = (
+            base.select(F.col(url_col).alias("_bu"), F.explode(suffixes).alias("_sfx"))
+            .join(
+                F.broadcast(blocked_hosts.select(F.col("blocked_host").alias("_sfx"))),
+                "_sfx",
+            )
+            .select("_bu")
+            .distinct()
+            .withColumn("_is_blocked", F.lit(True))
+        )
+        base = base.join(
+            hits.withColumnRenamed("_bu", url_col), url_col, "left"
+        )
+        is_blocked = F.coalesce(F.col("_is_blocked"), F.lit(False))
+    else:
+        is_blocked = F.arrays_overlap(
+            suffixes, F.lit([str(h) for h in blocked_hosts])
+        )
+
+    pattern_hit = F.lit(False)
+    for p in blocked_patterns:
+        pattern_hit = pattern_hit | url.rlike(p)
+
+    reason = (
+        F.when(~url.rlike(r"^https?://"), F.lit("scheme"))
+        .when(F.length(url) > max_url_len, F.lit("url_too_long"))
+        .when(is_blocked, F.lit("blocked_host"))
+        .when(pattern_hit, F.lit("blocked_pattern"))
+        .when(F.col("path_depth") > max_path_depth, F.lit("path_too_deep"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    out = base.withColumn("reject_reason", reason)
+    if "_is_blocked" in out.columns:
+        out = out.drop("_is_blocked")
+    return out

@@ -236,3 +236,53 @@ class TestHashedLinearQuality:
         df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
         with pytest.raises(ValueError):
             cu.hashed_linear_quality(df, n_buckets=8, weights=[1.0, 2.0])
+
+
+class TestUrlQualityFilter:
+    ROWS = [
+        (0, "https://ok.example/a/b.html"),
+        (1, "https://ads.tracker.example/x"),       # subdomain of blocked
+        (2, "https://tracker.example/x"),           # exact blocked
+        (3, "https://nontracker.example/x"),        # suffix must NOT match
+        (4, "ftp://tracker.example/x"),             # scheme outranks host
+        (5, "https://ok.example/p?utm_source=a"),
+        (6, "https://ok.example/" + "a/" * 13 + "x"),
+    ]
+
+    def _expect(self):
+        return {
+            0: None,
+            1: "blocked_host",
+            2: "blocked_host",
+            3: None,
+            4: "scheme",
+            5: "blocked_pattern",
+            6: "path_too_deep",
+        }
+
+    def test_list_blocklist_and_priorities(self, spark):
+        df = spark.createDataFrame(self.ROWS, "doc_id long, url string")
+        got = {
+            r["doc_id"]: r["reject_reason"]
+            for r in cu.url_quality_filter(
+                df,
+                blocked_hosts=["tracker.example"],
+                blocked_patterns=[r"[?&]utm_"],
+            ).collect()
+        }
+        assert got == self._expect()
+
+    def test_dataframe_blocklist_matches_list_path(self, spark):
+        df = spark.createDataFrame(self.ROWS, "doc_id long, url string")
+        bl = spark.createDataFrame(
+            [("tracker.example",)], "blocked_host string"
+        )
+        got = {
+            r["doc_id"]: (r["reject_reason"], r["url"])
+            for r in cu.url_quality_filter(
+                df, blocked_hosts=bl, blocked_patterns=[r"[?&]utm_"]
+            ).collect()
+        }
+        assert {k: v[0] for k, v in got.items()} == self._expect()
+        # original columns pass through untouched
+        assert got[0][1] == self.ROWS[0][1]
