@@ -1011,6 +1011,10 @@ def _g_triangles(spark, sf):  # degree-oriented triangle counting
     return gr.triangle_counts(_derived_edges(spark, sf))
 
 
+def _g_hits(spark, sf):  # HITS hubs/authorities, L1-normalized, top-50
+    return gr.hits_topk(gr.hits(_derived_edges(spark, sf), iters=2), 50)
+
+
 def _g_components(spark, sf):  # iterative min-label connected components
     # structured graph with closed-form components: clusters of 4
     # consecutive ids (each id -> its cluster base) plus a bridge edge at
@@ -1089,6 +1093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_degree_topk": _g_degree_topk,
         "g_triangles": _g_triangles,
         "g_pagerank": _g_pagerank,
+        "g_hits": _g_hits,
         "g_components": _g_components,
         "g_two_hop": _g_two_hop,
         "f6_issue_keys": _f6_issue_keys,
@@ -1106,11 +1111,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a1_rollup": _a1_rollup,
         "o1_recency_boost": _o1_recency_boost,
         "w1_topk_per_type": _w1_topk_per_type,
-        "w4_candidate_cap": _w4_candidate_cap,
-        "p3_date_filter": _p3_date_filter,
-        "p5_phrase_filter": _p5_phrase_filter,
-        "s3_glob_filter": _s3_glob_filter,
-        "j3_union_dedup": _j3_union_dedup,
         "u5_bm25": _u5_bm25,
         "flagship_search": _flagship_search,
         "w2_rerank_topk": _w2_rerank_topk,
@@ -1135,11 +1135,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_knn_ivf": _s_knn_ivf,
         "t_winnow": _t_winnow,
         "d_embedding_neardup": _d_embedding_neardup,
-        "a6_rollup_sets": _a6_rollup_sets,
         "m_binary_meta": _m_binary_meta,
         "m_decode_features": _m_decode_features,
-        # -- rotated to the tail: three-rounds driver-green scalar rows,
-        #    still verified every run by the full local oracle gate --
+        # -- rotated to the tail: three-plus-rounds driver-green scalar /
+        #    simple-filter rows whose family keeps another in-window
+        #    representative; still verified every run by the full local
+        #    oracle gate (scripts/check_oracles.py via pytest) --
+        "a6_rollup_sets": _a6_rollup_sets,
+        "w4_candidate_cap": _w4_candidate_cap,
+        "p3_date_filter": _p3_date_filter,
+        "p5_phrase_filter": _p5_phrase_filter,
+        "s3_glob_filter": _s3_glob_filter,
+        "j3_union_dedup": _j3_union_dedup,
         "f1_tokenize": _f1_tokenize,
         "f2_line_stats": _f2_line_stats,
         "f5_stopword_filter": _f5_stopword_filter,
@@ -2147,6 +2154,37 @@ def oracle_sql() -> dict[str, str]:
         ) + """
         SELECT node, round(rank, 6) AS rank FROM r3
         ORDER BY round(rank, 6) DESC, node ASC LIMIT 50
+        """,
+        # HITS unrolled for 2 iterations, L1-normalized per half-step —
+        # the independent SQL re-derivation of the iterative operator.
+        # Same derived edge set; hub_0 uniform 1/N.
+        "g_hits": _GRAPH_EDGES_SQL + """,
+        nodes AS (SELECT DISTINCT node FROM (
+            SELECT src AS node FROM edges
+            UNION ALL SELECT dst FROM edges)),
+        nn AS (SELECT COUNT(*)::DOUBLE AS n FROM nodes),
+        h0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS hub FROM nodes)
+        """ + "".join(
+            f""",
+        ar{i} AS (SELECT e.dst AS node, SUM(h.hub) AS raw
+                  FROM edges e JOIN h{i - 1} h ON h.node = e.src
+                  GROUP BY e.dst),
+        a{i} AS (SELECT nd.node,
+                        COALESCE(ar{i}.raw, 0.0)
+                        / (SELECT SUM(raw) FROM ar{i}) AS auth
+                 FROM nodes nd LEFT JOIN ar{i} ON nd.node = ar{i}.node),
+        hr{i} AS (SELECT e.src AS node, SUM(a.auth) AS raw
+                  FROM edges e JOIN a{i} a ON a.node = e.dst
+                  GROUP BY e.src),
+        h{i} AS (SELECT nd.node,
+                        COALESCE(hr{i}.raw, 0.0)
+                        / (SELECT SUM(raw) FROM hr{i}) AS hub
+                 FROM nodes nd LEFT JOIN hr{i} ON nd.node = hr{i}.node)"""
+            for i in (1, 2)
+        ) + """
+        SELECT a2.node, round(h2.hub, 6) AS hub, round(a2.auth, 6) AS auth
+        FROM a2 JOIN h2 ON a2.node = h2.node
+        ORDER BY round(a2.auth, 6) DESC, a2.node ASC LIMIT 50
         """,
         "g_degree_topk": _GRAPH_EDGES_SQL + """
         SELECT dst AS node, COUNT(*) AS degree FROM edges

@@ -59,6 +59,7 @@ HEADLINE = [
     "d_semdedup",
     "t_quality_model",
     "g_triangles",
+    "g_hits",
     "incr_change_detect",
 ]
 

@@ -379,3 +379,95 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     return corners.groupBy("node").agg(
         F.count(F.lit(1)).alias("n_triangles")
     )
+
+
+def hits(
+    edges: DataFrame,
+    iters: int = 5,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """HITS hubs & authorities -> (node, hub, auth), L1-normalized.
+
+    The second classic link-analysis signal beside PageRank (reference has
+    neither — its ranking is chunk-level BM25/cosine, search.py:418-470;
+    on a web corpus hub/authority scores separate link-directory pages
+    from genuinely-cited content, a standard curation feature).
+
+    Semantics (pinned for the SQL oracle), per iteration t = 1..iters:
+      a_raw(v) = sum_{u->v} hub_{t-1}(u);  auth_t = a_raw / sum(a_raw)
+      h_raw(u) = sum_{u->v} auth_t(v);     hub_t  = h_raw / sum(h_raw)
+    with hub_0 = 1/N uniform. L1 (not the textbook L2) normalization keeps
+    every step a plain SUM — exactly re-derivable in ANSI SQL without
+    sqrt-of-sum-of-squares float-order sensitivity; the induced RANKING is
+    identical (both norms are positive scalars per half-step).
+
+    100 TB shape: each half-step is one equi-join of the edge relation with
+    a node-sized score relation + a map-side-combined sum — the same
+    shuffle as one PageRank iteration, twice per round. The normalizer
+    stays IN THE PLAN as a 1-row aggregate broadcast-cross-joined onto the
+    update (never a driver collect). Raw per-direction sums are node-sized
+    and lineage-cut once per half-step, so the total agg and the rejoin
+    both read the materialized relation and plans stay O(1) deep.
+
+    sum(a_raw) is structurally positive (hub mass only ever sits on nodes
+    with out-edges, and the uniform start puts mass everywhere), so the
+    division cannot hit zero on a non-empty edge set.
+    """
+    edges = cut_lineage(
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+    )
+    nodes = cut_lineage(
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.select(
+            "node", F.lit(0.0).alias("hub"), F.lit(0.0).alias("auth")
+        )
+    hubs = nodes.select("node", F.lit(1.0 / n).alias("hub"))
+    auths = nodes.select("node", F.lit(0.0).alias("auth"))
+    for _ in range(iters):
+        a_raw = cut_lineage(  # read twice: the total agg + the rejoin
+            edges.join(hubs, edges["src"] == hubs["node"])
+            .groupBy("dst")
+            .agg(F.sum("hub").alias("raw"))
+        )
+        a_tot = a_raw.agg(F.sum("raw").alias("_tot"))
+        auths = (
+            nodes.join(a_raw, nodes["node"] == a_raw["dst"], "left")
+            .crossJoin(F.broadcast(a_tot))
+            .select(
+                "node",
+                (F.coalesce(F.col("raw"), F.lit(0.0)) / F.col("_tot"))
+                .alias("auth"),
+            )
+        )
+        h_raw = cut_lineage(
+            edges.join(auths, edges["dst"] == auths["node"])
+            .groupBy("src")
+            .agg(F.sum("auth").alias("raw"))
+        )
+        h_tot = h_raw.agg(F.sum("raw").alias("_tot"))
+        hubs = (
+            nodes.join(h_raw, nodes["node"] == h_raw["src"], "left")
+            .crossJoin(F.broadcast(h_tot))
+            .select(
+                "node",
+                (F.coalesce(F.col("raw"), F.lit(0.0)) / F.col("_tot"))
+                .alias("hub"),
+            )
+        )
+    return auths.join(hubs, "node").select("node", "hub", "auth")
+
+
+def hits_topk(scores: DataFrame, k: int) -> DataFrame:
+    """Top-k by (rounded) authority with node tiebreak; round-before-sort
+    for the same cross-engine cutoff robustness as :func:`rank_topk`."""
+    r = scores.select(
+        "node", F.round("hub", 6).alias("hub"), F.round("auth", 6).alias("auth")
+    )
+    return r.orderBy(F.col("auth").desc(), F.col("node").asc()).limit(k)

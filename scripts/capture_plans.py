@@ -74,6 +74,10 @@ CAPTURE = [
      "are lineage-cut (scanned as checkpointed RDDs, each computed once); "
      "wedge + closing joins are equi-joins, corner union aggregates "
      "map-side"),
+    ("g_hits", "per half-step: one edge/score equi-join + partial-agg sum "
+     "into a lineage-cut node-sized relation; the L1 normalizer is a 1-row "
+     "aggregate BroadcastNestedLoopJoin'd (broadcast cross) into the "
+     "update — no driver collect, plan depth O(1) in iterations"),
 ]
 
 

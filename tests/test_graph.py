@@ -603,3 +603,68 @@ class TestTriangles:
         rows = [(0, i) for i in range(1, 50)]
         df = spark.createDataFrame(rows, "src long, dst long")
         assert G.triangle_counts(df).count() == 0
+
+
+def _python_hits(edges, iters):
+    """Plain-python HITS with L1 normalization — the pinned semantics of
+    operators/graph.hits, independently re-derived."""
+    nodes = sorted({u for e in edges for u in e})
+    n = len(nodes)
+    hub = {v: 1.0 / n for v in nodes}
+    auth = {v: 0.0 for v in nodes}
+    for _ in range(iters):
+        a_raw = {v: 0.0 for v in nodes}
+        for s, t in edges:
+            a_raw[t] += hub[s]
+        tot = sum(a_raw.values())
+        auth = {v: a_raw[v] / tot for v in nodes}
+        h_raw = {v: 0.0 for v in nodes}
+        for s, t in edges:
+            h_raw[s] += auth[t]
+        tot = sum(h_raw.values())
+        hub = {v: h_raw[v] / tot for v in nodes}
+    return hub, auth
+
+
+class TestHits:
+    # hub node 0 points at three authorities; chain + a reciprocal pair;
+    # node 4 has in-edges only (pure authority), 0 out-edges only (pure hub)
+    EDGES = [
+        (0, 1), (0, 2), (0, 3),
+        (1, 2), (2, 4), (3, 4),
+        (5, 6), (6, 5),
+    ]
+
+    @pytest.mark.parametrize("iters", [1, 4])
+    def test_matches_python_oracle(self, spark, iters):
+        edges = spark.createDataFrame(self.EDGES, "src long, dst long")
+        rows = G.hits(edges, iters=iters).collect()
+        want_hub, want_auth = _python_hits(self.EDGES, iters)
+        got_hub = {r["node"]: r["hub"] for r in rows}
+        got_auth = {r["node"]: r["auth"] for r in rows}
+        assert set(got_hub) == set(want_hub)
+        for v in want_hub:
+            assert got_hub[v] == pytest.approx(want_hub[v], abs=1e-12), v
+            assert got_auth[v] == pytest.approx(want_auth[v], abs=1e-12), v
+
+    def test_l1_normalized_and_roles(self, spark):
+        edges = spark.createDataFrame(self.EDGES, "src long, dst long")
+        rows = G.hits(edges, iters=3).collect()
+        assert sum(r["hub"] for r in rows) == pytest.approx(1.0, abs=1e-9)
+        assert sum(r["auth"] for r in rows) == pytest.approx(1.0, abs=1e-9)
+        by = {r["node"]: r for r in rows}
+        assert by[0]["auth"] == 0.0  # no in-edges -> pure hub
+        assert by[0]["hub"] > 0.0
+        assert by[4]["hub"] == 0.0  # no out-edges -> pure authority
+        assert by[4]["auth"] > 0.0
+
+    def test_empty_graph(self, spark):
+        edges = spark.createDataFrame([], "src long, dst long")
+        assert G.hits(edges, iters=2).count() == 0
+
+    def test_topk_deterministic(self, spark):
+        edges = spark.createDataFrame(self.EDGES, "src long, dst long")
+        top = G.hits_topk(G.hits(edges, iters=2), 3).collect()
+        assert len(top) == 3
+        auths = [r["auth"] for r in top]
+        assert auths == sorted(auths, reverse=True)
