@@ -29,6 +29,7 @@ from chunksilo_spark.functions.textstats import (
     STOPWORDS,
     ws_tokens_split,
 )
+from chunksilo_spark.operators import cooccur as co
 from chunksilo_spark.operators import curation as cu
 from chunksilo_spark.operators import dedup as dd
 from chunksilo_spark.operators import export as ex
@@ -1015,6 +1016,64 @@ def _g_hits(spark, sf):  # HITS hubs/authorities, L1-normalized, top-50
     return gr.hits_topk(gr.hits(_derived_edges(spark, sf), iters=2), 50)
 
 
+def _g_anchor_aliases(spark, sf):  # anchor-text alias candidates per target
+    # synthesized text-bearing anchors exercising tag-strip + ws-collapse +
+    # lowercase + empty-anchor drop; the oracle derives each branch's
+    # cleaned anchor ANALYTICALLY (never runs the regexes)
+    docs = _t(spark, sf, "documents").select("doc_id")
+    d = F.col("doc_id")
+    k = (d % 50).cast("string")
+    variant = (
+        F.when(
+            d % 3 == 2, F.concat(F.lit("The  Entity\n"), k)
+        ).otherwise(F.concat(F.lit("Entity <b>"), k, F.lit("</b>")))
+    )
+    html = F.concat(
+        F.lit('<p>see <a href="https://kb.example/e/'), k, F.lit('">'),
+        variant, F.lit('</a> and <a href="/nav.html"></a></p>'),
+    )
+    pages = docs.select(
+        F.concat(
+            F.lit("https://site"), (d % 7).cast("string"),
+            F.lit(".example/p/"), d.cast("string"), F.lit(".html"),
+        ).alias("url"),
+        html.alias("html"),
+    )
+    out = gr.alias_candidates(gr.anchor_edges(pages), k=2)
+    return out.select(
+        "dst", "anchor", "n_refs", "n_srcs", F.col("rank").cast("long").alias("rank")
+    )
+
+
+def _derived_mentions(spark, sf):
+    """Synthetic (url=doc_id, entity_id) mention rows — same analytic
+    function of doc_id in the SQL oracle. Two base entities per doc (which
+    may coincide — exercises the distinct) + a hub entity in every 5th
+    doc (ubiquity-vs-association coverage) + a deliberate duplicate row."""
+    docs = _t(spark, sf, "documents").select("doc_id")
+    d = F.col("doc_id")
+    e1 = docs.select(d.alias("url"), (d % 40).cast("long").alias("entity_id"))
+    e2 = docs.select(
+        d.alias("url"), ((d / 3).cast("long") % 40).alias("entity_id")
+    )
+    hub = docs.where(d % 5 == 0).select(
+        d.alias("url"), F.lit(40).cast("long").alias("entity_id")
+    )
+    dup = docs.where(d % 7 == 0).select(
+        d.alias("url"), (d % 40).cast("long").alias("entity_id")
+    )
+    return e1.union(e2).union(hub).union(dup)
+
+
+def _kg_cooccur_pmi(spark, sf):  # entity co-occurrence + (N)PMI weights
+    return co.cooccurrence_pmi(
+        _derived_mentions(spark, sf), ctx_col="url", ent_col="entity_id"
+    ).select(
+        "a", "b", "n_pair", "n_a", "n_b",
+        F.round("pmi", 6).alias("pmi"), F.round("npmi", 6).alias("npmi"),
+    )
+
+
 def _g_components(spark, sf):  # iterative min-label connected components
     # structured graph with closed-form components: clusters of 4
     # consecutive ids (each id -> its cluster base) plus a bridge edge at
@@ -1094,6 +1153,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_triangles": _g_triangles,
         "g_pagerank": _g_pagerank,
         "g_hits": _g_hits,
+        "g_anchor_aliases": _g_anchor_aliases,
+        "kg_cooccur_pmi": _kg_cooccur_pmi,
         "g_components": _g_components,
         "g_two_hop": _g_two_hop,
         "f6_issue_keys": _f6_issue_keys,
@@ -1105,7 +1166,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": _q1_pricing_summary,
         "j1_new_keys": _j1_new_keys,
         "incr_change_detect": _incr_change_detect,
-        "q3_shipping_priority": _q3_shipping_priority,
         "q5_local_supplier": _q5_local_supplier,
         "e_sessionize": _e_sessionize,
         "a1_rollup": _a1_rollup,
@@ -1136,11 +1196,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_winnow": _t_winnow,
         "d_embedding_neardup": _d_embedding_neardup,
         "m_binary_meta": _m_binary_meta,
-        "m_decode_features": _m_decode_features,
         # -- rotated to the tail: three-plus-rounds driver-green scalar /
         #    simple-filter rows whose family keeps another in-window
         #    representative; still verified every run by the full local
         #    oracle gate (scripts/check_oracles.py via pytest) --
+        "q3_shipping_priority": _q3_shipping_priority,
+        "m_decode_features": _m_decode_features,
         "a6_rollup_sets": _a6_rollup_sets,
         "w4_candidate_cap": _w4_candidate_cap,
         "p3_date_filter": _p3_date_filter,
@@ -2185,6 +2246,70 @@ def oracle_sql() -> dict[str, str]:
         SELECT a2.node, round(h2.hub, 6) AS hub, round(a2.auth, 6) AS auth
         FROM a2 JOIN h2 ON a2.node = h2.node
         ORDER BY round(a2.auth, 6) DESC, a2.node ASC LIMIT 50
+        """,
+        # co-occurrence PMI: mentions re-derived from doc_id (same analytic
+        # function as _derived_mentions), then the pinned count->ratio->ln
+        # formula; npmi NULL when the pair spans every context
+        "kg_cooccur_pmi": """
+            WITH raw AS (
+                SELECT doc_id AS ctx, (doc_id % 40)::BIGINT AS e FROM documents
+                UNION ALL
+                SELECT doc_id, ((doc_id // 3) % 40)::BIGINT FROM documents
+                UNION ALL
+                SELECT doc_id, 40 FROM documents WHERE doc_id % 5 = 0
+                UNION ALL
+                SELECT doc_id, (doc_id % 40)::BIGINT FROM documents
+                WHERE doc_id % 7 = 0
+            ),
+            m AS (SELECT DISTINCT ctx, e FROM raw),
+            nn AS (SELECT COUNT(DISTINCT ctx)::DOUBLE AS n FROM raw),
+            marg AS (SELECT e, COUNT(*) AS n_e FROM m GROUP BY e),
+            pairs AS (
+                SELECT l.e AS a, r.e AS b, COUNT(*) AS n_pair
+                FROM m l JOIN m r ON l.ctx = r.ctx AND l.e < r.e
+                GROUP BY l.e, r.e
+            )
+            SELECT a, b, n_pair, ma.n_e AS n_a, mb.n_e AS n_b,
+                   round(ln((n_pair / (SELECT n FROM nn))
+                            / ((ma.n_e / (SELECT n FROM nn))
+                               * (mb.n_e / (SELECT n FROM nn)))), 6) AS pmi,
+                   CASE WHEN n_pair / (SELECT n FROM nn) = 1.0 THEN NULL
+                        ELSE round(
+                            ln((n_pair / (SELECT n FROM nn))
+                               / ((ma.n_e / (SELECT n FROM nn))
+                                  * (mb.n_e / (SELECT n FROM nn))))
+                            / -ln(n_pair / (SELECT n FROM nn)), 6)
+                   END AS npmi
+            FROM pairs
+            JOIN marg ma ON pairs.a = ma.e
+            JOIN marg mb ON pairs.b = mb.e
+        """,
+        # anchor-alias rollup: each branch's CLEANED anchor is derived
+        # analytically per doc_id (the Spark side runs the generic regex
+        # extraction + tag-strip + collapse + lowercase algebra)
+        "g_anchor_aliases": """
+            WITH pairs AS (
+                SELECT 'https://site' || (doc_id % 7)::VARCHAR
+                       || '.example/p/' || doc_id::VARCHAR || '.html' AS src,
+                       'https://kb.example/e/' || (doc_id % 50)::VARCHAR AS dst,
+                       CASE WHEN doc_id % 3 = 2
+                            THEN 'the entity ' || (doc_id % 50)::VARCHAR
+                            ELSE 'entity ' || (doc_id % 50)::VARCHAR
+                       END AS anchor
+                FROM documents
+            ), counts AS (
+                SELECT dst, anchor, COUNT(*) AS n_refs,
+                       COUNT(DISTINCT src) AS n_srcs
+                FROM pairs GROUP BY dst, anchor
+            ), ranked AS (
+                SELECT dst, anchor, n_refs, n_srcs,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY dst
+                           ORDER BY n_refs DESC, anchor ASC) AS rank
+                FROM counts
+            )
+            SELECT dst, anchor, n_refs, n_srcs, rank
+            FROM ranked WHERE rank <= 2
         """,
         "g_degree_topk": _GRAPH_EDGES_SQL + """
         SELECT dst AS node, COUNT(*) AS degree FROM edges

@@ -113,3 +113,33 @@ def page_outlinks(base: str, html: str) -> list[str]:
             seen.add(url)
             out.append(url)
     return out
+
+
+# full text-bearing <a> elements. Same double-quoted-href scope as HREF_RE;
+# (?s) so anchor bodies spanning lines match; non-greedy body stops at the
+# first closing tag, so adjacent anchors never merge. Nested <a> (invalid
+# HTML) resolves as: inner anchors win their own body, the outer match ends
+# at the first </a>.
+ANCHOR_RE = r'(?s)<a\s[^>]*href\s*=\s*"([^"]*)"[^>]*>(.*?)</a>'
+_ANCHOR_C = re.compile(ANCHOR_RE)
+_TAG_C = re.compile(r"<[^>]*>")
+_WS_C = re.compile(r"\s+")
+
+
+def clean_anchor_text(raw: str) -> str:
+    """Pinned anchor-text normalization: inner tags -> space, whitespace
+    runs collapse to one space, trim, lowercase. Identical steps in the
+    Spark column twin (graph.anchor_edges) and the DuckDB oracle."""
+    return _WS_C.sub(" ", _TAG_C.sub(" ", raw)).strip().lower()
+
+
+def extract_anchors(html: str) -> list[tuple[str, str]]:
+    """(href, cleaned_anchor_text) pairs, document order; empty-text
+    anchors (attribute-only navigation/assets) are dropped — HREF_RE
+    still sees them, so the edge graph is unaffected."""
+    out: list[tuple[str, str]] = []
+    for href, body in _ANCHOR_C.findall(html):
+        text = clean_anchor_text(body)
+        if text:
+            out.append((href, text))
+    return out

@@ -471,3 +471,90 @@ def hits_topk(scores: DataFrame, k: int) -> DataFrame:
         "node", F.round("hub", 6).alias("hub"), F.round("auth", 6).alias("auth")
     )
     return r.orderBy(F.col("auth").desc(), F.col("node").asc()).limit(k)
+
+
+def anchor_edges(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    strict_utf8: bool = False,
+) -> DataFrame:
+    """Text-bearing anchors -> (src, dst, anchor), one row PER OCCURRENCE.
+
+    Column twin of ``functions/urls.extract_anchors`` + ``clean_anchor_text``
+    (pinned there): full ``<a ...>body</a>`` matches via
+    ``regexp_extract_all(..., 0)``, then per-element href/body extraction,
+    tag-strip, whitespace collapse, trim, lowercase — all JVM built-ins in
+    one codegen'd scan. Empty-text anchors (attribute-only nav/asset links)
+    drop here but still count in :func:`extract_outlinks`, so the edge
+    graph is unaffected. hrefs resolve through the same pinned URI algebra.
+
+    Occurrences are deliberately NOT de-duplicated: anchor frequency is the
+    signal :func:`alias_candidates` aggregates.
+    """
+    html_type = dict(pages.dtypes)[html_col]
+    if html_type == "string":
+        html = F.col(html_col)
+    else:
+        html = F.col(html_col).cast("string")
+        if strict_utf8:
+            pages = pages.where(F.is_valid_utf8(html))
+    matches = F.regexp_extract_all(html, F.lit(U.ANCHOR_RE), 0)
+    m = F.col("m")
+    body = F.regexp_extract(m, U.ANCHOR_RE, 2)
+    anchor = F.lower(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(body, r"<[^>]*>", " "), r"\s+", " "
+            )
+        )
+    )
+    return (
+        pages.select(F.col(url_col).alias("src"), F.explode(matches).alias("m"))
+        .select(
+            "src",
+            F.regexp_extract(m, U.ANCHOR_RE, 1).alias("href"),
+            anchor.alias("anchor"),
+        )
+        .where(F.col("anchor") != "")
+        .select(
+            "src",
+            resolve_href_col(F.col("src"), F.col("href")).alias("dst"),
+            "anchor",
+        )
+        .where(F.col("dst").isNotNull())
+    )
+
+
+def alias_candidates(anchors: DataFrame, k: int = 3) -> DataFrame:
+    """Per-target anchor-text rollup -> (dst, anchor, n_refs, n_srcs, rank),
+    top-``k`` anchors per dst by reference count.
+
+    The Wikipedia-anchor trick applied to the entity linker: what the web
+    calls a page IS its alias set, so the aggregated anchor texts of a url
+    feed stage 2's alias/embedding dictionary as candidate surface forms
+    (reference search.py:671-723 joins STATIC Jira/Confluence titles onto
+    keys — this derives the dictionary from the corpus instead).
+
+    100 TB shape: one groupBy (dst, anchor) with map-side partial counts
+    (count + distinct-src in the same shuffle), then a per-dst window over
+    the ALREADY-AGGREGATED relation — its cardinality is distinct anchor
+    strings per target, not link occurrences, so even a 10^8-in-degree
+    homepage hub reduces to its few thousand distinct anchors before the
+    window sees it. Ties break (n_refs desc, anchor asc): deterministic
+    cross-engine.
+    """
+    counts = anchors.groupBy("dst", "anchor").agg(
+        F.count(F.lit(1)).alias("n_refs"),
+        F.countDistinct("src").alias("n_srcs"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("dst").orderBy(
+        F.col("n_refs").desc(), F.col("anchor").asc()
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("dst", "anchor", "n_refs", "n_srcs", "rank")
+    )

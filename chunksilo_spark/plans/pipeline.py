@@ -15,6 +15,7 @@ Stage graph:
     linked ──(distinct surfaces)──> canon_map ────┴──> triples
     triples ──4──> nodes, edges, lineage
     pages ──5 (opt)──> outlinks ──> web_edges ──> web_rank   (link graph)
+                 └──> web_anchors ──> web_aliases       (anchor aliases)
 """
 
 from __future__ import annotations
@@ -75,14 +76,17 @@ def run_pipeline(
 ) -> dict[str, DataFrame]:
     """Run all four stages; returns the materialized DataFrames by name.
 
-    With ``link_graph`` three more tables materialize beside the entity
+    With ``link_graph`` five more tables materialize beside the entity
     graph: ``outlinks`` (row-level per page: every resolved href of the
     extractable pages — a pure function of each page, so incrementally
     maintainable by url), ``web_edges`` (outlinks restricted to crawled
     targets — GLOBAL: a new page can turn an old page's dead link into an
-    edge, so it rebuilds from the maintained inputs like triples), and
+    edge, so it rebuilds from the maintained inputs like triples),
     ``web_rank`` (PageRank over web_edges, rank rounded to 6dp so the
-    stored table is reproducible across partitionings)."""
+    stored table is reproducible across partitionings), ``web_anchors``
+    (row-level text-bearing anchors per page, maintainable by url), and
+    ``web_aliases`` (top-k anchor texts per target url — GLOBAL rollup of
+    web_anchors, the corpus-derived alias-candidate dictionary)."""
     store = TableStore(out_dir)
 
     documents = _materialize(
@@ -171,6 +175,17 @@ def run_pipeline(
         out["web_rank"] = _materialize(
             store, spark, "stage5_web_rank", "web_rank", fingerprint,
             lambda: _build_web_rank(web_edges, pagerank_iters), "node", resume,
+        )
+        web_anchors = _materialize(
+            store, spark, "stage5_web_anchors", "web_anchors", fingerprint,
+            lambda: g.anchor_edges(pages, strict_utf8=True)
+            .withColumnRenamed("src", "url"),
+            "url", resume,
+        )
+        out["web_anchors"] = web_anchors
+        out["web_aliases"] = _materialize(
+            store, spark, "stage5_web_aliases", "web_aliases", fingerprint,
+            lambda: _build_web_aliases(web_anchors), "dst", resume,
         )
 
     out["lineage"] = spark.read.parquet(store.path("lineage"))
@@ -311,6 +326,24 @@ def apply_increment(
                     "over the full corpus first"
                 )
             row_level.append(("outlinks", out_links))
+            if store.exists("web_anchors", spark):
+                anchors_tab = maintain(
+                    "web_anchors",
+                    g.anchor_edges(frontier_pages, strict_utf8=True)
+                    .withColumnRenamed("src", "url"),
+                )
+            elif delete_missing:
+                anchors_tab = g.anchor_edges(
+                    new_pages, strict_utf8=True
+                ).withColumnRenamed("src", "url")
+            else:
+                raise ValueError(
+                    "link_graph=True but no materialized 'web_anchors' "
+                    "table, and delta mode cannot bootstrap it from a "
+                    "partial batch — run run_pipeline(..., "
+                    "link_graph=True) once over the full corpus first"
+                )
+            row_level.append(("web_anchors", anchors_tab))
 
         # row-level tables replace in dependency order (replace() stages to a
         # side dir first, so the old contents feeding the plans stay readable)
@@ -344,7 +377,9 @@ def apply_increment(
         store.replace(_build_web_edges(outlinks_v2, docs_v2), "web_edges")
         web_edges_v2 = store.read(spark, "web_edges")
         store.replace(_build_web_rank(web_edges_v2, pagerank_iters), "web_rank")
-        global_tables += ["web_edges", "web_rank"]
+        anchors_v2 = store.read(spark, "web_anchors")
+        store.replace(_build_web_aliases(anchors_v2), "web_aliases")
+        global_tables += ["web_edges", "web_rank", "web_aliases"]
     for name in global_tables:
         store.mark_complete(f"incr_{name}", fingerprint, table=name)
 
@@ -353,7 +388,8 @@ def apply_increment(
         "raw_triples", "canon_map", "triples", "nodes", "edges",
     ]
     if link_graph:
-        names += ["outlinks", "web_edges", "web_rank"]
+        names += ["outlinks", "web_edges", "web_rank", "web_anchors",
+                  "web_aliases"]
     out = {name: store.read(spark, name) for name in names}
     out["linked"] = store.read(spark, "linked_mentions")  # run_pipeline's key
     return out
@@ -369,6 +405,20 @@ def _build_web_edges(outlinks: DataFrame, documents: DataFrame) -> DataFrame:
     return restrict_to_targets(
         outlinks.select(F.col("url").alias("src"), "dst"),
         documents.select("url"),
+    )
+
+
+def _build_web_aliases(web_anchors: DataFrame, k: int = 3) -> DataFrame:
+    """Anchor-text alias candidates: top-k anchors per target url
+    (graph.alias_candidates over the row-level web_anchors table). The
+    corpus-derived complement of the broadcast alias dictionary —
+    candidate surface forms for entities whose home urls the crawl links
+    to. Unlike web_edges this is NOT restricted to crawled urls: the whole
+    point is naming things the crawl points AT (kb-style targets)."""
+    from ..operators.graph import alias_candidates
+
+    return alias_candidates(
+        web_anchors.withColumnRenamed("url", "src"), k=k
     )
 
 

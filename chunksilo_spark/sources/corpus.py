@@ -25,7 +25,8 @@ from dataclasses import dataclass
 SEED = 42
 # bump when generated page BYTES change (bench keys its staged-parquet
 # cache on this, so a stale /tmp staging never serves an old corpus)
-CORPUS_VERSION = 2
+CORPUS_VERSION = 3
+ANCHOR_WRAP_FRACTION = 0.5  # fact-sentence subjects wrapped in entity-home <a>
 N_ENTITIES = 500
 HUB_ENTITY_ID = 0
 HUB_DOC_FRACTION = 0.30
@@ -108,8 +109,11 @@ def _noise_sentence(rng: random.Random, words: list[str]) -> str:
     return " ".join(rng.choice(words) for _ in range(n)) + "."
 
 
-def _fact_sentence(rng: random.Random, pool: list[list[str]]) -> tuple[str, tuple[int, str, int]]:
-    """A sentence carrying exactly one triple; returns (sentence, (se, pred, oe))."""
+def _fact_sentence(
+    rng: random.Random, pool: list[list[str]]
+) -> tuple[str, tuple[int, str, int], str]:
+    """A sentence carrying exactly one triple; returns
+    (sentence, (se, pred, oe), subject_surface)."""
     if rng.random() < HUB_DOC_FRACTION:
         subj_e = HUB_ENTITY_ID
     else:
@@ -123,6 +127,7 @@ def _fact_sentence(rng: random.Random, pool: list[list[str]]) -> tuple[str, tupl
     return (
         f"{subj_a} {RELATION_PHRASES[pred]} {obj_a}.",
         (subj_e, pred, obj_e),
+        subj_a,
     )
 
 
@@ -135,6 +140,20 @@ def _link_rng(page_id: int) -> random.Random:
     # SEPARATE stream for outlink generation so adding/changing the link
     # block never perturbs the draws behind the page's text content
     return random.Random((SEED << 33) ^ (page_id * 0xC2B2AE3D27D4EB4F & 0xFFFFFFFFFFFFFFFF))
+
+
+def _anchor_rng(page_id: int) -> random.Random:
+    # third separated stream: content-anchor wrap decisions (entity-home
+    # <a> around fact-sentence subjects) never perturb text or link draws
+    return random.Random((SEED << 34) ^ (page_id * 0xA24BAED4963EE407 & 0xFFFFFFFFFFFFFFFF))
+
+
+def entity_page_url(entity_id: int) -> str:
+    """KB-style home url of an entity — the dst the corpus's content
+    anchors point at. Outside the crawl's page universe by design (like
+    Wikipedia links from a web crawl): crawl_edges' semi-join drops these,
+    while anchor_edges/alias_candidates harvest them."""
+    return f"https://kb.example/entity/{entity_id}"
 
 
 def page_url(page_id: int) -> str:
@@ -188,10 +207,15 @@ def generate_page(
     The returned dict also carries 'gt_triples': [(subj_eid, pred, obj_eid)]
     — used only by tests/oracles, never by the pipeline. The page body
     embeds the outlink anchors from ``page_outlink_hrefs`` as EMPTY
-    ``<a href="..."></a>`` elements: the extractor ignores attribute-only
-    tags, so extracted text is byte-identical with or without them (link
-    graph and text pipeline stay independent — pinned by test_graph)."""
+    ``<a href="..."></a>`` elements, and ~half the fact-sentence subjects
+    are wrapped in-place in TEXT-BEARING entity-home anchors
+    (``entity_page_url``): the extractor strips tags and keeps inline
+    text, so extracted text is byte-identical with links=True/False
+    either way (link graph and text pipeline stay independent — pinned
+    by test_graph), while anchor_edges/alias_candidates harvest real
+    (entity url, alias surface) pairs."""
     rng = _page_rng(page_id)
+    arng = _anchor_rng(page_id)
     site = rng.randrange(200)
     slug = "-".join(rng.choice(_NOISE_WORDS) for _ in range(3))
     url = f"https://site{site}.example/{slug}-{page_id}"
@@ -218,8 +242,19 @@ def generate_page(
         sentences = []
         for _ in range(rng.randint(2, 5)):
             if lang == "en" and rng.random() < 0.55:
-                sent, triple = _fact_sentence(rng, pool)
+                sent, triple, subj_a = _fact_sentence(rng, pool)
                 gt.append(triple)
+                # wrap the subject surface in an entity-home anchor
+                # (Wikipedia-style content link): the tag strips out of
+                # extracted text byte-identically, while anchor_edges /
+                # alias_candidates harvest (kb url, surface) pairs. arng
+                # is a separate stream — text and link draws unperturbed.
+                if links and arng.random() < ANCHOR_WRAP_FRACTION:
+                    href = entity_page_url(triple[0])
+                    sent = (
+                        f'<a href="{href}">{subj_a}</a>'
+                        + sent[len(subj_a):]
+                    )
             else:
                 sent = _noise_sentence(rng, noise_words)
             sentences.append(sent)

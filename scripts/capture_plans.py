@@ -78,6 +78,14 @@ CAPTURE = [
      "into a lineage-cut node-sized relation; the L1 normalizer is a 1-row "
      "aggregate BroadcastNestedLoopJoin'd (broadcast cross) into the "
      "update — no driver collect, plan depth O(1) in iterations"),
+    ("g_anchor_aliases", "anchor harvest: one codegen'd regex scan + ONE "
+     "shuffle for the (dst, anchor) count-agg (count + distinct-src in the "
+     "same groupBy); the per-dst window reads the already-aggregated "
+     "relation, so hub targets reduce to their distinct anchors first"),
+    ("kg_cooccur_pmi", "pair relation is a ctx equi-join of the distinct "
+     "mention relation with itself (fan-out k^2 per context, never "
+     "corpus-sized); pair counts partial-aggregate map-side; marginals "
+     "join back BROADCAST; N is a 1-row broadcast cross-join"),
 ]
 
 

@@ -417,7 +417,8 @@ class TestLinkGraphPipeline:
         got1 = run_pipeline(
             spark, v1, aliases, state, fingerprint="v1", link_graph=True
         )
-        assert set(got1) >= {"outlinks", "web_edges", "web_rank"}
+        assert set(got1) >= {"outlinks", "web_edges", "web_rank",
+                             "web_anchors", "web_aliases"}
         e1 = got1["web_edges"].count()  # before the increment swaps the files
         inc = apply_increment(
             spark, v2, aliases, state, fingerprint="v2", link_graph=True
@@ -425,7 +426,8 @@ class TestLinkGraphPipeline:
         want = run_pipeline(
             spark, v2, aliases, scratch, fingerprint="v2", link_graph=True
         )
-        for table in ("outlinks", "web_edges", "web_rank"):
+        for table in ("outlinks", "web_edges", "web_rank",
+                      "web_anchors", "web_aliases"):
             a = sorted((tuple(r) for r in inc[table].collect()), key=repr)
             b = sorted((tuple(r) for r in want[table].collect()), key=repr)
             assert a == b, table
@@ -543,7 +545,8 @@ class TestLinkGraphBootstrap:
         want = run_pipeline(
             spark, v2, aliases, scratch, fingerprint="v2", link_graph=True
         )
-        for table in ("outlinks", "web_edges", "web_rank"):
+        for table in ("outlinks", "web_edges", "web_rank",
+                      "web_anchors", "web_aliases"):
             a = sorted((tuple(r) for r in inc[table].collect()), key=repr)
             b = sorted((tuple(r) for r in want[table].collect()), key=repr)
             assert a == b, table
@@ -668,3 +671,122 @@ class TestHits:
         assert len(top) == 3
         auths = [r["auth"] for r in top]
         assert auths == sorted(auths, reverse=True)
+
+
+ANCHOR_HTML = [
+    # (url, html)
+    ("https://s.example/d/p1.html",
+     '<p><a href="https://t.example/acme">Acme  <b>Systems</b>\n</a> intro '
+     '<a href="/e/acme">ACME</a> <a href="nav.html"></a>'
+     '<a href="mailto:x@y.z">mail me</a></p>'),
+    ("https://s.example/d/p2.html",
+     '<a href="../e/acme">acme</a><a href="https://t.example/acme">Acme '
+     'Systems</a><a\nhref="https://t.example/z">z &amp; co</a>'),
+    ("https://s.example",  # path-less base: relative hrefs must drop
+     '<a href="x.html">lost</a> <a href="https://t.example/abs">Abs</a>'),
+]
+
+
+class TestAnchors:
+    def _pages(self, spark):
+        return spark.createDataFrame(ANCHOR_HTML, "url string, html string")
+
+    def test_column_twin_matches_kernel(self, spark):
+        got = sorted(
+            (r["src"], r["dst"], r["anchor"])
+            for r in G.anchor_edges(self._pages(spark)).collect()
+        )
+        want = []
+        for url, html in ANCHOR_HTML:
+            for href, text in U.extract_anchors(html):
+                dst = U.resolve_href(url, href)
+                if dst is not None:
+                    want.append((url, dst, text))
+        assert got == sorted(want)
+        # spot pins: inner tags stripped + ws collapsed + lowercased;
+        # mailto dropped; empty-text anchor dropped; path-less base keeps
+        # only the absolute href
+        assert ("https://s.example/d/p1.html", "https://t.example/acme",
+                "acme systems") in got
+        assert ("https://s.example", "https://t.example/abs", "abs") in got
+        assert not any(s == "https://s.example" and d != "https://t.example/abs"
+                       for s, d, _ in got)
+
+    def test_occurrences_not_deduped(self, spark):
+        pages = spark.createDataFrame(
+            [("https://s.example/p.html",
+              '<a href="/x">e1</a><a href="/x">e1</a><a href="/x">e2</a>')],
+            "url string, html string",
+        )
+        rows = G.anchor_edges(pages).collect()
+        assert len(rows) == 3
+
+    def test_alias_candidates_topk(self, spark):
+        pages = spark.createDataFrame(
+            [(f"https://s.example/p{i}.html",
+              '<a href="https://t.example/e">%s</a>'
+              % ("Acme Corp" if i % 3 else "ACME"))
+             for i in range(9)],
+            "url string, html string",
+        )
+        out = G.alias_candidates(G.anchor_edges(pages), k=2).collect()
+        by_rank = {r["rank"]: r for r in out}
+        assert len(out) == 2
+        assert by_rank[1]["anchor"] == "acme corp"
+        assert by_rank[1]["n_refs"] == 6 and by_rank[1]["n_srcs"] == 6
+        assert by_rank[2]["anchor"] == "acme" and by_rank[2]["n_refs"] == 3
+
+    def test_alias_candidates_tie_break(self, spark):
+        pages = spark.createDataFrame(
+            [("https://s.example/a.html",
+              '<a href="/t">beta</a><a href="/t">alpha</a>')],
+            "url string, html string",
+        )
+        out = G.alias_candidates(G.anchor_edges(pages), k=1).collect()
+        assert len(out) == 1 and out[0]["anchor"] == "alpha"
+
+
+class TestCorpusAnchorAliases:
+    N = 80
+
+    def test_harvested_candidates_are_true_aliases(self, spark):
+        """The corpus wraps ~half the fact-sentence subjects in entity-home
+        anchors; harvesting alias_candidates over the crawl must recover
+        ONLY true aliases (lowercased pool surfaces) for each kb url."""
+        from chunksilo_spark.sources.corpus import build_entity_pool, pages_df
+
+        pool = build_entity_pool()
+        cands = G.alias_candidates(
+            G.anchor_edges(pages_df(spark, self.N), strict_utf8=True), k=3
+        ).collect()
+        assert len(cands) > 10  # the corpus really carries the signal
+        for r in cands:
+            assert r["dst"].startswith("https://kb.example/entity/"), r
+            eid = int(r["dst"].rsplit("/", 1)[1])
+            assert r["anchor"] in [a.lower() for a in pool[eid]], r
+            assert 1 <= r["rank"] <= 3 and r["n_refs"] >= r["n_srcs"] >= 1
+
+    def test_matches_python_oracle(self, spark):
+        """Distributed harvest == driver-side kernel harvest (count-exact,
+        including per-occurrence multiplicity)."""
+        from collections import Counter
+
+        from chunksilo_spark.sources.corpus import golden_pages, pages_df
+
+        want = Counter()
+        for g in golden_pages(self.N):
+            try:
+                html = g["html"].decode("utf-8")
+            except UnicodeDecodeError:
+                continue
+            for href, text in U.extract_anchors(html):
+                dst = U.resolve_href(g["url"], href)
+                if dst is not None:
+                    want[(g["url"], dst, text)] += 1
+        got = Counter(
+            (r["src"], r["dst"], r["anchor"])
+            for r in G.anchor_edges(
+                pages_df(spark, self.N), strict_utf8=True
+            ).collect()
+        )
+        assert got == want
