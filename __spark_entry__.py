@@ -1074,6 +1074,55 @@ def _kg_cooccur_pmi(spark, sf):  # entity co-occurrence + (N)PMI weights
     )
 
 
+def _t_boilerplate(spark, sf):  # cross-doc line-level boilerplate removal
+    # multi-line text synthesized per doc: unique-ish head/tail from the
+    # real text + a corpus-wide footer + a group-shared nav line + a blank
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    synth = docs.select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 60), F.lit("\n"),
+            F.lit("  Copyright   2024 ExampleCorp  "), F.lit("\n"),
+            F.lit("nav menu "), (d % 4).cast("string"), F.lit("\n\n"),
+            F.substring("text", 61, 60),
+        ).alias("text"),
+    )
+    out = cu.remove_boilerplate_lines(synth, min_docs=5)
+    return out.select(
+        "doc_id", F.md5("clean_text").alias("clean_md5"),
+        "n_lines", "n_removed",
+    )
+
+
+def _t_canonical_urls(spark, sf):  # url canonicalization, all branches
+    # the Spark side runs the generic pinned algebra; the oracle derives
+    # each branch's canonical form ANALYTICALLY (never runs the regexes)
+    docs = _t(spark, sf, "documents").select("doc_id")
+    d = F.col("doc_id")
+    k = (d % 7).cast("string")
+    ds = d.cast("string")
+    raw = (
+        F.when(d % 8 == 0, F.concat(
+            F.lit("HTTPS://Site"), k, F.lit(".Example:443/p/"), ds,
+            F.lit("?utm_source=x&id="), ds, F.lit("#f")))
+        .when(d % 8 == 1, F.concat(F.lit("http://site"), k, F.lit(".example:80")))
+        .when(d % 8 == 2, F.concat(
+            F.lit("http://site"), k, F.lit(".example:8080/x?utm_campaign")))
+        .when(d % 8 == 3, F.concat(F.lit("ftp://site"), k, F.lit(".example/x")))
+        .when(d % 8 == 4, F.concat(
+            F.lit("https://site"), k, F.lit(".example/x?gclid=1&z="), ds))
+        .when(d % 8 == 5, F.concat(
+            F.lit("  https://site"), k, F.lit(".example/A/B?a=1&b=2  ")))
+        .when(d % 8 == 6, F.concat(
+            F.lit("https://site"), k, F.lit(".example/x?utm_a=1&utm_b=2")))
+        .otherwise(F.lit("relative/path"))
+    )
+    return docs.select(
+        "doc_id", gr.canonical_url_col(raw).alias("canonical")
+    )
+
+
 def _g_components(spark, sf):  # iterative min-label connected components
     # structured graph with closed-form components: clusters of 4
     # consecutive ids (each id -> its cluster base) plus a bridge edge at
@@ -1155,6 +1204,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_hits": _g_hits,
         "g_anchor_aliases": _g_anchor_aliases,
         "kg_cooccur_pmi": _kg_cooccur_pmi,
+        "t_boilerplate": _t_boilerplate,
+        "t_canonical_urls": _t_canonical_urls,
         "g_components": _g_components,
         "g_two_hop": _g_two_hop,
         "f6_issue_keys": _f6_issue_keys,
@@ -1167,7 +1218,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j1_new_keys": _j1_new_keys,
         "incr_change_detect": _incr_change_detect,
         "q5_local_supplier": _q5_local_supplier,
-        "e_sessionize": _e_sessionize,
         "a1_rollup": _a1_rollup,
         "o1_recency_boost": _o1_recency_boost,
         "w1_topk_per_type": _w1_topk_per_type,
@@ -1180,7 +1230,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_contamination": _d_contamination,
         "t_stratified_sample": _t_stratified_sample,
         "d_exact": _d_exact,
-        "d_token_jaccard": _d_token_jaccard,
         "d_minhash_lsh": _d_minhash_lsh,
         "d_neardup_verified": _d_neardup_verified,
         "d_dedup_clusters": _d_dedup_clusters,
@@ -1200,6 +1249,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    simple-filter rows whose family keeps another in-window
         #    representative; still verified every run by the full local
         #    oracle gate (scripts/check_oracles.py via pytest) --
+        "d_token_jaccard": _d_token_jaccard,
+        "e_sessionize": _e_sessionize,
         "q3_shipping_priority": _q3_shipping_priority,
         "m_decode_features": _m_decode_features,
         "a6_rollup_sets": _a6_rollup_sets,
@@ -2246,6 +2297,69 @@ def oracle_sql() -> dict[str, str]:
         SELECT a2.node, round(h2.hub, 6) AS hub, round(a2.auth, 6) AS auth
         FROM a2 JOIN h2 ON a2.node = h2.node
         ORDER BY round(a2.auth, 6) DESC, a2.node ASC LIMIT 50
+        """,
+        # canonical-url algebra: analytic per-branch derivation (the Spark
+        # side runs the generic trim/fragment/case/port/tracking algebra)
+        "t_canonical_urls": """
+            SELECT doc_id,
+                   CASE doc_id % 8
+                     WHEN 0 THEN 'https://site' || (doc_id % 7)::VARCHAR
+                                 || '.example/p/' || doc_id::VARCHAR
+                                 || '?id=' || doc_id::VARCHAR
+                     WHEN 1 THEN 'http://site' || (doc_id % 7)::VARCHAR
+                                 || '.example/'
+                     WHEN 2 THEN 'http://site' || (doc_id % 7)::VARCHAR
+                                 || '.example:8080/x'
+                     WHEN 3 THEN NULL
+                     WHEN 4 THEN 'https://site' || (doc_id % 7)::VARCHAR
+                                 || '.example/x?z=' || doc_id::VARCHAR
+                     WHEN 5 THEN 'https://site' || (doc_id % 7)::VARCHAR
+                                 || '.example/A/B?a=1&b=2'
+                     WHEN 6 THEN 'https://site' || (doc_id % 7)::VARCHAR
+                                 || '.example/x'
+                     ELSE NULL
+                   END AS canonical
+            FROM documents
+        """,
+        # line-level boilerplate removal re-implemented in SQL end-to-end
+        # (split -> normalize -> distinct-doc df -> anti-filter -> ordered
+        # string_agg rebuild) over the same synthesized multi-line text
+        "t_boilerplate": """
+            WITH synth AS (
+                SELECT doc_id,
+                       substr(text, 1, 60) || chr(10)
+                       || '  Copyright   2024 ExampleCorp  ' || chr(10)
+                       || 'nav menu ' || (doc_id % 4)::VARCHAR
+                       || chr(10) || chr(10)
+                       || substr(text, 61, 60) AS text
+                FROM documents
+            ), lns AS (
+                SELECT doc_id, i AS pos, arr[i] AS line,
+                       lower(trim(regexp_replace(arr[i], '\s+', ' ', 'g')))
+                           AS norm
+                FROM (SELECT doc_id, string_split(text, chr(10)) AS arr
+                      FROM synth),
+                     unnest(generate_series(1, len(arr))) AS u(i)
+            ), dfreq AS (
+                SELECT norm, COUNT(DISTINCT doc_id) AS df
+                FROM lns WHERE norm <> '' GROUP BY norm
+            ), kept AS (
+                SELECT l.doc_id, l.pos, l.line
+                FROM lns l LEFT JOIN dfreq f ON l.norm = f.norm
+                WHERE l.norm = '' OR f.df < 5
+            ), rebuilt AS (
+                SELECT doc_id,
+                       string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+                       COUNT(*) AS n_kept
+                FROM kept GROUP BY doc_id
+            ), totals AS (
+                SELECT doc_id, COUNT(*) AS n_lines FROM lns GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   md5(COALESCE(r.clean_text, '')) AS clean_md5,
+                   t.n_lines,
+                   t.n_lines - COALESCE(r.n_kept, 0) AS n_removed
+            FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
         """,
         # co-occurrence PMI: mentions re-derived from doc_id (same analytic
         # function as _derived_mentions), then the pinned count->ratio->ln

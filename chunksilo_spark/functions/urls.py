@@ -143,3 +143,52 @@ def extract_anchors(html: str) -> list[tuple[str, str]]:
         if text:
             out.append((href, text))
     return out
+
+
+# tracking query parameters stripped by canonicalize_url: the standard
+# analytics/click identifiers that fragment crawl urls into near-dup keys
+TRACKING_PARAM_RE = r"^(utm_[^=&]*|gclid|fbclid|msclkid|ref_src)(=|$)"
+_TRACK_C = re.compile(TRACKING_PARAM_RE)
+# scheme matching is case-insensitive (RFC 3986 §3.1); everything after
+# the authority is matched case-sensitively
+_AUTH_SPLIT_C = re.compile(r"^([hH][tT][tT][pP][sS]?)://([^/?#]*)([^?#]*)(.*)$", re.S)
+
+
+def canonicalize_url(url: str) -> str | None:
+    """Canonical form of an absolute http(s) url, or None for anything
+    else. Pinned algebra (same steps in the column twin
+    ``operators/graph.canonical_url_col`` and the analytic SQL oracle):
+
+      1. trim; strip the fragment (``#...``).
+      2. non-http(s) (or scheme-less) -> None.
+      3. scheme and authority lowercase; path/query case preserved.
+      4. default port dropped (``:80`` for http, ``:443`` for https).
+      5. empty path -> ``/``.
+      6. tracking params (TRACKING_PARAM_RE: utm_*, gclid, fbclid,
+         msclkid, ref_src) removed from the query, remaining params keep
+         their order; an emptied query drops its ``?``.
+
+    Trailing-slash folding and param re-ordering are deliberately NOT
+    applied: both can merge genuinely distinct resources, and the cost of
+    a missed dup is lower than a wrong merge in a dedup key.
+    """
+    url = url.strip()
+    url = url.split("#", 1)[0]
+    m = _AUTH_SPLIT_C.match(url)
+    if not m:
+        return None
+    scheme, auth, path, rest = m.groups()
+    scheme = scheme.lower()
+    auth = auth.lower()
+    if scheme == "http" and auth.endswith(":80"):
+        auth = auth[:-3]
+    elif scheme == "https" and auth.endswith(":443"):
+        auth = auth[:-4]
+    if not path:
+        path = "/"
+    if rest.startswith("?"):
+        parts = [
+            p for p in rest[1:].split("&") if p and not _TRACK_C.match(p)
+        ]
+        rest = "?" + "&".join(parts) if parts else ""
+    return scheme + "://" + auth + path + rest

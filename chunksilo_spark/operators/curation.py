@@ -418,3 +418,80 @@ def url_quality_filter(
     if "_is_blocked" in out.columns:
         out = out.drop("_is_blocked")
     return out
+
+
+def remove_boilerplate_lines(
+    docs: DataFrame,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document line-level dedup (the RefinedWeb / CCNet boilerplate
+    pass): drop every line whose NORMALIZED form appears in >= ``min_docs``
+    distinct documents, and rebuild the remaining text in original order.
+
+    Pinned semantics (shared with the python kernel and the SQL oracle):
+      * units are ``split(text, '\\n')`` lines, positions 0-based;
+      * the match key is the normalized line — whitespace runs collapse to
+        one space, trim, lowercase — but removal keeps/drops the ORIGINAL
+        line bytes;
+      * lines whose normalized form is EMPTY are never counted and never
+        removed (blank structure survives);
+      * document frequency counts DISTINCT documents, not occurrences —
+        a line repeated 50x inside one page is repetition (see
+        ``repetition_profile``), not boilerplate.
+
+    Returns (id, clean_text, n_lines, n_removed); clean_text is ''
+    (not NULL) when everything was boilerplate.
+
+    100 TB shape: the line relation is ONE posexplode scan; the
+    boilerplate SET (normalized-line hashes with df >= min_docs) is
+    computed from the distinct (hash, doc) pairs and is orders of
+    magnitude smaller than the corpus — removal is a left-anti equi-join
+    on the 16-byte hash (the classic funnel: never collect_set per line,
+    a footer in 10^8 docs is one count row here). Rebuild sorts within
+    each doc via sort_array(collect_list(struct(pos, line))) — bounded by
+    document length, shuffled on the id key only.
+    """
+    line_col = F.col("_line")
+    norm = F.lower(
+        F.trim(F.regexp_replace(line_col, r"\s+", " "))
+    )
+    lines = docs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_line"),
+    ).withColumn(
+        "_h", F.when(norm != "", F.md5(norm))
+    )
+    lines = cut_lineage(lines)  # feeds the df-count AND the anti-join
+    boiler = (
+        lines.where(F.col("_h").isNotNull())
+        .select("_h", "_id")
+        .distinct()
+        .groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") >= F.lit(min_docs))
+        .select("_h")
+    )
+    kept = lines.join(boiler, "_h", "left_anti")
+    rebuilt = kept.groupBy("_id").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("_pos", "_line"))),
+                lambda s: s["_line"],
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("_n_kept"),
+    )
+    totals = lines.groupBy("_id").agg(F.count(F.lit(1)).alias("n_lines"))
+    return (
+        totals.join(rebuilt, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            "n_lines",
+            (F.col("n_lines") - F.coalesce(F.col("_n_kept"), F.lit(0)))
+            .alias("n_removed"),
+        )
+    )

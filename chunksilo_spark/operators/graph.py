@@ -558,3 +558,36 @@ def alias_candidates(anchors: DataFrame, k: int = 3) -> DataFrame:
         .where(F.col("rank") <= k)
         .select("dst", "anchor", "n_refs", "n_srcs", "rank")
     )
+
+
+def canonical_url_col(url: Column) -> Column:
+    """Column twin of ``functions/urls.canonicalize_url`` (pinned algebra
+    there): trim + fragment strip, case-insensitive http(s) recognition,
+    lowercased scheme/authority, default-port drop, empty path -> '/',
+    tracking-param removal with order-preserving residue. Pure JVM
+    regexp/when/filter — whole-stage codegen, no Python per row; non-http
+    urls resolve to NULL (the dedup key simply excludes them)."""
+    pat = r"(?s)^([hH][tT][tT][pP][sS]?)://([^/?#]*)([^?#]*)(.*)$"
+    u = F.regexp_replace(
+        F.regexp_replace(url, r"^\s+|\s+$", ""), r"(?s)#.*$", ""
+    )
+    scheme = F.lower(F.regexp_extract(u, pat, 1))
+    auth = F.lower(F.regexp_extract(u, pat, 2))
+    path = F.regexp_extract(u, pat, 3)
+    rest = F.regexp_extract(u, pat, 4)
+    auth = F.when(
+        scheme == "http", F.regexp_replace(auth, r":80$", "")
+    ).otherwise(F.regexp_replace(auth, r":443$", ""))
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    kept = F.filter(
+        F.split(F.substring(rest, 2, 2147483646), "&"),
+        lambda p: (p != "") & ~p.rlike(U.TRACKING_PARAM_RE),
+    )
+    rest = F.when(
+        ~rest.startswith("?"), rest
+    ).when(
+        F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))
+    ).otherwise(F.lit(""))
+    return F.when(scheme == "", F.lit(None).cast("string")).otherwise(
+        F.concat(scheme, F.lit("://"), auth, path, rest)
+    )

@@ -86,6 +86,13 @@ CAPTURE = [
      "mention relation with itself (fan-out k^2 per context, never "
      "corpus-sized); pair counts partial-aggregate map-side; marginals "
      "join back BROADCAST; N is a 1-row broadcast cross-join"),
+    ("t_boilerplate", "line relation is ONE posexplode scan (lineage-cut: "
+     "feeds the df-count and the anti-join once each); the boilerplate "
+     "SET is df-filtered distinct pairs — removal is a left-anti equi-join "
+     "on the 16-byte hash, rebuild is per-doc sort_array(collect_list)"),
+    ("t_canonical_urls", "canonical-url algebra is pure codegen'd "
+     "regexp/when/filter over a single pruned scan — no Exchange, "
+     "no Python"),
 ]
 
 

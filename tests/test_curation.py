@@ -286,3 +286,110 @@ class TestUrlQualityFilter:
         assert {k: v[0] for k, v in got.items()} == self._expect()
         # original columns pass through untouched
         assert got[0][1] == self.ROWS[0][1]
+
+
+def _python_boilerplate(rows, min_docs=2):
+    """Driver-side re-derivation of remove_boilerplate_lines."""
+    import re
+
+    def norm(s):
+        return re.sub(r"\s+", " ", s).strip().lower()
+
+    df = {}
+    for _id, text in rows:
+        seen = set()
+        for ln in text.split("\n"):
+            n = norm(ln)
+            if n and n not in seen:
+                seen.add(n)
+                df[n] = df.get(n, 0) + 1
+    out = {}
+    for _id, text in rows:
+        lines = text.split("\n")
+        kept = [
+            ln for ln in lines
+            if not norm(ln) or df[norm(ln)] < min_docs
+        ]
+        out[_id] = ("\n".join(kept), len(lines), len(lines) - len(kept))
+    return out
+
+
+class TestBoilerplateLines:
+    ROWS = [
+        (1, "Unique alpha content\nCopyright  2024 ACME\nmore body text"),
+        (2, "different body\ncopyright 2024 acme\n\nclosing line"),
+        (3, "COPYRIGHT 2024   ACME\nanother page entirely\nclosing line"),
+        (4, "no shared lines here at all"),
+        (5, "repeated inside\nrepeated inside\nrepeated inside"),
+    ]
+
+    def _df(self, spark):
+        return spark.createDataFrame(self.ROWS, "doc_id long, text string")
+
+    def test_matches_python_oracle(self, spark):
+        from chunksilo_spark.operators.curation import remove_boilerplate_lines
+
+        got = {
+            r["doc_id"]: (r["clean_text"], r["n_lines"], r["n_removed"])
+            for r in remove_boilerplate_lines(self._df(spark)).collect()
+        }
+        assert got == _python_boilerplate(self.ROWS)
+
+    def test_pinned_behaviors(self, spark):
+        from chunksilo_spark.operators.curation import remove_boilerplate_lines
+
+        got = {
+            r["doc_id"]: r
+            for r in remove_boilerplate_lines(self._df(spark)).collect()
+        }
+        # ws/case-variant copyright line removed from all three docs
+        for d in (1, 2, 3):
+            assert "opyright" not in got[d]["clean_text"], d
+        # blank line survives (doc 2 keeps its empty structural line)
+        assert "\n\nclosing" not in got[2]["clean_text"]
+        assert "" in got[2]["clean_text"].split("\n")
+        # df is per-DOC: doc 5's in-doc repetition is NOT boilerplate
+        assert got[5]["n_removed"] == 0
+        # 'closing line' in docs 2+3 -> removed at min_docs=2
+        assert "closing line" not in got[2]["clean_text"]
+
+    def test_min_docs_threshold(self, spark):
+        from chunksilo_spark.operators.curation import remove_boilerplate_lines
+
+        got = {
+            r["doc_id"]: r["n_removed"]
+            for r in remove_boilerplate_lines(
+                self._df(spark), min_docs=3
+            ).collect()
+        }
+        # only the 3-doc copyright line crosses df>=3; closing line (df 2) stays
+        assert got == {1: 1, 2: 1, 3: 1, 4: 0, 5: 0}
+
+    def test_all_boilerplate_doc_yields_empty(self, spark):
+        from chunksilo_spark.operators.curation import remove_boilerplate_lines
+
+        rows = [(1, "same line"), (2, "same line"), (3, "same line")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r for r in remove_boilerplate_lines(df).collect()}
+        assert all(r["clean_text"] == "" and r["n_removed"] == 1
+                   for r in got.values())
+
+    def test_over_corpus_documents(self, spark):
+        """End-to-end over stage-1 extracted text: removal == python oracle
+        on real multi-line markdown-ish documents."""
+        from chunksilo_spark.operators import stage1_extract as s1
+        from chunksilo_spark.operators.curation import remove_boilerplate_lines
+        from chunksilo_spark.sources.corpus import pages_df
+
+        docs = s1.extract_documents(pages_df(spark, 50)).select(
+            "url", "text"
+        )
+        rows = [(r["url"], r["text"]) for r in docs.collect()]
+        got = {
+            r["url"]: (r["clean_text"], r["n_lines"], r["n_removed"])
+            for r in remove_boilerplate_lines(
+                docs, min_docs=3, id_col="url"
+            ).collect()
+        }
+        assert got == _python_boilerplate(rows, min_docs=3)
+        assert sum(v[2] for v in got.values()) > 0  # something was removed

@@ -790,3 +790,64 @@ class TestCorpusAnchorAliases:
             ).collect()
         )
         assert got == want
+
+
+CANON_URLS = [
+    "  HTTPS://Example.COM:443/Path/Page?utm_source=x&id=5&fbclid=z#frag  ",
+    "http://A.example:80",
+    "HtTp://H.example:80/",
+    "http://a.example:8080/x?utm_campaign",
+    "ftp://a.example/x",
+    "//no.scheme/x",
+    "not a url",
+    "",
+    "https://a.example/x?a=1&b=2",
+    "https://a.example/x?utm_a=1&utm_b=2",
+    "https://a.example/x?",
+    "https://a.example/x?&",
+    "https://a.example/x?gclid=1&Z=2&msclkid=3&ref_src=t",
+    "https://a.example:443443/x",   # port only LOOKS like 443 suffix-wise
+    "https://a.example/UPPER/Case?Mixed=Keep",
+    "https://a.example/x#frag\nwith newline",
+]
+
+
+class TestCanonicalUrl:
+    def test_column_twin_matches_kernel(self, spark):
+        df = spark.createDataFrame([(u,) for u in CANON_URLS], "url string")
+        got = [
+            r["c"]
+            for r in df.select(
+                G.canonical_url_col(F.col("url")).alias("c")
+            ).collect()
+        ]
+        want = [U.canonicalize_url(u) for u in CANON_URLS]
+        assert got == want
+
+    def test_dedup_key_merges_tracking_variants(self, spark):
+        rows = [
+            ("https://s.example/p?utm_source=tw", 1),
+            ("https://s.example/p?utm_source=fb&utm_medium=social", 2),
+            ("https://s.example/p", 3),
+            ("https://s.example/q", 4),
+        ]
+        df = spark.createDataFrame(rows, "url string, doc long")
+        n = (
+            df.select(G.canonical_url_col(F.col("url")).alias("c"))
+            .distinct()
+            .count()
+        )
+        assert n == 2
+
+    def test_corpus_urls_are_already_canonical(self, spark):
+        """The synthetic crawl's urls are clean https with no tracking
+        params — canonicalization must be the identity on them."""
+        from chunksilo_spark.sources.corpus import pages_df
+
+        pages = pages_df(spark, 40)
+        bad = pages.select(
+            "url", G.canonical_url_col(F.col("url")).alias("c")
+        ).where(
+            F.col("c").isNull() | (F.col("c") != F.col("url"))
+        )
+        assert bad.count() == 0
