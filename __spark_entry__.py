@@ -1123,6 +1123,16 @@ def _t_canonical_urls(spark, sf):  # url canonicalization, all branches
     )
 
 
+def _t_domain_profile(spark, sf):  # per-host curation dashboard rollup
+    docs = _t(spark, sf, "documents").select("doc_id", "text", "lang")
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://Site"), (d % 7).cast("string"),
+        F.lit(".Example/p/"), d.cast("string"),
+    )
+    return cu.domain_profile(docs.withColumn("url", url))
+
+
 def _g_components(spark, sf):  # iterative min-label connected components
     # structured graph with closed-form components: clusters of 4
     # consecutive ids (each id -> its cluster base) plus a bridge edge at
@@ -1206,6 +1216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_cooccur_pmi": _kg_cooccur_pmi,
         "t_boilerplate": _t_boilerplate,
         "t_canonical_urls": _t_canonical_urls,
+        "t_domain_profile": _t_domain_profile,
         "g_components": _g_components,
         "g_two_hop": _g_two_hop,
         "f6_issue_keys": _f6_issue_keys,
@@ -1219,7 +1230,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incr_change_detect": _incr_change_detect,
         "q5_local_supplier": _q5_local_supplier,
         "a1_rollup": _a1_rollup,
-        "o1_recency_boost": _o1_recency_boost,
         "w1_topk_per_type": _w1_topk_per_type,
         "u5_bm25": _u5_bm25,
         "flagship_search": _flagship_search,
@@ -1249,6 +1259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    simple-filter rows whose family keeps another in-window
         #    representative; still verified every run by the full local
         #    oracle gate (scripts/check_oracles.py via pytest) --
+        "o1_recency_boost": _o1_recency_boost,
         "d_token_jaccard": _d_token_jaccard,
         "e_sessionize": _e_sessionize,
         "q3_shipping_priority": _q3_shipping_priority,
@@ -2297,6 +2308,25 @@ def oracle_sql() -> dict[str, str]:
         SELECT a2.node, round(h2.hub, 6) AS hub, round(a2.auth, 6) AS auth
         FROM a2 JOIN h2 ON a2.node = h2.node
         ORDER BY round(a2.auth, 6) DESC, a2.node ASC LIMIT 50
+        """,
+        # per-host rollup: same analytic host function of doc_id; corpus-
+        # wide exact-dup flags via a count window over md5(text)
+        "t_domain_profile": """
+            WITH rws AS (
+                SELECT 'site' || (doc_id % 7)::VARCHAR || '.example' AS host,
+                       md5(text) AS sig, length(text) AS len, lang
+                FROM documents
+            ), flagged AS (
+                SELECT host, len, lang,
+                       CASE WHEN COUNT(*) OVER (PARTITION BY sig) > 1
+                            THEN 1 ELSE 0 END AS dup
+                FROM rws
+            )
+            SELECT host, COUNT(*) AS n_docs, SUM(dup) AS n_dup_docs,
+                   round(SUM(dup) / COUNT(*), 6) AS dup_frac,
+                   round(AVG(len), 2) AS avg_chars,
+                   COUNT(DISTINCT lang) AS n_langs
+            FROM flagged GROUP BY host
         """,
         # canonical-url algebra: analytic per-branch derivation (the Spark
         # side runs the generic trim/fragment/case/port/tracking algebra)

@@ -60,6 +60,8 @@ HEADLINE = [
     "t_quality_model",
     "g_triangles",
     "g_hits",
+    "kg_cooccur_pmi",
+    "t_boilerplate",
     "incr_change_detect",
 ]
 

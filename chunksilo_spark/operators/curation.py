@@ -447,11 +447,12 @@ def remove_boilerplate_lines(
     100 TB shape: the line relation is ONE posexplode scan; the
     boilerplate SET (normalized-line hashes with df >= min_docs) is
     computed from the distinct (hash, doc) pairs and is orders of
-    magnitude smaller than the corpus — removal is a left-anti equi-join
-    on the 16-byte hash (the classic funnel: never collect_set per line,
-    a footer in 10^8 docs is one count row here). Rebuild sorts within
-    each doc via sort_array(collect_list(struct(pos, line))) — bounded by
-    document length, shuffled on the id key only.
+    magnitude smaller than the corpus — removal is one equi-join on the
+    16-byte hash (the classic funnel: never collect_set per line, a
+    footer in 10^8 docs is one count row here). Totals, removal counts,
+    and the ordered rebuild (sort_array over collect_list of the
+    non-boiler structs — collect_list drops nulls) all come out of ONE
+    groupBy on the id key, bounded by document length.
     """
     line_col = F.col("_line")
     norm = F.lower(
@@ -463,7 +464,7 @@ def remove_boilerplate_lines(
     ).withColumn(
         "_h", F.when(norm != "", F.md5(norm))
     )
-    lines = cut_lineage(lines)  # feeds the df-count AND the anti-join
+    lines = cut_lineage(lines)  # feeds the df-count AND the removal join
     boiler = (
         lines.where(F.col("_h").isNotNull())
         .select("_h", "_id")
@@ -471,27 +472,74 @@ def remove_boilerplate_lines(
         .groupBy("_h")
         .agg(F.count(F.lit(1)).alias("_df"))
         .where(F.col("_df") >= F.lit(min_docs))
-        .select("_h")
+        .select("_h", F.lit(True).alias("_boiler"))
     )
-    kept = lines.join(boiler, "_h", "left_anti")
-    rebuilt = kept.groupBy("_id").agg(
+    flagged = lines.join(boiler, "_h", "left")
+    # collect_list drops nulls, so the when() keeps exactly the non-boiler
+    # lines — removal, totals, and the ordered rebuild in ONE groupBy
+    keep_struct = F.when(
+        F.col("_boiler").isNull(), F.struct("_pos", "_line")
+    )
+    return flagged.groupBy(F.col("_id").alias(id_col)).agg(
         F.concat_ws(
             "\n",
             F.transform(
-                F.sort_array(F.collect_list(F.struct("_pos", "_line"))),
+                F.sort_array(F.collect_list(keep_struct)),
                 lambda s: s["_line"],
             ),
         ).alias("clean_text"),
-        F.count(F.lit(1)).alias("_n_kept"),
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("_boiler").isNotNull().cast("long")).alias("n_removed"),
     )
-    totals = lines.groupBy("_id").agg(F.count(F.lit(1)).alias("n_lines"))
+
+
+def domain_profile(
+    docs: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Per-host corpus profile -> (host, n_docs, n_dup_docs, dup_frac,
+    avg_chars, n_langs) — the curation dashboard a crawl pipeline slices
+    by domain: which hosts are boilerplate farms (high corpus-wide exact-
+    dup fraction), which are thin (low avg_chars), which are multilingual.
+
+    Pinned semantics: host = lowercased hostname (port excluded — the
+    url_quality_filter convention) of an http(s) url (rows
+    with no extractable host are excluded); a doc counts as duplicated
+    when its exact text (md5) appears MORE THAN ONCE corpus-wide —
+    including within the same host; dup_frac = n_dup_docs / n_docs
+    rounded 6; avg_chars = avg(length(text)) rounded 2.
+
+    100 TB shape: ONE scan; corpus-wide dup flags come from a count-window
+    partitioned by the 16-byte text hash (the dup_spans lesson: one
+    shuffle of small rows, spill-safe even when one boilerplate text has
+    10^8 copies — a join-back formulation would shuffle the relation
+    twice), then one map-side-combinable groupBy on host. countDistinct
+    lang expands per host, bounded by the lang-code alphabet.
+    """
+    from pyspark.sql import Window
+
+    host = F.lower(
+        F.regexp_extract(F.col(url_col), r"^https?://([^/:?#]+)", 1)
+    )
+    rows = docs.select(
+        host.alias("_host"),
+        F.md5(F.col(text_col)).alias("_sig"),
+        F.length(F.col(text_col)).alias("_len"),
+        F.col(lang_col).alias("_lang"),
+    ).where(F.col("_host") != "")
+    dup = (
+        F.count(F.lit(1)).over(Window.partitionBy("_sig")) > 1
+    ).cast("long")
     return (
-        totals.join(rebuilt, "_id", "left")
-        .select(
-            F.col("_id").alias(id_col),
-            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
-            "n_lines",
-            (F.col("n_lines") - F.coalesce(F.col("_n_kept"), F.lit(0)))
-            .alias("n_removed"),
+        rows.withColumn("_dup", dup)
+        .groupBy(F.col("_host").alias("host"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_dup").alias("n_dup_docs"),
+            F.round(F.sum("_dup") / F.count(F.lit(1)), 6).alias("dup_frac"),
+            F.round(F.avg("_len"), 2).alias("avg_chars"),
+            F.countDistinct("_lang").alias("n_langs"),
         )
     )

@@ -393,3 +393,48 @@ class TestBoilerplateLines:
         }
         assert got == _python_boilerplate(rows, min_docs=3)
         assert sum(v[2] for v in got.values()) > 0  # something was removed
+
+
+class TestDomainProfile:
+    ROWS = [
+        ("https://A.example/p1", "same text", "en"),
+        ("https://a.example/p2", "same text", "en"),      # dup of p1
+        ("https://a.example/p3", "unique here", "de"),
+        ("https://B.example:8080/p4", "same text", "en"),  # cross-host dup
+        ("https://b.example:8080/p5", "other b", "en"),
+        ("ftp://c.example/x", "ignored row", "en"),        # no http host
+        ("relative/only", "ignored too", "en"),
+    ]
+
+    def test_profile(self, spark):
+        from chunksilo_spark.operators.curation import domain_profile
+
+        df = spark.createDataFrame(self.ROWS, "url string, text string, lang string")
+        got = {r["host"]: r for r in domain_profile(df).collect()}
+        assert set(got) == {"a.example", "b.example"}
+        a = got["a.example"]
+        assert (a["n_docs"], a["n_dup_docs"], a["n_langs"]) == (3, 2, 2)
+        assert a["dup_frac"] == pytest.approx(round(2 / 3, 6))
+        b = got["b.example"]
+        # p4's text duplicates CORPUS-wide (matches a.example's) -> flagged
+        assert (b["n_docs"], b["n_dup_docs"], b["n_langs"]) == (2, 1, 1)
+        assert a["avg_chars"] == pytest.approx(
+            round((len("same text") * 2 + len("unique here")) / 3, 2)
+        )
+
+    def test_empty(self, spark):
+        from chunksilo_spark.operators.curation import domain_profile
+
+        df = spark.createDataFrame([], "url string, text string, lang string")
+        assert domain_profile(df).count() == 0
+
+    def test_over_corpus(self, spark):
+        """Host totals over the synthetic crawl reconcile with raw counts."""
+        from chunksilo_spark.operators.curation import domain_profile
+        from chunksilo_spark.sources.corpus import pages_df
+        from chunksilo_spark.operators import stage1_extract as s1
+
+        docs = s1.extract_documents(pages_df(spark, 60))
+        prof = domain_profile(docs).collect()
+        assert sum(r["n_docs"] for r in prof) == docs.count()
+        assert all(r["host"].startswith("site") for r in prof)
