@@ -2365,7 +2365,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             ), lns AS (
                 SELECT doc_id, i AS pos, arr[i] AS line,
-                       lower(trim(regexp_replace(arr[i], '\s+', ' ', 'g')))
+                       lower(trim(regexp_replace(arr[i],
+                           '[ \t\n\r\f\x0b]+', ' ', 'g')))
                            AS norm
                 FROM (SELECT doc_id, string_split(text, chr(10)) AS arr
                       FROM synth),

@@ -50,6 +50,15 @@ import re
 HREF_RE = r'href\s*=\s*"([^"]*)"'
 _HREF_C = re.compile(HREF_RE)
 
+# THE pinned whitespace class for url/anchor kernels and their column
+# twins: an explicit ASCII set that means the same thing in Python re
+# (Unicode-aware \s would differ on U+00A0), Java regex (\s includes
+# \x0b), and RE2/DuckDB (\s excludes \x0b) — the three dialects only
+# agree when the class is spelled out. \x0b included to match Java's
+# historical trim behavior on vertical tabs.
+WS_CLASS = r"[ \t\n\r\f\x0b]"
+_WS_STRIP = " \t\n\r\f\x0b"
+
 SCHEME_RE = r"^[A-Za-z][A-Za-z0-9+.-]*:"
 _SCHEME_C = re.compile(SCHEME_RE)
 _HTTP_C = re.compile(r"^https?://")
@@ -75,7 +84,7 @@ def _normalize_path(path: str) -> str:
 
 def resolve_href(base: str, href: str) -> str | None:
     """Resolve ``href`` against ``base`` per the pinned algebra above."""
-    href = href.strip()
+    href = href.strip(_WS_STRIP)
     href = href.split("#", 1)[0]
     if not href:
         return None
@@ -123,14 +132,14 @@ def page_outlinks(base: str, html: str) -> list[str]:
 ANCHOR_RE = r'(?s)<a\s[^>]*href\s*=\s*"([^"]*)"[^>]*>(.*?)</a>'
 _ANCHOR_C = re.compile(ANCHOR_RE)
 _TAG_C = re.compile(r"<[^>]*>")
-_WS_C = re.compile(r"\s+")
+_WS_C = re.compile(WS_CLASS + "+")
 
 
 def clean_anchor_text(raw: str) -> str:
     """Pinned anchor-text normalization: inner tags -> space, whitespace
     runs collapse to one space, trim, lowercase. Identical steps in the
     Spark column twin (graph.anchor_edges) and the DuckDB oracle."""
-    return _WS_C.sub(" ", _TAG_C.sub(" ", raw)).strip().lower()
+    return _WS_C.sub(" ", _TAG_C.sub(" ", raw)).strip(_WS_STRIP).lower()
 
 
 def extract_anchors(html: str) -> list[tuple[str, str]]:
@@ -172,7 +181,7 @@ def canonicalize_url(url: str) -> str | None:
     applied: both can merge genuinely distinct resources, and the cost of
     a missed dup is lower than a wrong merge in a dedup key.
     """
-    url = url.strip()
+    url = url.strip(_WS_STRIP)
     url = url.split("#", 1)[0]
     m = _AUTH_SPLIT_C.match(url)
     if not m:

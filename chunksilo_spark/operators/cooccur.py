@@ -44,16 +44,36 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..checkpointing import cut_lineage
+
+
+def _distinct_mentions(
+    mentions: DataFrame, ctx_col: str, ent_col: str
+) -> DataFrame:
+    """The deduped (ctx, e) relation both operators derive from —
+    lineage-cut because every consumer (pairing join sides, marginals,
+    context count) would otherwise re-run a possibly-expensive upstream
+    plan (e.g. stage-1/2 extraction) once each."""
+    return cut_lineage(
+        mentions.select(
+            F.col(ctx_col).alias("ctx"), F.col(ent_col).alias("e")
+        ).distinct()
+    )
+
+
+def _pairs(m: DataFrame) -> DataFrame:
+    """Unordered co-occurring pairs of an already-deduped (ctx, e)
+    relation -> (ctx, a, b), a < b. THE pinned pair semantics — the one
+    implementation both entity_pairs and cooccurrence_pmi share."""
+    left = m.select("ctx", F.col("e").alias("a"))
+    right = m.select("ctx", F.col("e").alias("b"))
+    return left.join(right, "ctx").where(F.col("a") < F.col("b"))
+
 
 def entity_pairs(mentions: DataFrame, ctx_col: str, ent_col: str) -> DataFrame:
     """Distinct unordered co-occurring pairs per context -> (ctx, a, b),
     a < b. Input may repeat (ctx, entity); dedup happens here."""
-    m = mentions.select(
-        F.col(ctx_col).alias("ctx"), F.col(ent_col).alias("e")
-    ).distinct()
-    left = m.select("ctx", F.col("e").alias("a"))
-    right = m.select("ctx", F.col("e").alias("b"))
-    return left.join(right, "ctx").where(F.col("a") < F.col("b"))
+    return _pairs(_distinct_mentions(mentions, ctx_col, ent_col))
 
 
 def cooccurrence_pmi(
@@ -68,18 +88,16 @@ def cooccurrence_pmi(
     scale the long tail of 1-count pairs dominates the pair relation; PMI
     on them is noise anyway).
     """
-    m = mentions.select(
-        F.col(ctx_col).alias("ctx"), F.col(ent_col).alias("e")
-    ).distinct()
-    n_ctx = mentions.select(F.col(ctx_col).alias("ctx")).distinct().agg(
+    m = _distinct_mentions(mentions, ctx_col, ent_col)
+    # every mention row carries an entity, so the distinct ctx set of m
+    # equals that of the raw input — derived from the cut relation to
+    # avoid a second pass over the upstream plan
+    n_ctx = m.select("ctx").distinct().agg(
         F.count(F.lit(1)).cast("double").alias("_n")
     )
     marg = m.groupBy("e").agg(F.count(F.lit(1)).alias("n_e"))
-    left = m.select("ctx", F.col("e").alias("a"))
-    right = m.select("ctx", F.col("e").alias("b"))
     pairs = (
-        left.join(right, "ctx")
-        .where(F.col("a") < F.col("b"))
+        _pairs(m)
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("n_pair"))
         .where(F.col("n_pair") >= F.lit(min_pairs))

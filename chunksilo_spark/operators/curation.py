@@ -455,8 +455,10 @@ def remove_boilerplate_lines(
     groupBy on the id key, bounded by document length.
     """
     line_col = F.col("_line")
+    from ..functions.urls import WS_CLASS
+
     norm = F.lower(
-        F.trim(F.regexp_replace(line_col, r"\s+", " "))
+        F.trim(F.regexp_replace(line_col, WS_CLASS + "+", " "))
     )
     lines = docs.select(
         F.col(id_col).alias("_id"),
@@ -528,12 +530,16 @@ def domain_profile(
         F.md5(F.col(text_col)).alias("_sig"),
         F.length(F.col(text_col)).alias("_len"),
         F.col(lang_col).alias("_lang"),
-    ).where(F.col("_host") != "")
+    )
     dup = (
         F.count(F.lit(1)).over(Window.partitionBy("_sig")) > 1
     ).cast("long")
+    # dup flags are computed over ALL input rows (per the corpus-wide
+    # pin) BEFORE host-less rows drop out of the profile — a text shared
+    # with an ftp:// or schemeless row still counts as duplicated
     return (
         rows.withColumn("_dup", dup)
+        .where(F.col("_host") != "")
         .groupBy(F.col("_host").alias("host"))
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

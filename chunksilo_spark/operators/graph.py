@@ -49,7 +49,8 @@ def resolve_href_col(base: Column, href: Column) -> Column:
     # fragment that contains a newline behind — the kernel's split('#')
     # never does)
     h = F.regexp_replace(
-        F.regexp_replace(href, r"^\s+|\s+$", ""), r"(?s)#.*$", ""
+        F.regexp_replace(href, f"^{U.WS_CLASS}+|{U.WS_CLASS}+$", ""),
+        r"(?s)#.*$", "",
     )
     origin = F.regexp_extract(base, r"^(https?://[^/]+)", 1)
     scheme = F.regexp_extract(base, r"^([A-Za-z][A-Za-z0-9+.-]*):", 1)
@@ -80,6 +81,24 @@ def resolve_href_col(base: Column, href: Column) -> Column:
     )
 
 
+def _decoded_html(
+    pages: DataFrame, html_col: str, strict_utf8: bool
+) -> "tuple[DataFrame, Column]":
+    """Shared html-column policy of extract_outlinks/anchor_edges: binary
+    html reinterprets as a string via a (non-validating) cast — ``decode``
+    would raise under ANSI on malformed bytes — and ``strict_utf8`` drops
+    rows whose bytes are not well-formed UTF-8 (``is_valid_utf8``, pure
+    JVM), matching the stage-1 quarantine policy. ONE implementation so
+    the link graph and the anchor harvest can never desynchronize."""
+    html_type = dict(pages.dtypes)[html_col]
+    if html_type == "string":
+        return pages, F.col(html_col)
+    html = F.col(html_col).cast("string")
+    if strict_utf8:
+        pages = pages.where(F.is_valid_utf8(html))
+    return pages, html
+
+
 def extract_outlinks(
     pages: DataFrame,
     url_col: str = "url",
@@ -95,13 +114,7 @@ def extract_outlinks(
     dropped (``is_valid_utf8``, pure JVM), matching the stage-1 quarantine
     policy so the link graph covers exactly the extractable pages.
     """
-    html_type = dict(pages.dtypes)[html_col]
-    if html_type == "string":
-        html = F.col(html_col)
-    else:
-        html = F.col(html_col).cast("string")
-        if strict_utf8:
-            pages = pages.where(F.is_valid_utf8(html))
+    pages, html = _decoded_html(pages, html_col, strict_utf8)
     hrefs = F.regexp_extract_all(html, F.lit(U.HREF_RE), 1)
     return (
         pages.select(F.col(url_col).alias("src"), F.explode(hrefs).alias("href"))
@@ -492,20 +505,15 @@ def anchor_edges(
     Occurrences are deliberately NOT de-duplicated: anchor frequency is the
     signal :func:`alias_candidates` aggregates.
     """
-    html_type = dict(pages.dtypes)[html_col]
-    if html_type == "string":
-        html = F.col(html_col)
-    else:
-        html = F.col(html_col).cast("string")
-        if strict_utf8:
-            pages = pages.where(F.is_valid_utf8(html))
+    pages, html = _decoded_html(pages, html_col, strict_utf8)
     matches = F.regexp_extract_all(html, F.lit(U.ANCHOR_RE), 0)
     m = F.col("m")
     body = F.regexp_extract(m, U.ANCHOR_RE, 2)
     anchor = F.lower(
         F.trim(
             F.regexp_replace(
-                F.regexp_replace(body, r"<[^>]*>", " "), r"\s+", " "
+                F.regexp_replace(body, r"<[^>]*>", " "),
+                U.WS_CLASS + "+", " ",
             )
         )
     )
@@ -569,7 +577,8 @@ def canonical_url_col(url: Column) -> Column:
     urls resolve to NULL (the dedup key simply excludes them)."""
     pat = r"(?s)^([hH][tT][tT][pP][sS]?)://([^/?#]*)([^?#]*)(.*)$"
     u = F.regexp_replace(
-        F.regexp_replace(url, r"^\s+|\s+$", ""), r"(?s)#.*$", ""
+        F.regexp_replace(url, f"^{U.WS_CLASS}+|{U.WS_CLASS}+$", ""),
+        r"(?s)#.*$", "",
     )
     scheme = F.lower(F.regexp_extract(u, pat, 1))
     auth = F.lower(F.regexp_extract(u, pat, 2))

@@ -87,12 +87,17 @@ CAPTURE = [
      "corpus-sized); pair counts partial-aggregate map-side; marginals "
      "join back BROADCAST; N is a 1-row broadcast cross-join"),
     ("t_boilerplate", "line relation is ONE posexplode scan (lineage-cut: "
-     "feeds the df-count and the anti-join once each); the boilerplate "
-     "SET is df-filtered distinct pairs — removal is a left-anti equi-join "
-     "on the 16-byte hash, rebuild is per-doc sort_array(collect_list)"),
+     "feeds the df-count and the removal join once each); the boilerplate "
+     "SET is df-filtered distinct pairs — removal joins it on the 16-byte "
+     "hash, and totals + removed-counts + the ordered rebuild all come "
+     "out of ONE groupBy on the id key"),
     ("t_canonical_urls", "canonical-url algebra is pure codegen'd "
      "regexp/when/filter over a single pruned scan — no Exchange, "
      "no Python"),
+    ("t_domain_profile", "ONE scan: corpus-wide dup flags from a count "
+     "window partitioned by the 16-byte text hash, then one map-side-"
+     "combinable groupBy on host (countDistinct lang expands per host, "
+     "bounded by the lang alphabet)"),
 ]
 
 

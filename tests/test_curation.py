@@ -403,6 +403,7 @@ class TestDomainProfile:
         ("https://B.example:8080/p4", "same text", "en"),  # cross-host dup
         ("https://b.example:8080/p5", "other b", "en"),
         ("ftp://c.example/x", "ignored row", "en"),        # no http host
+        ("ftp://c.example/y", "other b", "en"),  # dups an http row's text
         ("relative/only", "ignored too", "en"),
     ]
 
@@ -416,8 +417,10 @@ class TestDomainProfile:
         assert (a["n_docs"], a["n_dup_docs"], a["n_langs"]) == (3, 2, 2)
         assert a["dup_frac"] == pytest.approx(round(2 / 3, 6))
         b = got["b.example"]
-        # p4's text duplicates CORPUS-wide (matches a.example's) -> flagged
-        assert (b["n_docs"], b["n_dup_docs"], b["n_langs"]) == (2, 1, 1)
+        # p4 dups a.example's text; p5's text dups an EXCLUDED ftp row —
+        # the corpus-wide window flags both even though only http rows
+        # are profiled
+        assert (b["n_docs"], b["n_dup_docs"], b["n_langs"]) == (2, 2, 1)
         assert a["avg_chars"] == pytest.approx(
             round((len("same text") * 2 + len("unique here")) / 3, 2)
         )

@@ -851,3 +851,45 @@ class TestCanonicalUrl:
             F.col("c").isNull() | (F.col("c") != F.col("url"))
         )
         assert bad.count() == 0
+
+
+class TestWhitespaceDialectPin:
+    """The review-confirmed divergence: Python's Unicode \\s vs Java's
+    ASCII \\s vs RE2's (no \\x0b) — all three paths now pin the explicit
+    WS_CLASS, so kernel == column twin on non-ASCII whitespace and
+    vertical tabs."""
+
+    NASTY = [
+        # U+00A0 (nbsp): NOT whitespace under the pin — preserved
+        ('<a href="/x">Acme Systems</a>', "acme systems"),
+        # vertical tab: IS whitespace under the pin — collapsed
+        ('<a href="/x">Acme\x0bSystems</a>', "acme systems"),
+    ]
+
+    def test_anchor_kernel_matches_column_on_nasty_ws(self, spark):
+        base = "https://s.example/d/p.html"
+        for html, want in self.NASTY:
+            ker = U.extract_anchors(html)
+            assert ker == [("/x", want)], (html, ker)
+            pages = spark.createDataFrame(
+                [(base, html)], "url string, html string"
+            )
+            got = G.anchor_edges(pages).collect()
+            assert [(r["anchor"]) for r in got] == [want], html
+
+    def test_canonical_kernel_matches_column_on_nasty_ws(self, spark):
+        urls = [
+            " https://a.example/x",   # nbsp-padded: NOT stripped
+            "\x0bhttps://a.example/x",     # vtab-padded: stripped
+            "https://a.example/x\x0b",
+        ]
+        df = spark.createDataFrame([(u,) for u in urls], "url string")
+        got = [
+            r["c"]
+            for r in df.select(
+                G.canonical_url_col(F.col("url")).alias("c")
+            ).collect()
+        ]
+        want = [U.canonicalize_url(u) for u in urls]
+        assert got == want
+        assert want == [None, "https://a.example/x", "https://a.example/x"]
