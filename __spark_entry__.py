@@ -1133,6 +1133,28 @@ def _t_domain_profile(spark, sf):  # per-host curation dashboard rollup
     return cu.domain_profile(docs.withColumn("url", url))
 
 
+def _j5_asof_latest_order(spark, sf):  # as-of join: event -> latest order
+    # union+window as-of (operators/asof.py) vs DuckDB's NATIVE ASOF LEFT
+    # JOIN — a fully independent engine implementation as the oracle
+    from chunksilo_spark.operators.asof import asof_join, dedup_right_latest
+
+    events = _t(spark, sf, "events").select("event_id", "user_id", "ts")
+    orders = dedup_right_latest(
+        _t(spark, sf, "orders").select(
+            "o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"
+        ),
+        on="o_custkey", ts="o_orderdate", tiebreak="o_orderkey",
+    ).withColumnRenamed("o_custkey", "user_id")
+    out = asof_join(
+        events, orders, on="user_id", left_ts="ts", right_ts="o_orderdate"
+    )
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.col("o_orderkey").alias("last_order_key"),
+        F.round("o_totalprice", 2).alias("last_order_price"),
+    )
+
+
 def _g_components(spark, sf):  # iterative min-label connected components
     # structured graph with closed-form components: clusters of 4
     # consecutive ids (each id -> its cluster base) plus a bridge edge at
@@ -1217,6 +1239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_boilerplate": _t_boilerplate,
         "t_canonical_urls": _t_canonical_urls,
         "t_domain_profile": _t_domain_profile,
+        "j5_asof_latest_order": _j5_asof_latest_order,
         "g_components": _g_components,
         "g_two_hop": _g_two_hop,
         "f6_issue_keys": _f6_issue_keys,
@@ -1226,7 +1249,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_domain_cap": _x_domain_cap,
         # -- previously-green rows that keep their driver window slot --
         "q1_pricing_summary": _q1_pricing_summary,
-        "j1_new_keys": _j1_new_keys,
         "incr_change_detect": _incr_change_detect,
         "q5_local_supplier": _q5_local_supplier,
         "a1_rollup": _a1_rollup,
@@ -1259,6 +1281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    simple-filter rows whose family keeps another in-window
         #    representative; still verified every run by the full local
         #    oracle gate (scripts/check_oracles.py via pytest) --
+        "j1_new_keys": _j1_new_keys,
         "o1_recency_boost": _o1_recency_boost,
         "d_token_jaccard": _d_token_jaccard,
         "e_sessionize": _e_sessionize,
@@ -2308,6 +2331,23 @@ def oracle_sql() -> dict[str, str]:
         SELECT a2.node, round(h2.hub, 6) AS hub, round(a2.auth, 6) AS auth
         FROM a2 JOIN h2 ON a2.node = h2.node
         ORDER BY round(a2.auth, 6) DESC, a2.node ASC LIMIT 50
+        """,
+        # as-of: DuckDB's native ASOF LEFT JOIN — a different engine's
+        # built-in implementation of the same pinned semantics (right side
+        # pre-deduped per (key, ts) by max orderkey in both engines)
+        "j5_asof_latest_order": """
+            WITH r AS (
+                SELECT o_custkey AS user_id, o_orderdate,
+                       max(o_orderkey) AS o_orderkey,
+                       arg_max(o_totalprice, o_orderkey) AS o_totalprice
+                FROM orders GROUP BY o_custkey, o_orderdate
+            )
+            SELECT e.event_id, e.user_id, e.ts,
+                   r.o_orderkey AS last_order_key,
+                   round(r.o_totalprice, 2) AS last_order_price
+            FROM events e
+            ASOF LEFT JOIN r
+              ON e.user_id = r.user_id AND e.ts >= r.o_orderdate
         """,
         # per-host rollup: same analytic host function of doc_id; corpus-
         # wide exact-dup flags via a count window over md5(text)

@@ -98,6 +98,11 @@ CAPTURE = [
      "window partitioned by the 16-byte text hash, then one map-side-"
      "combinable groupBy on host (countDistinct lang expands per host, "
      "bounded by the lang alphabet)"),
+    ("j5_asof_latest_order", "as-of via tagged union + running last() "
+     "window: ONE Exchange per side on the key, no per-key theta-join "
+     "explosion (a range-join formulation would plan as "
+     "BroadcastNestedLoop); right side pre-deduped by a map-side "
+     "struct-max aggregate"),
 ]
 
 
