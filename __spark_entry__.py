@@ -1155,6 +1155,56 @@ def _j5_asof_latest_order(spark, sf):  # as-of join: event -> latest order
     )
 
 
+def _kg_triple_snapshot(spark, sf):  # temporal KG state as of an instant
+    # events as an observation log: (subj=user_id, pred=event_type,
+    # obj=value) @ ts — latest-wins per key via one map-side-combinable
+    # struct-max (operators/temporal.py), no window sort
+    from chunksilo_spark.operators.temporal import triple_snapshot
+
+    obs = _t(spark, sf, "events").select(
+        F.col("user_id").alias("subj"),
+        F.col("event_type").alias("pred"),
+        F.round("value", 4).alias("obj_value"),
+        "ts",
+        F.col("event_id").alias("obs_id"),
+    )
+    return triple_snapshot(obs, "2024-01-20 00:00:00").select(
+        "subj", "pred", "obj_value",
+        F.col("ts").alias("observed_ts"),
+        "obs_id",
+    )
+
+
+def _kg_triple_intervals(spark, sf):  # observation log -> validity ledger
+    # each observation becomes [valid_from, valid_to) closed by the next
+    # observation of the same (subj, pred); current belief stays open.
+    # Result restricted to beliefs superseded within the crawl window so
+    # the row set exercises the lead() closure, not just open intervals.
+    from chunksilo_spark.operators.temporal import triple_intervals
+
+    obs = _t(spark, sf, "events").select(
+        F.col("user_id").alias("subj"),
+        F.col("event_type").alias("pred"),
+        F.round("value", 4).alias("obj_value"),
+        "ts",
+        F.col("event_id").alias("obs_id"),
+    )
+    iv = triple_intervals(obs)
+    return iv.where(F.col("valid_to").isNotNull()).select(
+        "subj", "pred", "obj_value", "obs_id",
+        "valid_from", "valid_to",
+        # belief lifetime: how long the KG carried this value. Exact
+        # integer microseconds (unix_micros / epoch_us) — second-level
+        # helpers truncate and would diverge across engines. Parquet
+        # timestamps load as NTZ; the cast to TIMESTAMP is exact under
+        # the session's pinned UTC zone (session.py).
+        (
+            F.unix_micros(F.col("valid_to").cast("timestamp"))
+            - F.unix_micros(F.col("valid_from").cast("timestamp"))
+        ).alias("lifetime_us"),
+    )
+
+
 def _g_components(spark, sf):  # iterative min-label connected components
     # structured graph with closed-form components: clusters of 4
     # consecutive ids (each id -> its cluster base) plus a bridge edge at
@@ -1247,6 +1297,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_train_order": _x_train_order,
         "x_pack_sequences": _x_pack_sequences,
         "x_domain_cap": _x_domain_cap,
+        "kg_triple_snapshot": _kg_triple_snapshot,
+        "kg_triple_intervals": _kg_triple_intervals,
         # -- previously-green rows that keep their driver window slot --
         "q1_pricing_summary": _q1_pricing_summary,
         "incr_change_detect": _incr_change_detect,
@@ -1266,7 +1318,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_neardup_verified": _d_neardup_verified,
         "d_dedup_clusters": _d_dedup_clusters,
         "d_neardup_incremental": _d_neardup_incremental,
-        "d_simhash": _d_simhash,
         "d_dup_spans": _d_dup_spans,
         "d_semdedup": _d_semdedup,
         "t_quality_model": _t_quality_model,
@@ -1275,13 +1326,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_knn_lsh": _s_knn_lsh,
         "s_knn_ivf": _s_knn_ivf,
         "t_winnow": _t_winnow,
-        "d_embedding_neardup": _d_embedding_neardup,
         "m_binary_meta": _m_binary_meta,
         # -- rotated to the tail: three-plus-rounds driver-green scalar /
         #    simple-filter rows whose family keeps another in-window
         #    representative; still verified every run by the full local
         #    oracle gate (scripts/check_oracles.py via pytest) --
         "j1_new_keys": _j1_new_keys,
+        "d_simhash": _d_simhash,
+        "d_embedding_neardup": _d_embedding_neardup,
         "o1_recency_boost": _o1_recency_boost,
         "d_token_jaccard": _d_token_jaccard,
         "e_sessionize": _e_sessionize,
@@ -2348,6 +2400,40 @@ def oracle_sql() -> dict[str, str]:
             FROM events e
             ASOF LEFT JOIN r
               ON e.user_id = r.user_id AND e.ts >= r.o_orderdate
+        """,
+        # temporal KG snapshot: oracle picks latest-wins per (subj, pred)
+        # via row_number DESC — an independent derivation of the Spark
+        # side's struct-max aggregation (no window) with the same
+        # (ts, obs_id) tie order
+        "kg_triple_snapshot": """
+            SELECT subj, pred, obj_value, observed_ts, obs_id FROM (
+                SELECT user_id AS subj, event_type AS pred,
+                       round(value, 4) AS obj_value,
+                       ts AS observed_ts, event_id AS obs_id,
+                       row_number() OVER (
+                           PARTITION BY user_id, event_type
+                           ORDER BY ts DESC, event_id DESC
+                       ) AS rn
+                FROM events
+                WHERE ts <= TIMESTAMP '2024-01-20 00:00:00'
+            ) WHERE rn = 1
+        """,
+        # validity-interval ledger: lead(ts) closes each belief; only
+        # superseded beliefs returned; lifetime in exact integer
+        # microseconds (epoch_us both engines)
+        "kg_triple_intervals": """
+            SELECT subj, pred, obj_value, obs_id, valid_from, valid_to,
+                   epoch_us(valid_to) - epoch_us(valid_from) AS lifetime_us
+            FROM (
+                SELECT user_id AS subj, event_type AS pred,
+                       round(value, 4) AS obj_value, event_id AS obs_id,
+                       ts AS valid_from,
+                       lead(ts) OVER (
+                           PARTITION BY user_id, event_type
+                           ORDER BY ts ASC, event_id ASC
+                       ) AS valid_to
+                FROM events
+            ) WHERE valid_to IS NOT NULL
         """,
         # per-host rollup: same analytic host function of doc_id; corpus-
         # wide exact-dup flags via a count window over md5(text)

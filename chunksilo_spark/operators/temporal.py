@@ -1,0 +1,117 @@
+"""Temporal knowledge-graph state: snapshot and validity intervals.
+
+The north-star corpus carries an observation timestamp per page
+(``warc_ts``), so every extracted triple is an OBSERVATION
+``(subj, pred, obj) @ ts`` — re-crawls re-observe the same (subj, pred)
+with possibly different objects. Two derived relations turn that
+observation log into queryable graph state (the reference's analog is its
+incremental index state: reference index.py keeps the latest extraction
+per file and reconciles on re-index; here the same latest-wins semantics
+are applied per graph key, time-parameterized):
+
+* :func:`triple_snapshot` — the graph AS OF an instant: for each
+  (subj, pred), the payload of the latest observation at-or-before the
+  cutoff. The temporal-join analog of ``operators/asof.dedup_right_latest``
+  (same latest-wins pick), exposed as a first-class KG materialization.
+* :func:`triple_intervals` — the full bitemporal ledger: each observation
+  becomes a validity interval ``[valid_from, valid_to)``, half-open,
+  closed by the next observation of the same (subj, pred); the current
+  belief has ``valid_to IS NULL``. Point-in-time queries become a range
+  predicate (``valid_from <= t AND (valid_to IS NULL OR t < valid_to)``),
+  which Catalyst pushes straight to the parquet/Iceberg scan.
+
+100 TB shape:
+* snapshot — ONE map-side-combinable aggregation: ``max(struct(ts,
+  tiebreak, payload...))`` per (subj, pred). No window sort, no
+  row_number: partial maxes combine on the map side, so a hub subject
+  (an entity observed in 30% of pages) costs a wide partial-agg fan-in,
+  not a single-task sort. This is the same struct-max trick as
+  ``asof.dedup_right_latest`` — pinned there, reused here.
+* intervals — one shuffle on (subj, pred) and a per-key sort for the
+  ``lead()`` window; keys are (entity, predicate) pairs so the key space
+  is enormous and partitions balance; a hub key degrades to one
+  disk-backed sort (spill-safe), never a cross-partition bottleneck.
+
+Determinism: ties on ``ts`` (two observations of the same key in the same
+instant) are broken by the ``tiebreak`` column (ascending in the interval
+ordering, greatest-wins inside the snapshot struct-max), so both relations
+are partition-order-independent and DuckDB-rederivable — the driver
+oracles ``kg_triple_snapshot`` / ``kg_triple_intervals`` pin exactly this.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def triple_snapshot(
+    triples: DataFrame,
+    at_ts: Column | str,
+    subj: str = "subj",
+    pred: str = "pred",
+    ts: str = "ts",
+    tiebreak: str = "obs_id",
+) -> DataFrame:
+    """Latest observation per (subj, pred) at-or-before ``at_ts``.
+
+    Returns one row per (subj, pred) observed by the cutoff, with every
+    other column of ``triples`` carrying the values of the winning
+    observation (greatest ``ts``, ties broken by greatest ``tiebreak``).
+    """
+    at = F.lit(at_ts) if isinstance(at_ts, str) else at_ts
+    payload = [c for c in triples.columns if c not in (subj, pred)]
+    ordered = [ts, tiebreak] + [
+        c for c in payload if c not in (ts, tiebreak)
+    ]
+    picked = (
+        triples.where(F.col(ts) <= at)
+        .groupBy(subj, pred)
+        .agg(F.max(F.struct(*ordered)).alias("_s"))
+    )
+    return picked.select(
+        subj, pred, *[F.col(f"_s.{c}").alias(c) for c in ordered]
+    )
+
+
+def triple_intervals(
+    triples: DataFrame,
+    subj: str = "subj",
+    pred: str = "pred",
+    ts: str = "ts",
+    tiebreak: str = "obs_id",
+) -> DataFrame:
+    """Observation log -> validity intervals, one row per observation.
+
+    ``valid_from`` = the observation's own ``ts``; ``valid_to`` = the
+    ``ts`` of the next observation of the same (subj, pred) in
+    (ts, tiebreak) order, NULL while current. Half-open ``[from, to)``:
+    an observation superseded in the same instant (same ts, higher
+    tiebreak) yields a zero-length interval rather than a duplicate
+    claim — snapshot(t) == intervals filtered at t for every t
+    (property-tested in tests/test_temporal.py).
+    """
+    w = Window.partitionBy(subj, pred).orderBy(
+        F.col(ts).asc(), F.col(tiebreak).asc()
+    )
+    return triples.select(
+        *triples.columns,
+        F.col(ts).alias("valid_from"),
+        F.lead(F.col(ts)).over(w).alias("valid_to"),
+    ).drop(ts)
+
+
+def snapshot_from_intervals(
+    intervals: DataFrame, at_ts: Column | str
+) -> DataFrame:
+    """Point-in-time filter over :func:`triple_intervals` output — the
+    range predicate Catalyst can push down to the scan. With the interval
+    table partitioned/sorted on valid_from, old history prunes away
+    entirely. NOTE: same-instant superseded observations produce
+    zero-length intervals which this predicate correctly excludes
+    (``t < valid_to`` with ``valid_to == valid_from``)."""
+    at = F.lit(at_ts) if isinstance(at_ts, str) else at_ts
+    return intervals.where(
+        (F.col("valid_from") <= at)
+        & (F.col("valid_to").isNull() | (at < F.col("valid_to")))
+    )

@@ -78,6 +78,7 @@ def get_spark_cluster(
         .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.session.timeZone", "UTC")
         # reliable cut_lineage checkpoints: let the context cleaner
         # delete superseded iterations' checkpoint files once their
         # RDDs are garbage-collected (otherwise every pagerank/CC
@@ -107,6 +108,12 @@ def get_spark(app: str = "chunksilo_spark", cores: int | None = None) -> SparkSe
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # pin wall-clock<->epoch conversions to UTC so timestamp results
+        # (unix_micros, date parsing, NTZ casts) do not depend on the
+        # driver host's TZ — on a cluster the driver and executors may
+        # disagree with each other and with the oracle engine otherwise
+        # (mirrored in get_spark_cluster above)
+        .config("spark.sql.session.timeZone", "UTC")
         # reliable cut_lineage checkpoints: let the context cleaner
         # delete superseded iterations' checkpoint files once their
         # RDDs are garbage-collected (otherwise every pagerank/CC

@@ -98,6 +98,13 @@ CAPTURE = [
      "window partitioned by the 16-byte text hash, then one map-side-"
      "combinable groupBy on host (countDistinct lang expands per host, "
      "bounded by the lang alphabet)"),
+    ("kg_triple_snapshot", "temporal KG state: ONE map-side-combinable "
+     "struct-max aggregation per (subj, pred) — no window sort, no "
+     "row_number; hub subjects cost a partial-agg fan-in, not a "
+     "single-task sort"),
+    ("kg_triple_intervals", "validity ledger: one shuffle on (subj, "
+     "pred) + per-key sort for lead(); the point-in-time filter on the "
+     "materialized table is a pushable range predicate"),
     ("j5_asof_latest_order", "as-of via tagged union + running last() "
      "window: ONE Exchange per side on the key, no per-key theta-join "
      "explosion (a range-join formulation would plan as "
