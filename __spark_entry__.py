@@ -1205,6 +1205,26 @@ def _kg_triple_intervals(spark, sf):  # observation log -> validity ledger
     )
 
 
+def _g_bfs_depth(spark, sf):  # min-hop BFS from a seed set
+    # structured sparse graph over doc ids: halving edge d -> d//2 for
+    # every d>0, plus a side edge d -> d-1 when d%7==3 (bounded
+    # branching, so the oracle's all-paths recursive CTE stays small
+    # while multi-path minima and merging frontiers are exercised).
+    # Oracle: DuckDB depth-bounded WITH RECURSIVE + min(depth) — an
+    # independent all-paths enumeration vs this visited-pruned
+    # level-synchronous expansion.
+    docs = _t(spark, sf, "documents").select("doc_id")
+    d = F.col("doc_id")
+    halving = docs.where(d > 0).select(
+        d.alias("src"), (d / 2).cast("long").alias("dst")
+    )
+    side = docs.where((d % 7 == 3) & (d > 0)).select(
+        d.alias("src"), (d - 1).cast("long").alias("dst")
+    )
+    seeds = docs.where((d % 40 == 0) & (d > 0)).select(d.alias("node"))
+    return gr.bfs_depths(halving.union(side), seeds, max_depth=6)
+
+
 def _g_components(spark, sf):  # iterative min-label connected components
     # structured graph with closed-form components: clusters of 4
     # consecutive ids (each id -> its cluster base) plus a bridge edge at
@@ -1299,6 +1319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_domain_cap": _x_domain_cap,
         "kg_triple_snapshot": _kg_triple_snapshot,
         "kg_triple_intervals": _kg_triple_intervals,
+        "g_bfs_depth": _g_bfs_depth,
         # -- previously-green rows that keep their driver window slot --
         "q1_pricing_summary": _q1_pricing_summary,
         "incr_change_detect": _incr_change_detect,
@@ -1325,13 +1346,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_knn_bruteforce": _s_knn_bruteforce,
         "s_knn_lsh": _s_knn_lsh,
         "s_knn_ivf": _s_knn_ivf,
-        "t_winnow": _t_winnow,
         "m_binary_meta": _m_binary_meta,
         # -- rotated to the tail: three-plus-rounds driver-green scalar /
         #    simple-filter rows whose family keeps another in-window
         #    representative; still verified every run by the full local
         #    oracle gate (scripts/check_oracles.py via pytest) --
         "j1_new_keys": _j1_new_keys,
+        "t_winnow": _t_winnow,
         "d_simhash": _d_simhash,
         "d_embedding_neardup": _d_embedding_neardup,
         "o1_recency_boost": _o1_recency_boost,
@@ -2631,6 +2652,27 @@ def oracle_sql() -> dict[str, str]:
         FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
         WHERE e1.src < 20
         GROUP BY e1.src
+        """,
+        # depth-bounded all-paths recursive CTE + min(depth): independent
+        # derivation of BFS min-hop distance (the Spark side never
+        # enumerates paths — it prunes via the visited set)
+        "g_bfs_depth": """
+            WITH RECURSIVE e AS (
+                SELECT doc_id AS src, doc_id // 2 AS dst
+                FROM documents WHERE doc_id > 0
+                UNION ALL
+                SELECT doc_id, doc_id - 1
+                FROM documents WHERE doc_id % 7 = 3 AND doc_id > 0
+            ), bfs AS (
+                SELECT doc_id AS node, 0 AS depth FROM documents
+                WHERE doc_id % 40 = 0 AND doc_id > 0
+                UNION ALL
+                SELECT e.dst, bfs.depth + 1
+                FROM bfs JOIN e ON bfs.node = e.src
+                WHERE bfs.depth < 6
+            )
+            SELECT node, CAST(min(depth) AS BIGINT) AS depth
+            FROM bfs GROUP BY node
         """,
         # analytic component ids for the cluster+bridge graph: cluster base
         # b = doc_id - doc_id%4; a bridge at every multiple of 100 merges

@@ -258,6 +258,55 @@ def pagerank(
     return ranks
 
 
+def bfs_depths(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_depth: int = 10,
+    node_col: str = "node",
+) -> DataFrame:
+    """Min-hop distance from a seed set -> (node, depth), depth <= max_depth.
+
+    Level-synchronous frontier expansion — the KG neighborhood primitive
+    (entity k-hop context, crawl-frontier growth, contamination blast
+    radius). Each level is ONE equi-join of the current frontier with the
+    edge relation, a distinct, and an anti-join against the visited set;
+    first arrival wins, so ``depth`` is the true BFS distance. Cycles
+    terminate naturally (a revisited node is anti-joined away) and the
+    loop exits early on an empty frontier — one cheap count per level
+    against the already-checkpointed frontier, the same per-iteration
+    job discipline as :func:`pagerank`.
+
+    100 TB shape: per level, the frontier⋈edges shuffle is keyed on the
+    hop node (AQE splits hub keys); the visited anti-join shuffles both
+    sides on node. Web graphs have tiny effective diameter, so levels are
+    few and the frontier collapses after the first hops; lineage is cut
+    every level (reliable checkpoints under a configured dir). The
+    driver oracle (``g_bfs_depth``) re-derives the same depths in DuckDB
+    with a depth-bounded recursive CTE + min(depth) — an independent
+    all-paths enumeration against this visited-pruned expansion.
+    """
+    visited = cut_lineage(
+        seeds.select(F.col(node_col).alias("node"))
+        .distinct()
+        .withColumn("depth", F.lit(0).cast("long"))
+    )
+    frontier = visited
+    e = edges.select("src", "dst")
+    for d in range(1, max_depth + 1):
+        nxt = cut_lineage(
+            frontier.join(e, frontier["node"] == e["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("depth", F.lit(d).cast("long"))
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        visited = cut_lineage(visited.unionByName(nxt))
+        frontier = nxt
+    return visited
+
+
 def _two_hop_joined(edges: DataFrame, sources: DataFrame) -> DataFrame:
     """The hop-expansion join of :func:`two_hop_counts`, exposed so the
     hub-skew test can measure its output partition sizes directly."""

@@ -98,6 +98,9 @@ CAPTURE = [
      "window partitioned by the 16-byte text hash, then one map-side-"
      "combinable groupBy on host (countDistinct lang expands per host, "
      "bounded by the lang alphabet)"),
+    ("g_bfs_depth", "level-synchronous BFS: per level ONE frontier-edges "
+     "equi-join + distinct + anti-join vs visited, lineage cut per "
+     "level; early exit on empty frontier"),
     ("kg_triple_snapshot", "temporal KG state: ONE map-side-combinable "
      "struct-max aggregation per (subj, pred) — no window sort, no "
      "row_number; hub subjects cost a partial-agg fan-in, not a "

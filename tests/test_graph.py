@@ -893,3 +893,61 @@ class TestWhitespaceDialectPin:
         want = [U.canonicalize_url(u) for u in urls]
         assert got == want
         assert want == [None, "https://a.example/x", "https://a.example/x"]
+
+
+def _python_bfs(edges, seeds, max_depth):
+    from collections import deque
+
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, []).append(d)
+    depth = {s: 0 for s in seeds}
+    q = deque(seeds)
+    while q:
+        n = q.popleft()
+        if depth[n] >= max_depth:
+            continue
+        for m in adj.get(n, []):
+            if m not in depth:
+                depth[m] = depth[n] + 1
+                q.append(m)
+    return sorted(depth.items())
+
+
+class TestBfsDepths:
+    # branches, a cycle (3->4->5->3), a node reachable two ways at
+    # different depths (6: via 2 at d2 and via 5 at d4 -> min wins),
+    # an unreachable island (90->91)
+    EDGES = [
+        (0, 1), (0, 2), (1, 3), (2, 6), (3, 4), (4, 5), (5, 3),
+        (5, 6), (2, 2), (90, 91),
+    ]
+    SEEDS = [0]
+
+    def _run(self, spark, max_depth):
+        e = spark.createDataFrame(self.EDGES, "src long, dst long").repartition(5)
+        s = spark.createDataFrame([(x,) for x in self.SEEDS], "node long")
+        got = G.bfs_depths(e, s, max_depth=max_depth)
+        return sorted((r["node"], r["depth"]) for r in got.collect())
+
+    def test_matches_python_bfs(self, spark):
+        for md in (0, 1, 2, 3, 10):
+            assert self._run(spark, md) == _python_bfs(
+                self.EDGES, self.SEEDS, md
+            ), md
+
+    def test_min_depth_wins_on_multi_path(self, spark):
+        got = dict(self._run(spark, 10))
+        assert got[6] == 2  # 0->2->6 beats 0->1->3->4->5->6
+        assert 90 not in got and 91 not in got  # island unreachable
+
+    def test_multi_seed_first_arrival(self, spark):
+        e = spark.createDataFrame(self.EDGES, "src long, dst long")
+        s = spark.createDataFrame([(0,), (4,)], "node long")
+        got = dict(
+            (r["node"], r["depth"])
+            for r in G.bfs_depths(e, s, max_depth=10).collect()
+        )
+        assert got[4] == 0 and got[5] == 1 and got[3] == 2
+        # 3 is ALSO 0->1->3 at depth 2 from seed 0 — tie, either path d=2
+        assert got[6] == 2
