@@ -1264,6 +1264,18 @@ def _f6_issue_keys(spark, sf):  # F6 issue-key normalization (shared regex)
 # training-export queries (operators/export.py)
 
 
+def _t_bigram_lm(spark, sf):  # bigram fluency proxy (token-order aware)
+    return cu.bigram_logprob(_t(spark, sf, "documents"), lam=0.75)
+
+
+def _t_dsir_weights(spark, sf):  # hashed-bigram importance log-ratios
+    # target slice = English docs: weights rank every doc by how
+    # English-profiled its hashed-bigram distribution is
+    return cu.dsir_logratio(
+        _t(spark, sf, "documents"), F.col("lang") == "en", buckets=256
+    )
+
+
 def _t_unigram_lm(spark, sf):  # LM quality proxy from corpus statistics
     # vocab_size=30 << corpus vocab so the OOV floor path is exercised
     return cu.unigram_logprob(
@@ -1320,10 +1332,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triple_snapshot": _kg_triple_snapshot,
         "kg_triple_intervals": _kg_triple_intervals,
         "g_bfs_depth": _g_bfs_depth,
+        "t_bigram_lm": _t_bigram_lm,
+        "t_dsir_weights": _t_dsir_weights,
         # -- previously-green rows that keep their driver window slot --
         "q1_pricing_summary": _q1_pricing_summary,
         "incr_change_detect": _incr_change_detect,
-        "q5_local_supplier": _q5_local_supplier,
         "a1_rollup": _a1_rollup,
         "w1_topk_per_type": _w1_topk_per_type,
         "u5_bm25": _u5_bm25,
@@ -1331,7 +1344,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w2_rerank_topk": _w2_rerank_topk,
         "f14_extras": _f14_extras,
         "t_repetition": _t_repetition,
-        "t_pii_scrub": _t_pii_scrub,
         "d_contamination": _d_contamination,
         "t_stratified_sample": _t_stratified_sample,
         "d_exact": _d_exact,
@@ -1352,6 +1364,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    representative; still verified every run by the full local
         #    oracle gate (scripts/check_oracles.py via pytest) --
         "j1_new_keys": _j1_new_keys,
+        "q5_local_supplier": _q5_local_supplier,
+        "t_pii_scrub": _t_pii_scrub,
         "t_winnow": _t_winnow,
         "d_simhash": _d_simhash,
         "d_embedding_neardup": _d_embedding_neardup,
@@ -2707,6 +2721,66 @@ def oracle_sql() -> dict[str, str]:
         # (ln(coalesce(cnt, 0.5) / total), averaged per doc); ln() because
         # DuckDB's log() is base 10. Deterministic vocab cutoff (cnt desc,
         # tok asc) keeps the top-30 set identical across engines.
+        # DSIR importance weights: hashed-bigram (md5-substr-UBIGINT %
+        # 256, the exact _md5_bucket algebra) target-vs-raw smoothed
+        # log-ratio summed per doc; the bigram STRING is space-joined
+        # before hashing, matching _word_grams' array_join
+        "t_dsir_weights": """
+            WITH t AS (
+                SELECT doc_id, lang,
+                       list_filter(string_split_regex(trim(text), '\\s+'),
+                                   x -> x <> '') AS toks
+                FROM documents
+            ), b AS (
+                SELECT doc_id, lang,
+                       (('0x' || substr(md5(toks[i] || ' ' || toks[i + 1]),
+                                        1, 15))::UBIGINT % 256)::BIGINT AS f
+                FROM t, unnest(range(1, len(toks))) AS r(i)
+            ), stats AS (
+                SELECT f, COUNT(*)::DOUBLE AS cr,
+                       COUNT(*) FILTER (WHERE lang = 'en')::DOUBLE AS ct
+                FROM b GROUP BY f
+            ), tot AS (
+                SELECT SUM(cr) AS tr, SUM(ct) AS tt FROM stats
+            )
+            SELECT b.doc_id, COUNT(*) AS n_feats,
+                   round(SUM(ln(
+                       ((stats.ct + 1.0) / ((SELECT tt FROM tot) + 256))
+                       / ((stats.cr + 1.0) / ((SELECT tr FROM tot) + 256))
+                   )), 6) AS dsir_logratio
+            FROM b JOIN stats USING (f)
+            GROUP BY b.doc_id
+        """,
+        # bigram JM-interpolated fluency: same clean-token pin as the
+        # unigram oracle; bigram relation built positionally via
+        # range(1, len) lateral unnest; float op order lam*(c12/c1) then
+        # (1-lam)*(c2/T), rounded 6dp after the avg
+        "t_bigram_lm": """
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(trim(text), '\\s+'),
+                                   x -> x <> '') AS toks
+                FROM documents
+            ), b AS (
+                SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+                FROM t, unnest(range(1, len(toks))) AS r(i)
+            ), c12 AS (
+                SELECT w1, w2, COUNT(*)::DOUBLE AS c12
+                FROM b GROUP BY w1, w2
+            ), c1 AS (
+                SELECT w1, COUNT(*)::DOUBLE AS c1 FROM b GROUP BY w1
+            ), c2 AS (
+                SELECT w2, COUNT(*)::DOUBLE AS c2 FROM b GROUP BY w2
+            ), tot AS (SELECT COUNT(*)::DOUBLE AS t FROM b)
+            SELECT b.doc_id, COUNT(*) AS n_bigrams,
+                   round(AVG(ln(
+                       0.75 * (c12.c12 / c1.c1)
+                       + 0.25 * (c2.c2 / (SELECT t FROM tot))
+                   )), 6) AS mean_logprob
+            FROM b
+            JOIN c12 USING (w1, w2) JOIN c1 USING (w1) JOIN c2 USING (w2)
+            GROUP BY b.doc_id
+        """,
         "t_unigram_lm": """
             WITH toks AS (
                 SELECT doc_id,

@@ -199,6 +199,138 @@ def unigram_logprob(
     )
 
 
+def bigram_logprob(
+    docs: DataFrame,
+    lam: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_bigrams, mean_logprob) — the bigram step up from
+    :func:`unigram_logprob`: per-doc mean of
+    ``ln(lam * c(w1,w2)/c1(w1) + (1-lam) * c2(w2)/T)`` with all counts
+    taken over the corpus's own bigram relation (c1 = occurrences as a
+    bigram LEFT token, c2 = as a RIGHT token, T = total bigrams) —
+    Jelinek-Mercer interpolation of the bigram conditional with the
+    unigram prior, the standard CCNet/KenLM-style fluency proxy that
+    actually penalizes improbable token ORDER, not just rare tokens.
+    Docs with fewer than two tokens have no bigrams and drop out
+    (pinned; the oracle derivation agrees by construction).
+
+    Scale shape: the token array is projected ONCE before the pair
+    lambda (interpreted higher-order funcs have no CSE — the
+    d_neardup_verified lesson), then one explode builds the bigram
+    relation B. The (w1,w2) stats join shuffles B on the bigram key —
+    the honest KenLM-training shuffle, map-side pre-aggregated; the two
+    unigram-context relations are vocab-sized and usually broadcast
+    (Catalyst decides by stats); T is one scalar aggregate. B is
+    checkpointed so its four consumers never re-run the corpus scan.
+    Float op order pinned: lam*(c12/c1) first, then (1-lam)*(c2/T),
+    rounded to 6dp after the avg.
+    """
+    base = docs.select(
+        F.col(id_col), _tokens(F.col(text_col)).alias("_toks")
+    )
+    pairs = F.when(
+        F.size("_toks") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_toks") - 1),
+            lambda i: F.struct(
+                F.element_at("_toks", i).alias("w1"),
+                F.element_at("_toks", i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    b = cut_lineage(
+        base.select(F.col(id_col), F.explode(pairs).alias("_bg"))
+        .select(F.col(id_col), F.col("_bg.w1"), F.col("_bg.w2"))
+    )
+    c12 = b.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("double").alias("_c12")
+    )
+    c1 = b.groupBy("w1").agg(F.count(F.lit(1)).cast("double").alias("_c1"))
+    c2 = b.groupBy("w2").agg(F.count(F.lit(1)).cast("double").alias("_c2"))
+    total = float(b.count())
+    p = F.lit(float(lam)) * (F.col("_c12") / F.col("_c1")) + F.lit(
+        float(1.0 - lam)
+    ) * (F.col("_c2") / F.lit(max(total, 1.0)))
+    return (
+        b.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .join(c2, "w2")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(F.log(p)), 6).alias("mean_logprob"),
+        )
+    )
+
+
+def dsir_logratio(
+    docs: DataFrame,
+    target_cond: Column,
+    buckets: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_feats, dsir_logratio) — data-selection importance weight:
+    per-doc sum over hashed-bigram feature occurrences of
+    ``ln(p_target(f) / p_raw(f))``, the published DSIR recipe (hashed
+    n-gram importance resampling): docs whose feature profile looks like
+    the target slice (``target_cond``, e.g. an in-domain or high-quality
+    subset) get positive weights; off-profile docs go negative. Sampling
+    proportional to ``exp(weight)`` then reproduces the target
+    distribution — the principled upgrade over hard domain filters.
+
+    Both feature distributions come from ONE corpus pass: explode
+    bigrams, hash to ``buckets`` via the exact-SQL ``_md5_bucket``
+    algebra, then a single groupBy counts raw occurrences and (via a
+    conditional sum) target occurrences. Add-1 smoothing on both:
+    ``p(f) = (c_f + 1) / (T + buckets)``. The stats relation is
+    ``buckets`` rows — broadcast back for the scoring pass, which is
+    therefore map-side; two scalar totals ride along via one driver agg.
+    Docs with <2 tokens have no features and drop out (pinned, matches
+    the bigram-LM contract). Float order pinned: both smoothed ratios
+    formed first, divided, THEN ln; per-doc sum rounded to 6dp.
+    """
+    base = docs.select(
+        F.col(id_col),
+        target_cond.alias("_tgt"),
+        _tokens(F.col(text_col)).alias("_toks"),
+    )
+    bg = _word_grams(F.col("_toks"), 2)
+    feats = cut_lineage(
+        base.select(
+            F.col(id_col), F.col("_tgt"), F.explode(bg).alias("_f_raw")
+        ).select(
+            F.col(id_col),
+            F.col("_tgt"),
+            _md5_bucket(F.col("_f_raw"), buckets).alias("_f"),
+        )
+    )
+    stats = cut_lineage(
+        feats.groupBy("_f").agg(
+            F.count(F.lit(1)).cast("double").alias("_cr"),
+            F.sum(F.when(F.col("_tgt"), 1).otherwise(0))
+            .cast("double")
+            .alias("_ct"),
+        )
+    )
+    tr, tt = stats.agg(F.sum("_cr"), F.sum("_ct")).collect()[0]
+    tr, tt = float(tr or 0.0), float(tt or 0.0)
+    w = F.log(
+        ((F.col("_ct") + F.lit(1.0)) / F.lit(tt + buckets))
+        / ((F.col("_cr") + F.lit(1.0)) / F.lit(tr + buckets))
+    )
+    return (
+        feats.join(F.broadcast(stats), "_f")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.round(F.sum(w), 6).alias("dsir_logratio"),
+        )
+    )
+
+
 def _md5_bucket(col: Column, buckets: int = 100) -> Column:
     """Deterministic [0, buckets) bucket from md5 of the column's string
     form — the first 15 hex chars fit a signed 64-bit int, and the same

@@ -98,6 +98,13 @@ CAPTURE = [
      "window partitioned by the 16-byte text hash, then one map-side-"
      "combinable groupBy on host (countDistinct lang expands per host, "
      "bounded by the lang alphabet)"),
+    ("t_bigram_lm", "KenLM-style bigram fluency: token array projected "
+     "before the pair lambda (no-CSE rule), one explode into the "
+     "checkpointed bigram relation; (w1,w2) stats join is the honest "
+     "LM-training shuffle, unigram-context joins broadcast"),
+    ("t_dsir_weights", "DSIR: one explode pass builds both feature "
+     "distributions (conditional sum for the target); 256-row stats "
+     "broadcast back so scoring is map-side"),
     ("g_bfs_depth", "level-synchronous BFS: per level ONE frontier-edges "
      "equi-join + distinct + anti-join vs visited, lineage cut per "
      "level; early exit on empty frontier"),

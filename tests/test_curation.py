@@ -441,3 +441,144 @@ class TestDomainProfile:
         prof = domain_profile(docs).collect()
         assert sum(r["n_docs"] for r in prof) == docs.count()
         assert all(r["host"].startswith("site") for r in prof)
+
+
+class TestBigramLogprob:
+    def test_matches_python_oracle(self, spark):
+        import math
+
+        from chunksilo_spark.operators.curation import bigram_logprob
+
+        rows = [
+            (0, "the cat sat on the mat"),
+            (1, "the cat ran"),
+            (2, "one"),            # <2 tokens -> no bigrams, drops out
+            (3, "  the   cat  "),  # messy whitespace, one bigram
+            (4, ""),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        lam = 0.75
+
+        bigrams = []
+        for i, s in rows:
+            t = s.split()
+            bigrams += [(i, t[j], t[j + 1]) for j in range(len(t) - 1)]
+        c12: dict = {}
+        c1: dict = {}
+        c2: dict = {}
+        for _, a, b in bigrams:
+            c12[(a, b)] = c12.get((a, b), 0) + 1
+            c1[a] = c1.get(a, 0) + 1
+            c2[b] = c2.get(b, 0) + 1
+        T = len(bigrams)
+        want = {}
+        for i, s in rows:
+            t = s.split()
+            lps = [
+                math.log(
+                    lam * (c12[(t[j], t[j + 1])] / c1[t[j]])
+                    + (1 - lam) * (c2[t[j + 1]] / T)
+                )
+                for j in range(len(t) - 1)
+            ]
+            if lps:
+                want[i] = (len(lps), round(sum(lps) / len(lps), 6))
+
+        got = {
+            r["doc_id"]: (r["n_bigrams"], r["mean_logprob"])
+            for r in bigram_logprob(df, lam=lam).collect()
+        }
+        assert got == want
+        assert 2 not in got and 4 not in got
+
+    def test_order_sensitivity(self, spark):
+        # same token multiset, different order -> the repeated-order doc
+        # must score strictly higher (this is what unigram LM cannot see)
+        from chunksilo_spark.operators.curation import bigram_logprob
+
+        rows = [(i, "a b a b a b a b") for i in range(4)] + [
+            (9, "b b a a b a b a")
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: r["mean_logprob"]
+            for r in bigram_logprob(df).collect()
+        }
+        assert got[0] > got[9]
+
+
+class TestDsirLogratio:
+    def test_matches_python_oracle(self, spark):
+        import hashlib
+        import math
+
+        from chunksilo_spark.operators.curation import dsir_logratio
+
+        rows = [
+            (0, "en", "the cat sat on the mat"),
+            (1, "en", "the cat ran home"),
+            (2, "de", "der hund lief schnell weg"),
+            (3, "de", "der hund schlief"),
+            (4, "en", "x"),  # <2 tokens -> drops out
+        ]
+        B = 16
+
+        def bucket(a, b):
+            h = hashlib.md5(f"{a} {b}".encode()).hexdigest()[:15]
+            return int(h, 16) % B
+
+        feats = []
+        for i, lang, s in rows:
+            t = s.split()
+            feats += [
+                (i, lang == "en", bucket(t[j], t[j + 1]))
+                for j in range(len(t) - 1)
+            ]
+        cr: dict = {}
+        ct: dict = {}
+        for _, tgt, f in feats:
+            cr[f] = cr.get(f, 0) + 1
+            if tgt:
+                ct[f] = ct.get(f, 0) + 1
+        tr, tt = len(feats), sum(1 for _, tgt, _ in feats if tgt)
+        want = {}
+        for i, _, s in rows:
+            t = s.split()
+            ws = [
+                math.log(
+                    ((ct.get(bucket(t[j], t[j + 1]), 0) + 1) / (tt + B))
+                    / ((cr[bucket(t[j], t[j + 1])] + 1) / (tr + B))
+                )
+                for j in range(len(t) - 1)
+            ]
+            if ws:
+                want[i] = (len(ws), round(sum(ws), 6))
+
+        df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+        from pyspark.sql import functions as F
+
+        got = {
+            r["doc_id"]: (r["n_feats"], r["dsir_logratio"])
+            for r in dsir_logratio(
+                df, F.col("lang") == "en", buckets=B
+            ).collect()
+        }
+        assert got == want and 4 not in got
+
+    def test_target_profile_ranks_higher(self, spark):
+        # target-slice docs must average a higher weight than off-target
+        from pyspark.sql import functions as F
+
+        from chunksilo_spark.operators.curation import dsir_logratio
+
+        rows = [(i, "en", "alpha beta gamma delta epsilon zeta") for i in range(8)] + [
+            (100 + i, "de", "eins zwei drei vier fuenf sechs") for i in range(8)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+        got = {
+            r["doc_id"]: r["dsir_logratio"]
+            for r in dsir_logratio(df, F.col("lang") == "en").collect()
+        }
+        en = sum(v for k, v in got.items() if k < 100) / 8
+        de = sum(v for k, v in got.items() if k >= 100) / 8
+        assert en > 0 > de
