@@ -1225,6 +1225,24 @@ def _g_bfs_depth(spark, sf):  # min-hop BFS from a seed set
     return gr.bfs_depths(halving.union(side), seeds, max_depth=6)
 
 
+def _g_random_walks(spark, sf):  # deterministic hash-random walk corpus
+    # same bounded-branching graph as g_bfs_depth; each step's choice is
+    # argmax md5(walk_id|step|dst) so DuckDB re-derives every step with
+    # row_number over the same digest (4 unrolled CTE hops)
+    docs = _t(spark, sf, "documents").select("doc_id")
+    d = F.col("doc_id")
+    halving = docs.where(d > 0).select(
+        d.alias("src"), (d / 2).cast("long").alias("dst")
+    )
+    side = docs.where((d % 7 == 3) & (d > 0)).select(
+        d.alias("src"), (d - 1).cast("long").alias("dst")
+    )
+    seeds = docs.where((d % 25 == 0) & (d > 0)).select(
+        d.alias("walk_id"), d.alias("node")
+    )
+    return gr.random_walks(halving.union(side), seeds, length=4)
+
+
 def _g_components(spark, sf):  # iterative min-label connected components
     # structured graph with closed-form components: clusters of 4
     # consecutive ids (each id -> its cluster base) plus a bridge edge at
@@ -1332,6 +1350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triple_snapshot": _kg_triple_snapshot,
         "kg_triple_intervals": _kg_triple_intervals,
         "g_bfs_depth": _g_bfs_depth,
+        "g_random_walks": _g_random_walks,
         "t_bigram_lm": _t_bigram_lm,
         "t_dsir_weights": _t_dsir_weights,
         # -- previously-green rows that keep their driver window slot --
@@ -1345,12 +1364,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f14_extras": _f14_extras,
         "t_repetition": _t_repetition,
         "d_contamination": _d_contamination,
-        "t_stratified_sample": _t_stratified_sample,
         "d_exact": _d_exact,
         "d_minhash_lsh": _d_minhash_lsh,
         "d_neardup_verified": _d_neardup_verified,
-        "d_dedup_clusters": _d_dedup_clusters,
         "d_neardup_incremental": _d_neardup_incremental,
+        "t_stratified_sample": _t_stratified_sample,
         "d_dup_spans": _d_dup_spans,
         "d_semdedup": _d_semdedup,
         "t_quality_model": _t_quality_model,
@@ -1365,6 +1383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    oracle gate (scripts/check_oracles.py via pytest) --
         "j1_new_keys": _j1_new_keys,
         "q5_local_supplier": _q5_local_supplier,
+        "d_dedup_clusters": _d_dedup_clusters,
         "t_pii_scrub": _t_pii_scrub,
         "t_winnow": _t_winnow,
         "d_simhash": _d_simhash,
@@ -2666,6 +2685,58 @@ def oracle_sql() -> dict[str, str]:
         FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
         WHERE e1.src < 20
         GROUP BY e1.src
+        """,
+        # hash-random walks: every hop re-derived with row_number over
+        # the identical md5(walk_id|step|dst) digest (desc, dst desc) —
+        # 4 unrolled hops, walks ending early at out-degree-0 nodes
+        "g_random_walks": """
+            WITH e AS (
+                SELECT doc_id AS src, doc_id // 2 AS dst
+                FROM documents WHERE doc_id > 0
+                UNION ALL
+                SELECT doc_id, doc_id - 1
+                FROM documents WHERE doc_id % 7 = 3 AND doc_id > 0
+            ), s0 AS (
+                SELECT doc_id AS walk_id, doc_id AS node
+                FROM documents WHERE doc_id % 25 = 0 AND doc_id > 0
+            ), w1 AS (
+                SELECT walk_id, dst AS node FROM (
+                    SELECT s0.walk_id, e.dst, row_number() OVER (
+                        PARTITION BY s0.walk_id
+                        ORDER BY md5(s0.walk_id::VARCHAR || '|1|'
+                                     || e.dst::VARCHAR) DESC, e.dst DESC
+                    ) AS rn FROM s0 JOIN e ON s0.node = e.src
+                ) WHERE rn = 1
+            ), w2 AS (
+                SELECT walk_id, dst AS node FROM (
+                    SELECT w1.walk_id, e.dst, row_number() OVER (
+                        PARTITION BY w1.walk_id
+                        ORDER BY md5(w1.walk_id::VARCHAR || '|2|'
+                                     || e.dst::VARCHAR) DESC, e.dst DESC
+                    ) AS rn FROM w1 JOIN e ON w1.node = e.src
+                ) WHERE rn = 1
+            ), w3 AS (
+                SELECT walk_id, dst AS node FROM (
+                    SELECT w2.walk_id, e.dst, row_number() OVER (
+                        PARTITION BY w2.walk_id
+                        ORDER BY md5(w2.walk_id::VARCHAR || '|3|'
+                                     || e.dst::VARCHAR) DESC, e.dst DESC
+                    ) AS rn FROM w2 JOIN e ON w2.node = e.src
+                ) WHERE rn = 1
+            ), w4 AS (
+                SELECT walk_id, dst AS node FROM (
+                    SELECT w3.walk_id, e.dst, row_number() OVER (
+                        PARTITION BY w3.walk_id
+                        ORDER BY md5(w3.walk_id::VARCHAR || '|4|'
+                                     || e.dst::VARCHAR) DESC, e.dst DESC
+                    ) AS rn FROM w3 JOIN e ON w3.node = e.src
+                ) WHERE rn = 1
+            )
+            SELECT walk_id, 0::BIGINT AS step, node FROM s0
+            UNION ALL SELECT walk_id, 1::BIGINT, node FROM w1
+            UNION ALL SELECT walk_id, 2::BIGINT, node FROM w2
+            UNION ALL SELECT walk_id, 3::BIGINT, node FROM w3
+            UNION ALL SELECT walk_id, 4::BIGINT, node FROM w4
         """,
         # depth-bounded all-paths recursive CTE + min(depth): independent
         # derivation of BFS min-hop distance (the Spark side never

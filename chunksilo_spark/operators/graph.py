@@ -307,6 +307,61 @@ def bfs_depths(
     return visited
 
 
+def random_walks(
+    edges: DataFrame,
+    seeds: DataFrame,
+    length: int = 4,
+    node_col: str = "node",
+    walk_col: str = "walk_id",
+) -> DataFrame:
+    """Deterministic hash-random walks -> (walk_id, step, node).
+
+    The walk-corpus generator behind DeepWalk/node2vec-style KG
+    embeddings, made REPRODUCIBLE: at each step the walker at ``u`` moves
+    to the out-neighbor ``v`` maximizing ``md5(walk_id|step|v)`` (ties on
+    the full digest broken by ``v``) — a per-(walk, step) uniform-ish
+    choice that is a pure function of the walk id, so reruns, retries and
+    other engines (the driver oracle re-derives every step in DuckDB with
+    row_number over the same digest) produce byte-identical walks.
+    Walks that reach a node with no out-edges end early; their earlier
+    positions remain in the output.
+
+    100 TB shape: each step is one equi-join of the walker frontier with
+    the edge relation keyed on the current node (AQE splits hub keys —
+    many walkers sit on hub pages at once) followed by ONE map-side-
+    combinable struct-max per walk (never a per-walk sort); frontier
+    lineage is cut every step. Walk count scales freely: the frontier
+    stays one row per live walk.
+    """
+    e = edges.select("src", "dst")
+    cur = seeds.select(F.col(walk_col), F.col(node_col).alias("node"))
+    out = cur.withColumn("step", F.lit(0).cast("long"))
+    for s in range(1, length + 1):
+        j = cur.join(e, cur["node"] == e["src"])
+        h = F.md5(
+            F.concat_ws(
+                "|",
+                F.col(walk_col).cast("string"),
+                F.lit(str(s)),
+                F.col("dst").cast("string"),
+            )
+        )
+        picked = j.groupBy(walk_col).agg(
+            F.max(F.struct(h.alias("h"), F.col("dst").alias("d"))).alias(
+                "_s"
+            )
+        )
+        cur = cut_lineage(
+            picked.select(F.col(walk_col), F.col("_s.d").alias("node"))
+        )
+        if cur.limit(1).count() == 0:
+            break
+        out = out.unionByName(
+            cur.withColumn("step", F.lit(s).cast("long"))
+        )
+    return out
+
+
 def _two_hop_joined(edges: DataFrame, sources: DataFrame) -> DataFrame:
     """The hop-expansion join of :func:`two_hop_counts`, exposed so the
     hub-skew test can measure its output partition sizes directly."""

@@ -98,6 +98,9 @@ CAPTURE = [
      "window partitioned by the 16-byte text hash, then one map-side-"
      "combinable groupBy on host (countDistinct lang expands per host, "
      "bounded by the lang alphabet)"),
+    ("g_random_walks", "hash-random walk corpus: per step one frontier-"
+     "edges equi-join + ONE map-side-combinable struct-max per walk "
+     "(never a per-walk sort); frontier stays one row per live walk"),
     ("t_bigram_lm", "KenLM-style bigram fluency: token array projected "
      "before the pair lambda (no-CSE rule), one explode into the "
      "checkpointed bigram relation; (w1,w2) stats join is the honest "

@@ -951,3 +951,68 @@ class TestBfsDepths:
         assert got[4] == 0 and got[5] == 1 and got[3] == 2
         # 3 is ALSO 0->1->3 at depth 2 from seed 0 — tie, either path d=2
         assert got[6] == 2
+
+
+class TestRandomWalks:
+    EDGES = [
+        (0, 1), (0, 2), (0, 3), (1, 4), (1, 5), (2, 6), (4, 0),
+        (7, 8),  # 8 is dangling -> walks from 7 end at step 1
+    ]
+
+    def _python_walks(self, edges, seeds, length):
+        import hashlib
+
+        adj = {}
+        for s, d in edges:
+            adj.setdefault(s, []).append(d)
+        rows = []
+        for w in seeds:
+            node = w
+            rows.append((w, 0, node))
+            for step in range(1, length + 1):
+                nbrs = adj.get(node)
+                if not nbrs:
+                    break
+                node = max(
+                    nbrs,
+                    key=lambda v: (
+                        hashlib.md5(f"{w}|{step}|{v}".encode()).hexdigest(),
+                        v,
+                    ),
+                )
+                rows.append((w, step, node))
+        return sorted(rows)
+
+    def test_matches_python_oracle(self, spark):
+        e = spark.createDataFrame(self.EDGES, "src long, dst long").repartition(3)
+        seeds = [0, 1, 7, 8]
+        s = spark.createDataFrame(
+            [(w, w) for w in seeds], "walk_id long, node long"
+        )
+        got = sorted(
+            (r["walk_id"], r["step"], r["node"])
+            for r in G.random_walks(e, s, length=5).collect()
+        )
+        assert got == self._python_walks(self.EDGES, seeds, 5)
+
+    def test_deterministic_across_runs(self, spark):
+        e = spark.createDataFrame(self.EDGES, "src long, dst long")
+        s = spark.createDataFrame([(0, 0), (1, 1)], "walk_id long, node long")
+        a = sorted(map(tuple, G.random_walks(e, s, length=4).collect()))
+        b = sorted(map(tuple, G.random_walks(e.repartition(7), s, length=4).collect()))
+        assert a == b
+
+    def test_distinct_walks_diverge(self, spark):
+        # two walks seeded at the same node must be able to take
+        # different branches (hash depends on walk_id)
+        e = spark.createDataFrame(self.EDGES, "src long, dst long")
+        s = spark.createDataFrame(
+            [(w, 0) for w in range(20)], "walk_id long, node long"
+        )
+        step1 = {
+            r["walk_id"]: r["node"]
+            for r in G.random_walks(e, s, length=1)
+            .where("step = 1")
+            .collect()
+        }
+        assert len(set(step1.values())) > 1
