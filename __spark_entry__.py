@@ -1205,6 +1205,31 @@ def _kg_triple_intervals(spark, sf):  # observation log -> validity ledger
     )
 
 
+def _kg_obs(spark, sf):  # shared observation log for support/conflicts:
+    # objects quantized into value bands so claims repeat
+    return _t(spark, sf, "events").select(
+        F.col("user_id").alias("subj"),
+        F.col("event_type").alias("pred"),
+        F.floor(F.col("value") / 50).cast("long").alias("obj"),
+        "ts",
+        F.col("event_id").alias("obs_id"),
+    )
+
+
+def _kg_triple_support(spark, sf):  # evidence aggregation per claim
+    from chunksilo_spark.operators.temporal import triple_support
+
+    return triple_support(
+        _kg_obs(spark, sf), "2024-02-01 00:00:00", half_life_days=7.0
+    )
+
+
+def _kg_functional_conflicts(spark, sf):  # single-valued-predicate breaks
+    from chunksilo_spark.operators.temporal import functional_conflicts
+
+    return functional_conflicts(_kg_obs(spark, sf))
+
+
 def _g_bfs_depth(spark, sf):  # min-hop BFS from a seed set
     # structured sparse graph over doc ids: halving edge d -> d//2 for
     # every d>0, plus a side edge d -> d-1 when d%7==3 (bounded
@@ -1349,15 +1374,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_domain_cap": _x_domain_cap,
         "kg_triple_snapshot": _kg_triple_snapshot,
         "kg_triple_intervals": _kg_triple_intervals,
+        "kg_triple_support": _kg_triple_support,
+        "kg_functional_conflicts": _kg_functional_conflicts,
         "g_bfs_depth": _g_bfs_depth,
         "g_random_walks": _g_random_walks,
         "t_bigram_lm": _t_bigram_lm,
         "t_dsir_weights": _t_dsir_weights,
         # -- previously-green rows that keep their driver window slot --
         "q1_pricing_summary": _q1_pricing_summary,
-        "incr_change_detect": _incr_change_detect,
         "a1_rollup": _a1_rollup,
-        "w1_topk_per_type": _w1_topk_per_type,
         "u5_bm25": _u5_bm25,
         "flagship_search": _flagship_search,
         "w2_rerank_topk": _w2_rerank_topk,
@@ -1382,6 +1407,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    representative; still verified every run by the full local
         #    oracle gate (scripts/check_oracles.py via pytest) --
         "j1_new_keys": _j1_new_keys,
+        "incr_change_detect": _incr_change_detect,
+        "w1_topk_per_type": _w1_topk_per_type,
         "q5_local_supplier": _q5_local_supplier,
         "d_dedup_clusters": _d_dedup_clusters,
         "t_pii_scrub": _t_pii_scrub,
@@ -2471,6 +2498,57 @@ def oracle_sql() -> dict[str, str]:
                 FROM events
                 WHERE ts <= TIMESTAMP '2024-01-20 00:00:00'
             ) WHERE rn = 1
+        """,
+        # evidence aggregation per claim: one grouped pass; confidence =
+        # recency-weighted support with pinned op order
+        # (micros-diff -> /86400e6 -> /half_life -> pow), rounded 6dp
+        "kg_triple_support": """
+            SELECT user_id AS subj, event_type AS pred,
+                   floor(value / 50)::BIGINT AS obj,
+                   COUNT(*) AS n_obs,
+                   min(ts) AS first_seen, max(ts) AS last_seen,
+                   round(SUM(pow(0.5,
+                       ((epoch_us(TIMESTAMP '2024-02-01 00:00:00')
+                         - epoch_us(ts)) / 86400000000.0) / 7.0
+                   )), 6) AS confidence
+            FROM events GROUP BY 1, 2, 3
+        """,
+        # functional-predicate conflicts: top value by (n_obs, obj),
+        # latest value by (ts, event_id) — both re-derived via
+        # row_number instead of the Spark side's struct-max aggregates
+        "kg_functional_conflicts": """
+            WITH base AS (
+                SELECT user_id AS subj, event_type AS pred,
+                       floor(value / 50)::BIGINT AS obj, ts, event_id
+                FROM events
+            ), pv AS (
+                SELECT subj, pred, obj, COUNT(*) AS n_obs
+                FROM base GROUP BY 1, 2, 3
+            ), top AS (
+                SELECT subj, pred, obj AS top_obj, n_obs AS top_n_obs
+                FROM (
+                    SELECT pv.*, row_number() OVER (
+                        PARTITION BY subj, pred
+                        ORDER BY n_obs DESC, obj DESC) AS rn
+                    FROM pv
+                ) WHERE rn = 1
+            ), latest AS (
+                SELECT subj, pred, obj AS latest_obj FROM (
+                    SELECT base.*, row_number() OVER (
+                        PARTITION BY subj, pred
+                        ORDER BY ts DESC, event_id DESC) AS rn
+                    FROM base
+                ) WHERE rn = 1
+            ), agg AS (
+                SELECT subj, pred, COUNT(*) AS n_values
+                FROM pv GROUP BY 1, 2
+            )
+            SELECT a.subj, a.pred, a.n_values,
+                   t.top_obj, t.top_n_obs, l.latest_obj
+            FROM agg a
+            JOIN top t USING (subj, pred)
+            JOIN latest l USING (subj, pred)
+            WHERE a.n_values >= 2
         """,
         # validity-interval ledger: lead(ts) closes each belief; only
         # superseded beliefs returned; lifetime in exact integer

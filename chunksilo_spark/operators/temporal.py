@@ -101,6 +101,99 @@ def triple_intervals(
     ).drop(ts)
 
 
+def triple_support(
+    triples: DataFrame,
+    as_of: Column | str,
+    half_life_days: float = 30.0,
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+    ts: str = "ts",
+    source: str | None = None,
+) -> DataFrame:
+    """Evidence aggregation per distinct claim -> (subj, pred, obj,
+    n_obs, [n_sources,] first_seen, last_seen, confidence).
+
+    The edge-weight materialization step: a claim observed many times,
+    recently, from many pages outweighs a one-off stale extraction.
+    ``confidence`` is the recency-weighted support
+    ``sum over observations of 0.5 ^ (age_days / half_life_days)`` with
+    age measured from ``as_of`` (exact microsecond arithmetic, UTC
+    session pin), rounded to 6dp. ONE map-side-combinable groupBy — every
+    aggregate (count, min, max, conditional sum, count-distinct source)
+    partials on the map side, so hub claims fan in without a single-task
+    sort; this is the aggregation shape that survives a 30%-hub corpus.
+    """
+    at = F.lit(as_of) if isinstance(as_of, str) else as_of
+    age_days = (
+        F.unix_micros(at.cast("timestamp"))
+        - F.unix_micros(F.col(ts).cast("timestamp"))
+    ).cast("double") / F.lit(86400.0 * 1e6)
+    weight = F.pow(F.lit(0.5), age_days / F.lit(float(half_life_days)))
+    aggs = [
+        F.count(F.lit(1)).alias("n_obs"),
+        F.min(ts).alias("first_seen"),
+        F.max(ts).alias("last_seen"),
+        F.round(F.sum(weight), 6).alias("confidence"),
+    ]
+    if source is not None:
+        aggs.insert(1, F.countDistinct(source).alias("n_sources"))
+    return triples.groupBy(subj, pred, obj).agg(*aggs)
+
+
+def functional_conflicts(
+    triples: DataFrame,
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+    ts: str = "ts",
+    tiebreak: str = "obs_id",
+) -> DataFrame:
+    """Functional-predicate violations -> (subj, pred, n_values,
+    top_obj, top_n_obs, latest_obj).
+
+    A predicate expected to be single-valued (ceo-of, founded-in,
+    capital-of) showing >= 2 distinct objects for one subject is either
+    a real change over time or an extraction error — exactly the rows a
+    KG-quality pass routes to canonicalization review. Per conflicted
+    key the most-supported value (``top_obj``, ties to the greater
+    object — deterministic) and the most-recent value (``latest_obj``,
+    (ts, tiebreak) order) disagree often enough that both are emitted.
+
+    Two chained map-side-combinable aggregations, both keyed on the KG
+    key space ((s,p,o) then (s,p)) — no windows, no self-joins; the
+    second input is one row per distinct VALUE, already evidence-
+    collapsed, so hubs cost partial-agg fan-in only.
+    """
+    per_val = triples.groupBy(subj, pred, obj).agg(
+        F.count(F.lit(1)).alias("_n_obs"),
+        F.max(F.struct(F.col(ts), F.col(tiebreak))).alias("_last"),
+    )
+    return (
+        per_val.groupBy(subj, pred)
+        .agg(
+            F.count(F.lit(1)).alias("n_values"),
+            F.max(F.struct(F.col("_n_obs"), F.col(obj))).alias("_top"),
+            F.max(
+                F.struct(
+                    F.col(f"_last.{ts}"),
+                    F.col(f"_last.{tiebreak}"),
+                    F.col(obj),
+                )
+            ).alias("_latest"),
+        )
+        .where(F.col("n_values") >= 2)
+        .select(
+            subj,
+            pred,
+            "n_values",
+            F.col(f"_top.{obj}").alias("top_obj"),
+            F.col("_top._n_obs").alias("top_n_obs"),
+            F.col(f"_latest.{obj}").alias("latest_obj"),
+        )
+    )
+
+
 def snapshot_from_intervals(
     intervals: DataFrame, at_ts: Column | str
 ) -> DataFrame:

@@ -111,6 +111,12 @@ CAPTURE = [
     ("g_bfs_depth", "level-synchronous BFS: per level ONE frontier-edges "
      "equi-join + distinct + anti-join vs visited, lineage cut per "
      "level; early exit on empty frontier"),
+    ("kg_triple_support", "claim evidence: ONE grouped pass, every "
+     "aggregate map-side partial (count/min/max/weighted sum); hub "
+     "claims fan in without a single-task sort"),
+    ("kg_functional_conflicts", "two chained map-side aggs (s,p,o) then "
+     "(s,p) — no windows, no self-joins; second input already "
+     "evidence-collapsed to one row per distinct value"),
     ("kg_triple_snapshot", "temporal KG state: ONE map-side-combinable "
      "struct-max aggregation per (subj, pred) — no window sort, no "
      "row_number; hub subjects cost a partial-agg fan-in, not a "

@@ -108,3 +108,106 @@ class TestTripleIntervals:
             spark.read.parquet(out), "2024-06-01 00:00"
         )._jdf.queryExecution().executedPlan().toString()
         assert "PushedFilters" in plan and "valid_from" in plan
+
+
+class TestTripleSupport:
+    ROWS = [
+        # (subj, pred, obj, ts, obs_id, source)
+        ("e1", "ceo", "alice", "2024-01-01 00:00", 1, "s1"),
+        ("e1", "ceo", "alice", "2024-01-15 00:00", 2, "s2"),
+        ("e1", "ceo", "alice", "2024-01-29 00:00", 3, "s1"),
+        ("e1", "ceo", "bob", "2024-01-30 00:00", 4, "s3"),
+        ("e2", "hq", "berlin", "2024-01-10 00:00", 5, "s1"),
+    ]
+    AS_OF = "2024-02-01 00:00:00"
+    HL = 7.0
+
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [(s, p, o, _ts(t), i, src) for s, p, o, t, i, src in self.ROWS],
+            "subj string, pred string, obj string, ts timestamp, "
+            "obs_id long, source string",
+        ).repartition(3)
+
+    def test_matches_python_oracle(self, spark):
+        from chunksilo_spark.operators.temporal import triple_support
+
+        as_of = _ts(self.AS_OF)
+        want = {}
+        for s, p, o, t, i, src in self.ROWS:
+            k = (s, p, o)
+            age_d = (as_of - _ts(t)).total_seconds() / 86400.0
+            w = 0.5 ** (age_d / self.HL)
+            e = want.setdefault(k, [0, set(), None, None, 0.0])
+            e[0] += 1
+            e[1].add(src)
+            tt = _ts(t)
+            e[2] = tt if e[2] is None or tt < e[2] else e[2]
+            e[3] = tt if e[3] is None or tt > e[3] else e[3]
+            e[4] += w
+        got = {
+            (r["subj"], r["pred"], r["obj"]): r
+            for r in triple_support(
+                self._df(spark), self.AS_OF,
+                half_life_days=self.HL, source="source",
+            ).collect()
+        }
+        assert set(got) == set(want)
+        for k, (n, srcs, fs, ls, conf) in want.items():
+            r = got[k]
+            assert r["n_obs"] == n and r["n_sources"] == len(srcs)
+            assert r["first_seen"] == fs and r["last_seen"] == ls
+            assert abs(r["confidence"] - round(conf, 6)) < 2e-6
+
+    def test_recency_outweighs_staleness(self, spark):
+        from chunksilo_spark.operators.temporal import triple_support
+
+        got = {
+            (r["subj"], r["pred"], r["obj"]): r["confidence"]
+            for r in triple_support(
+                self._df(spark), self.AS_OF, half_life_days=7.0
+            ).collect()
+        }
+        # one fresh bob observation beats... not alice (3 obs), but beats
+        # a single observation from three weeks earlier
+        assert got[("e1", "ceo", "bob")] > got[("e2", "hq", "berlin")]
+
+
+class TestFunctionalConflicts:
+    def test_top_vs_latest_disagree(self, spark):
+        from chunksilo_spark.operators.temporal import functional_conflicts
+
+        rows = [
+            # alice supported 3x early; bob once but latest
+            ("e1", "ceo", "alice", "2024-01-01 00:00", 1),
+            ("e1", "ceo", "alice", "2024-01-02 00:00", 2),
+            ("e1", "ceo", "alice", "2024-01-03 00:00", 3),
+            ("e1", "ceo", "bob", "2024-01-10 00:00", 4),
+            # non-conflicted key must not appear
+            ("e2", "hq", "berlin", "2024-01-05 00:00", 5),
+        ]
+        df = spark.createDataFrame(
+            [(s, p, o, _ts(t), i) for s, p, o, t, i in rows],
+            "subj string, pred string, obj string, ts timestamp, obs_id long",
+        ).repartition(4)
+        out = functional_conflicts(df).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r["subj"], r["pred"]) == ("e1", "ceo")
+        assert r["n_values"] == 2
+        assert r["top_obj"] == "alice" and r["top_n_obs"] == 3
+        assert r["latest_obj"] == "bob"
+
+    def test_support_tie_breaks_to_greater_obj(self, spark):
+        from chunksilo_spark.operators.temporal import functional_conflicts
+
+        rows = [
+            ("e1", "p", "aaa", "2024-01-01 00:00", 1),
+            ("e1", "p", "zzz", "2024-01-02 00:00", 2),
+        ]
+        df = spark.createDataFrame(
+            [(s, p, o, _ts(t), i) for s, p, o, t, i in rows],
+            "subj string, pred string, obj string, ts timestamp, obs_id long",
+        )
+        r = functional_conflicts(df).collect()[0]
+        assert r["top_obj"] == "zzz" and r["latest_obj"] == "zzz"
