@@ -63,6 +63,13 @@ HEADLINE = [
     "kg_cooccur_pmi",
     "t_boilerplate",
     "incr_change_detect",
+    # round-4 additions: LM/DSIR curation, temporal KG, iterative graph
+    "t_bigram_lm",
+    "t_dsir_weights",
+    "kg_triple_support",
+    "j5_asof_latest_order",
+    "g_bfs_depth",
+    "g_random_walks",
 ]
 
 

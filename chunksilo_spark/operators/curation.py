@@ -244,23 +244,31 @@ def bigram_logprob(
         base.select(F.col(id_col), F.explode(pairs).alias("_bg"))
         .select(F.col(id_col), F.col("_bg.w1"), F.col("_bg.w2"))
     )
-    c12 = b.groupBy("w1", "w2").agg(
-        F.count(F.lit(1)).cast("double").alias("_c12")
+    # every statistic derives from the DISTINCT-bigram relation: c1 (w1
+    # occurrences as a left token) = sum of c12 over w2, c2 likewise, T =
+    # sum of all c12 — so the corpus-sized B is touched exactly twice
+    # (c12 build + the single scoring join) and the whole stats chain
+    # runs on vocab^2-sized data
+    c12 = cut_lineage(
+        b.groupBy("w1", "w2").agg(
+            F.count(F.lit(1)).cast("double").alias("_c12")
+        )
     )
-    c1 = b.groupBy("w1").agg(F.count(F.lit(1)).cast("double").alias("_c1"))
-    c2 = b.groupBy("w2").agg(F.count(F.lit(1)).cast("double").alias("_c2"))
-    total = float(b.count())
+    c1 = c12.groupBy("w1").agg(F.sum("_c12").alias("_c1"))
+    c2 = c12.groupBy("w2").agg(F.sum("_c12").alias("_c2"))
+    total = float(c12.agg(F.sum("_c12")).collect()[0][0] or 0.0)
     p = F.lit(float(lam)) * (F.col("_c12") / F.col("_c1")) + F.lit(
         float(1.0 - lam)
     ) * (F.col("_c2") / F.lit(max(total, 1.0)))
+    scored = c12.join(c1, "w1").join(c2, "w2").select(
+        "w1", "w2", F.log(p).alias("_lp")
+    )
     return (
-        b.join(c12, ["w1", "w2"])
-        .join(c1, "w1")
-        .join(c2, "w2")
+        b.join(scored, ["w1", "w2"])
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
-            F.round(F.avg(F.log(p)), 6).alias("mean_logprob"),
+            F.round(F.avg("_lp"), 6).alias("mean_logprob"),
         )
     )
 
