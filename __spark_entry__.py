@@ -1230,6 +1230,47 @@ def _kg_functional_conflicts(spark, sf):  # single-valued-predicate breaks
     return functional_conflicts(_kg_obs(spark, sf))
 
 
+def _kg_pred_profile(spark, sf):  # schema induction: per-predicate stats
+    # functionality = distinct subjects per distinct claim (1.0 = the
+    # predicate is single-valued) — the signal that routes predicates
+    # into functional_conflicts review; one grouped pass, all
+    # count-distincts expand map-side
+    obs = _kg_obs(spark, sf)
+    claims = obs.select("subj", "pred", "obj").distinct()
+    return claims.groupBy("pred").agg(
+        F.count(F.lit(1)).alias("n_claims"),
+        F.countDistinct("subj").alias("n_subj"),
+        F.countDistinct("obj").alias("n_obj"),
+        F.round(
+            F.countDistinct("subj") / F.count(F.lit(1)), 6
+        ).alias("functionality"),
+        F.round(
+            F.countDistinct("obj") / F.count(F.lit(1)), 6
+        ).alias("inv_functionality"),
+    )
+
+
+def _kg_type_propagation(spark, sf):  # semi-supervised entity typing
+    # halving-graph fixture; typed seeds at multiples of 100 spread
+    # toward the root by per-round in-neighbor majority (ties to the
+    # greater label); 2 rounds so the oracle unrolls cleanly
+    docs = _t(spark, sf, "documents").select("doc_id")
+    d = F.col("doc_id")
+    halving = docs.where(d > 0).select(
+        d.alias("src"), (d / 2).cast("long").alias("dst")
+    )
+    side = docs.where((d % 7 == 3) & (d > 0)).select(
+        d.alias("src"), (d - 1).cast("long").alias("dst")
+    )
+    seeds = docs.where(d % 20 == 0).select(
+        d.alias("node"),
+        F.concat(
+            F.lit("t"), ((d / 20).cast("long") % 3).cast("string")
+        ).alias("label"),
+    )
+    return gr.propagate_labels(halving.union(side), seeds, iters=2)
+
+
 def _g_bfs_depth(spark, sf):  # min-hop BFS from a seed set
     # structured sparse graph over doc ids: halving edge d -> d//2 for
     # every d>0, plus a side edge d -> d-1 when d%7==3 (bounded
@@ -1376,6 +1417,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triple_intervals": _kg_triple_intervals,
         "kg_triple_support": _kg_triple_support,
         "kg_functional_conflicts": _kg_functional_conflicts,
+        "kg_type_propagation": _kg_type_propagation,
+        "kg_pred_profile": _kg_pred_profile,
         "g_bfs_depth": _g_bfs_depth,
         "g_random_walks": _g_random_walks,
         "t_bigram_lm": _t_bigram_lm,
@@ -1387,12 +1430,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flagship_search": _flagship_search,
         "w2_rerank_topk": _w2_rerank_topk,
         "f14_extras": _f14_extras,
-        "t_repetition": _t_repetition,
         "d_contamination": _d_contamination,
         "d_exact": _d_exact,
         "d_minhash_lsh": _d_minhash_lsh,
         "d_neardup_verified": _d_neardup_verified,
-        "d_neardup_incremental": _d_neardup_incremental,
         "t_stratified_sample": _t_stratified_sample,
         "d_dup_spans": _d_dup_spans,
         "d_semdedup": _d_semdedup,
@@ -1408,6 +1449,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    oracle gate (scripts/check_oracles.py via pytest) --
         "j1_new_keys": _j1_new_keys,
         "incr_change_detect": _incr_change_detect,
+        "t_repetition": _t_repetition,
+        "d_neardup_incremental": _d_neardup_incremental,
         "w1_topk_per_type": _w1_topk_per_type,
         "q5_local_supplier": _q5_local_supplier,
         "d_dedup_clusters": _d_dedup_clusters,
@@ -2763,6 +2806,68 @@ def oracle_sql() -> dict[str, str]:
         FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
         WHERE e1.src < 20
         GROUP BY e1.src
+        """,
+        # per-predicate schema profile over distinct claims
+        "kg_pred_profile": """
+            WITH claims AS (
+                SELECT DISTINCT user_id AS subj, event_type AS pred,
+                       floor(value / 50)::BIGINT AS obj
+                FROM events
+            )
+            SELECT pred, COUNT(*) AS n_claims,
+                   COUNT(DISTINCT subj) AS n_subj,
+                   COUNT(DISTINCT obj) AS n_obj,
+                   round(COUNT(DISTINCT subj)::DOUBLE / COUNT(*), 6)
+                       AS functionality,
+                   round(COUNT(DISTINCT obj)::DOUBLE / COUNT(*), 6)
+                       AS inv_functionality
+            FROM claims GROUP BY pred
+        """,
+        # label propagation unrolled 2 rounds: per-round majority vote
+        # re-derived via row_number over (votes DESC, label DESC);
+        # seeds overlay inferred labels each round
+        "kg_type_propagation": """
+            WITH e AS (
+                SELECT doc_id AS src, doc_id // 2 AS dst
+                FROM documents WHERE doc_id > 0
+                UNION ALL
+                SELECT doc_id, doc_id - 1
+                FROM documents WHERE doc_id % 7 = 3 AND doc_id > 0
+            ), seeds AS (
+                SELECT doc_id AS node,
+                       't' || ((doc_id // 20) % 3)::VARCHAR AS label
+                FROM documents WHERE doc_id % 20 = 0
+            ), l0 AS (SELECT node, label FROM seeds
+            ), p1 AS (
+                SELECT dst AS node, label FROM (
+                    SELECT e.dst, l0.label, COUNT(*) AS n,
+                           row_number() OVER (
+                               PARTITION BY e.dst
+                               ORDER BY COUNT(*) DESC, l0.label DESC
+                           ) AS rn
+                    FROM e JOIN l0 ON e.src = l0.node
+                    GROUP BY e.dst, l0.label
+                ) WHERE rn = 1
+            ), l1 AS (
+                SELECT node, label FROM seeds
+                UNION ALL
+                SELECT node, label FROM p1
+                WHERE node NOT IN (SELECT node FROM seeds)
+            ), p2 AS (
+                SELECT dst AS node, label FROM (
+                    SELECT e.dst, l1.label, COUNT(*) AS n,
+                           row_number() OVER (
+                               PARTITION BY e.dst
+                               ORDER BY COUNT(*) DESC, l1.label DESC
+                           ) AS rn
+                    FROM e JOIN l1 ON e.src = l1.node
+                    GROUP BY e.dst, l1.label
+                ) WHERE rn = 1
+            )
+            SELECT node, label FROM seeds
+            UNION ALL
+            SELECT node, label FROM p2
+            WHERE node NOT IN (SELECT node FROM seeds)
         """,
         # hash-random walks: every hop re-derived with row_number over
         # the identical md5(walk_id|step|dst) digest (desc, dst desc) —

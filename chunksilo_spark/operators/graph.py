@@ -362,6 +362,62 @@ def random_walks(
     return out
 
 
+def propagate_labels(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iters: int = 3,
+    node_col: str = "node",
+    label_col: str = "label",
+) -> DataFrame:
+    """Semi-supervised label spread -> (node, label) after ``iters``
+    rounds — entity TYPING for the KG: a few high-precision typed seeds
+    (e.g. entities matched to a gazetteer) propagate their type along
+    edges to the unlabeled majority.
+
+    Pinned semantics, deterministic and oracle-rederivable: per round,
+    every non-seed node takes the majority label of its labeled
+    IN-neighbors, ties broken by the greater label; nodes with no
+    labeled in-neighbor stay unlabeled (absent); seeds never change.
+    Non-seed labels may flip between rounds as the majority shifts —
+    that is the algorithm, not nondeterminism.
+
+    100 TB shape: per round ONE equi-join of the edge relation with the
+    current labels (shuffle keyed on the message target — AQE splits hub
+    targets), then two map-side-combinable aggregations (vote count,
+    struct-max pick). The label relation carries one row per labeled
+    node; lineage is cut every round.
+    """
+    seeds = cut_lineage(
+        seeds.select(
+            F.col(node_col).alias("node"), F.col(label_col).alias("label")
+        )
+        .groupBy("node")
+        .agg(F.max("label").alias("label"))
+    )
+    e = edges.select("src", "dst")
+    labels = seeds
+    for _ in range(iters):
+        msgs = e.join(labels, e["src"] == labels["node"]).select(
+            F.col("dst"), F.col("label")
+        )
+        votes = msgs.groupBy("dst", "label").agg(
+            F.count(F.lit(1)).alias("_n")
+        )
+        inferred = (
+            votes.groupBy("dst")
+            .agg(F.max(F.struct(F.col("_n"), F.col("label"))).alias("_s"))
+            .select(
+                F.col("dst").alias("node"), F.col("_s.label").alias("label")
+            )
+        )
+        labels = cut_lineage(
+            seeds.unionByName(
+                inferred.join(seeds.select("node"), "node", "left_anti")
+            )
+        )
+    return labels
+
+
 def _two_hop_joined(edges: DataFrame, sources: DataFrame) -> DataFrame:
     """The hop-expansion join of :func:`two_hop_counts`, exposed so the
     hub-skew test can measure its output partition sizes directly."""

@@ -111,6 +111,12 @@ CAPTURE = [
     ("g_bfs_depth", "level-synchronous BFS: per level ONE frontier-edges "
      "equi-join + distinct + anti-join vs visited, lineage cut per "
      "level; early exit on empty frontier"),
+    ("kg_type_propagation", "label propagation: per round one "
+     "edges-labels equi-join (AQE on hub targets) + vote count + "
+     "struct-max pick, both map-side-combinable; seeds overlay via "
+     "anti-join"),
+    ("kg_pred_profile", "schema induction: distinct claims then one "
+     "grouped pass; count-distincts expand map-side"),
     ("kg_triple_support", "claim evidence: ONE grouped pass, every "
      "aggregate map-side partial (count/min/max/weighted sum); hub "
      "claims fan in without a single-task sort"),

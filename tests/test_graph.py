@@ -1016,3 +1016,66 @@ class TestRandomWalks:
             .collect()
         }
         assert len(set(step1.values())) > 1
+
+
+def _python_propagate(edges, seeds, iters):
+    inn = {}
+    for s, d in edges:
+        inn.setdefault(d, []).append(s)
+    labels = dict(seeds)
+    for _ in range(iters):
+        new = dict(seeds)
+        for node, srcs in inn.items():
+            if node in dict(seeds):
+                continue
+            votes: dict = {}
+            for s in srcs:
+                if s in labels:
+                    votes[labels[s]] = votes.get(labels[s], 0) + 1
+            if votes:
+                new[node] = max(votes.items(), key=lambda kv: (kv[1], kv[0]))[0]
+        labels = new
+    return sorted(labels.items())
+
+
+class TestPropagateLabels:
+    #   1 -> 0, 2 -> 0, 3 -> 0   (0 gets majority of {1,2,3})
+    #   4 -> 5                   (5 typed from 4)
+    #   6 -> 7 unlabeled chain until 6 is inferred? 6 has no in-edges
+    EDGES = [(1, 0), (2, 0), (3, 0), (4, 5), (5, 6), (9, 9)]
+    SEEDS = [(1, "person"), (2, "person"), (3, "org"), (4, "org")]
+
+    def _run(self, spark, iters):
+        e = spark.createDataFrame(self.EDGES, "src long, dst long").repartition(4)
+        s = spark.createDataFrame(self.SEEDS, "node long, label string")
+        return sorted(
+            (r["node"], r["label"])
+            for r in G.propagate_labels(e, s, iters=iters).collect()
+        )
+
+    def test_matches_python_oracle(self, spark):
+        for it in (1, 2, 3):
+            assert self._run(spark, it) == _python_propagate(
+                self.EDGES, self.SEEDS, it
+            ), it
+
+    def test_majority_and_tiebreak(self, spark):
+        got = dict(self._run(spark, 1))
+        assert got[0] == "person"        # 2 person vs 1 org
+        assert got[5] == "org"           # single labeled in-neighbor
+        # second round: 6 typed via 5's inferred label
+        got2 = dict(self._run(spark, 2))
+        assert got2[6] == "org"
+
+    def test_seed_never_flips(self, spark):
+        # node 4 is a seed AND would receive messages if edges pointed at
+        # it; give it one: 1 -> 4 with label person; seed must stay org
+        e = spark.createDataFrame(
+            self.EDGES + [(1, 4)], "src long, dst long"
+        )
+        s = spark.createDataFrame(self.SEEDS, "node long, label string")
+        got = {
+            r["node"]: r["label"]
+            for r in G.propagate_labels(e, s, iters=3).collect()
+        }
+        assert got[4] == "org"
