@@ -967,6 +967,18 @@ def _g_pagerank(spark, sf):  # iterative-join PageRank, top-50 by rank
     return gr.rank_topk(gr.pagerank(edges, iters=3), 50)
 
 
+def _g_ppr(spark, sf):  # personalized PageRank from a weighted seed slice
+    edges = _derived_edges(spark, sf)
+    docs = _t(spark, sf, "documents").select("doc_id")
+    d = F.col("doc_id")
+    seeds = docs.where(d % 50 == 0).select(
+        d.alias("node"), (1 + d % 3).cast("double").alias("weight")
+    )
+    return gr.rank_topk(
+        gr.personalized_pagerank(edges, seeds, iters=2), 50
+    )
+
+
 def _g_degree_topk(spark, sf):  # in-degree hubs of the derived link graph
     return gr.degree_topk(_derived_edges(spark, sf), k=20)
 
@@ -1419,18 +1431,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_functional_conflicts": _kg_functional_conflicts,
         "kg_type_propagation": _kg_type_propagation,
         "kg_pred_profile": _kg_pred_profile,
+        "g_ppr": _g_ppr,
         "g_bfs_depth": _g_bfs_depth,
         "g_random_walks": _g_random_walks,
         "t_bigram_lm": _t_bigram_lm,
         "t_dsir_weights": _t_dsir_weights,
         # -- previously-green rows that keep their driver window slot --
-        "q1_pricing_summary": _q1_pricing_summary,
+        "d_contamination": _d_contamination,
         "a1_rollup": _a1_rollup,
         "u5_bm25": _u5_bm25,
         "flagship_search": _flagship_search,
         "w2_rerank_topk": _w2_rerank_topk,
         "f14_extras": _f14_extras,
-        "d_contamination": _d_contamination,
         "d_exact": _d_exact,
         "d_minhash_lsh": _d_minhash_lsh,
         "d_neardup_verified": _d_neardup_verified,
@@ -1450,6 +1462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j1_new_keys": _j1_new_keys,
         "incr_change_detect": _incr_change_detect,
         "t_repetition": _t_repetition,
+        "q1_pricing_summary": _q1_pricing_summary,
         "d_neardup_incremental": _d_neardup_incremental,
         "w1_topk_per_type": _w1_topk_per_type,
         "q5_local_supplier": _q5_local_supplier,
@@ -2806,6 +2819,41 @@ def oracle_sql() -> dict[str, str]:
         FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
         WHERE e1.src < 20
         GROUP BY e1.src
+        """,
+        # personalized PageRank unrolled 2 iterations: reset = seed
+        # weight normalized over in-graph seeds; term order pinned
+        # (1-d)*reset + d*contrib (no dangling in this fixture — every
+        # node has out-edges); (1.0 - 0.85) left as the op, not 0.15,
+        # to match Spark's computed literal bit-for-bit
+        "g_ppr": _GRAPH_EDGES_SQL + """,
+        deg AS (SELECT src, COUNT(*)::DOUBLE AS d FROM edges GROUP BY src),
+        nodes AS (SELECT DISTINCT node FROM (
+            SELECT src AS node FROM edges
+            UNION ALL SELECT dst FROM edges)),
+        sd AS (SELECT doc_id AS node, (1 + doc_id % 3)::DOUBLE AS w
+               FROM documents
+               WHERE doc_id % 50 = 0
+                 AND doc_id IN (SELECT node FROM nodes)),
+        wt AS (SELECT SUM(w) AS tot FROM sd),
+        rs AS (SELECT n.node,
+                      COALESCE(sd.w / (SELECT tot FROM wt), 0.0) AS reset
+               FROM nodes n LEFT JOIN sd ON n.node = sd.node),
+        r0 AS (SELECT node, reset, reset AS rank FROM rs)
+        """ + "".join(
+            f""",
+        c{i} AS (SELECT e.dst AS node, SUM(r.rank / deg.d) AS c
+                 FROM edges e
+                 JOIN deg ON e.src = deg.src
+                 JOIN r{i - 1} r ON r.node = e.src
+                 GROUP BY e.dst),
+        r{i} AS (SELECT rs.node, rs.reset,
+                        (1.0 - 0.85) * rs.reset
+                        + 0.85 * COALESCE(c{i}.c, 0.0) AS rank
+                 FROM rs LEFT JOIN c{i} ON rs.node = c{i}.node)"""
+            for i in (1, 2)
+        ) + """
+        SELECT node, round(rank, 6) AS rank FROM r2
+        ORDER BY round(rank, 6) DESC, node ASC LIMIT 50
         """,
         # per-predicate schema profile over distinct claims
         "kg_pred_profile": """

@@ -1079,3 +1079,65 @@ class TestPropagateLabels:
             for r in G.propagate_labels(e, s, iters=3).collect()
         }
         assert got[4] == "org"
+
+
+def _python_ppr(edges, seeds, iters, d=0.85):
+    nodes = sorted({n for e in edges for n in e})
+    w_tot = sum(w for n, w in seeds if n in set(nodes))
+    reset = {n: 0.0 for n in nodes}
+    for n, w in seeds:
+        if n in reset:
+            reset[n] = w / w_tot
+    out = {}
+    for s, t in edges:
+        out.setdefault(s, []).append(t)
+    ranks = dict(reset)
+    for _ in range(iters):
+        contrib = {n: 0.0 for n in nodes}
+        dang = 0.0
+        for n in nodes:
+            if n in out:
+                for t in out[n]:
+                    contrib[t] += ranks[n] / len(out[n])
+            else:
+                dang += ranks[n]
+        ranks = {
+            n: (1 - d) * reset[n] + d * contrib[n] + (d * dang) * reset[n]
+            for n in nodes
+        }
+    return ranks
+
+
+class TestPersonalizedPagerank:
+    EDGES = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (5, 0)]
+    # 4 is dangling; 5 is an unseeded source; seed weights non-uniform;
+    # one seed (99) not in the graph must be dropped from normalization
+    SEEDS = [(0, 2.0), (3, 1.0), (99, 5.0)]
+
+    def test_matches_python_oracle(self, spark):
+        e = spark.createDataFrame(self.EDGES, "src long, dst long").repartition(3)
+        s = spark.createDataFrame(self.SEEDS, "node long, weight double")
+        got = {
+            r["node"]: r["rank"]
+            for r in G.personalized_pagerank(e, s, iters=4).collect()
+        }
+        want = _python_ppr(self.EDGES, self.SEEDS, 4)
+        assert set(got) == set(want)
+        for n in want:
+            assert abs(got[n] - want[n]) < 1e-9, n
+
+    def test_mass_conserved_and_seed_biased(self, spark):
+        e = spark.createDataFrame(self.EDGES, "src long, dst long")
+        s = spark.createDataFrame(self.SEEDS, "node long, weight double")
+        got = {
+            r["node"]: r["rank"]
+            for r in G.personalized_pagerank(e, s, iters=6).collect()
+        }
+        assert abs(sum(got.values()) - 1.0) < 1e-9
+        # seed neighborhood outranks the unseeded source
+        assert got[0] > got[5] and got[1] > got[5]
+
+    def test_empty_seed_overlap_returns_empty(self, spark):
+        e = spark.createDataFrame(self.EDGES, "src long, dst long")
+        s = spark.createDataFrame([(99, 1.0)], "node long, weight double")
+        assert G.personalized_pagerank(e, s, iters=2).count() == 0
