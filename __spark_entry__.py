@@ -967,6 +967,26 @@ def _g_pagerank(spark, sf):  # iterative-join PageRank, top-50 by rank
     return gr.rank_topk(gr.pagerank(edges, iters=3), 50)
 
 
+def _kg_bgp_match(spark, sf):  # conjunctive triple-pattern query (SPARQL BGP)
+    # "user pairs that purchased in the same value band, where the first
+    # also clicked that band" — a 3-pattern star+chain over the claims
+    # relation; constants push to the scan, joins are on variables
+    from chunksilo_spark.operators.bgp import bgp_match
+
+    claims = _kg_obs(spark, sf).select("subj", "pred", "obj").distinct()
+    return bgp_match(
+        claims,
+        [
+            ("?a", "purchase", "?v"),
+            ("?b", "purchase", "?v"),
+            ("?a", "click", "?v"),
+        ],
+        select=["a", "b", "v"],
+        filters=[F.col("a") < F.col("b")],
+        distinct=True,
+    )
+
+
 def _g_ppr(spark, sf):  # personalized PageRank from a weighted seed slice
     edges = _derived_edges(spark, sf)
     docs = _t(spark, sf, "documents").select("doc_id")
@@ -1431,6 +1451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_functional_conflicts": _kg_functional_conflicts,
         "kg_type_propagation": _kg_type_propagation,
         "kg_pred_profile": _kg_pred_profile,
+        "kg_bgp_match": _kg_bgp_match,
         "g_ppr": _g_ppr,
         "g_bfs_depth": _g_bfs_depth,
         "g_random_walks": _g_random_walks,
@@ -2854,6 +2875,26 @@ def oracle_sql() -> dict[str, str]:
         ) + """
         SELECT node, round(rank, 6) AS rank FROM r2
         ORDER BY round(rank, 6) DESC, node ASC LIMIT 50
+        """,
+        # BGP star+chain re-derived as explicit per-pattern CTE joins —
+        # independent of the operator's greedy join-order machinery
+        "kg_bgp_match": """
+            WITH claims AS (
+                SELECT DISTINCT user_id AS subj, event_type AS pred,
+                       floor(value / 50)::BIGINT AS obj
+                FROM events
+            ),
+            p1 AS (SELECT subj AS a, obj AS v FROM claims
+                   WHERE pred = 'purchase'),
+            p2 AS (SELECT subj AS b, obj AS v FROM claims
+                   WHERE pred = 'purchase'),
+            p3 AS (SELECT subj AS a, obj AS v FROM claims
+                   WHERE pred = 'click')
+            SELECT DISTINCT p1.a, p2.b, p1.v
+            FROM p1
+            JOIN p2 ON p1.v = p2.v
+            JOIN p3 ON p3.a = p1.a AND p3.v = p1.v
+            WHERE p1.a < p2.b
         """,
         # per-predicate schema profile over distinct claims
         "kg_pred_profile": """
