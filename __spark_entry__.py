@@ -999,6 +999,10 @@ def _g_ppr(spark, sf):  # personalized PageRank from a weighted seed slice
     )
 
 
+def _g_link_predict(spark, sf):  # missing-link candidates, AA top-50
+    return gr.link_prediction_topk(_derived_edges(spark, sf), k=50)
+
+
 def _g_degree_topk(spark, sf):  # in-degree hubs of the derived link graph
     return gr.degree_topk(_derived_edges(spark, sf), k=20)
 
@@ -1452,6 +1456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_type_propagation": _kg_type_propagation,
         "kg_pred_profile": _kg_pred_profile,
         "kg_bgp_match": _kg_bgp_match,
+        "g_link_predict": _g_link_predict,
         "g_ppr": _g_ppr,
         "g_bfs_depth": _g_bfs_depth,
         "g_random_walks": _g_random_walks,
@@ -2840,6 +2845,38 @@ def oracle_sql() -> dict[str, str]:
         FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
         WHERE e1.src < 20
         GROUP BY e1.src
+        """,
+        # common-neighbor link prediction re-derived: symmetric adjacency
+        # wedge join + NOT-EXISTS adjacency filter; aa term order pinned
+        # (1.0/ln(deg) per center, summed, rounded after)
+        "g_link_predict": _GRAPH_EDGES_SQL + """,
+        und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+                FROM edges WHERE src <> dst),
+        sym AS (SELECT a AS node, b AS nbr FROM und
+                UNION ALL SELECT b AS node, a AS nbr FROM und),
+        deg AS (SELECT node, COUNT(*) AS d FROM sym GROUP BY node),
+        wedge AS (
+            SELECT s1.node AS pa, s2.node AS pb, s1.nbr AS c
+            FROM sym s1 JOIN sym s2 ON s1.nbr = s2.nbr AND s1.node < s2.node
+        ),
+        cand AS (
+            SELECT w.pa, w.pb, COUNT(*) AS cn, SUM(1.0 / ln(dc.d)) AS aa
+            FROM wedge w JOIN deg dc ON w.c = dc.node
+            GROUP BY w.pa, w.pb
+        ),
+        fresh AS (
+            SELECT * FROM cand
+            WHERE NOT EXISTS (SELECT 1 FROM und
+                              WHERE und.a = cand.pa AND und.b = cand.pb)
+        )
+        SELECT f.pa AS a, f.pb AS b, f.cn,
+               round(f.aa, 6) AS aa,
+               round(f.cn::DOUBLE / (da.d + db.d - f.cn), 6) AS jaccard
+        FROM fresh f
+        JOIN deg da ON f.pa = da.node
+        JOIN deg db ON f.pb = db.node
+        ORDER BY round(f.aa, 6) DESC, a ASC, b ASC
+        LIMIT 50
         """,
         # personalized PageRank unrolled 2 iterations: reset = seed
         # weight normalized over in-graph seeds; term order pinned

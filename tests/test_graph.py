@@ -1141,3 +1141,77 @@ class TestPersonalizedPagerank:
         e = spark.createDataFrame(self.EDGES, "src long, dst long")
         s = spark.createDataFrame([(99, 1.0)], "node long, weight double")
         assert G.personalized_pagerank(e, s, iters=2).count() == 0
+
+
+def _python_link_pred(edges):
+    """Brute-force cn/aa/jaccard over all non-adjacent pairs."""
+    import math
+
+    nbrs = {}
+    for s, t in edges:
+        if s != t:
+            nbrs.setdefault(s, set()).add(t)
+            nbrs.setdefault(t, set()).add(s)
+    out = {}
+    nodes = sorted(nbrs)
+    for i, a in enumerate(nodes):
+        for b in nodes[i + 1:]:
+            if b in nbrs[a]:
+                continue
+            common = nbrs[a] & nbrs[b]
+            if not common:
+                continue
+            cn = len(common)
+            aa = sum(1.0 / math.log(len(nbrs[c])) for c in sorted(common))
+            jac = cn / (len(nbrs[a]) + len(nbrs[b]) - cn)
+            out[(a, b)] = (cn, round(aa, 6), round(jac, 6))
+    return out
+
+
+class TestLinkPrediction:
+    # two triangles sharing node 2, a pendant, a duplicate + reversed edge
+    EDGES = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 2),
+             (4, 5), (1, 0), (0, 2)]
+
+    def test_matches_python_oracle(self, spark):
+        e = spark.createDataFrame(self.EDGES, "src long, dst long").repartition(3)
+        got = {
+            (r["a"], r["b"]): (r["cn"], r["aa"], r["jaccard"])
+            for r in G.link_prediction_topk(e, 100).collect()
+        }
+        assert got == _python_link_pred(self.EDGES)
+
+    def test_topk_order_and_limit(self, spark):
+        e = spark.createDataFrame(self.EDGES, "src long, dst long")
+        rows = G.link_prediction_topk(e, 3).collect()
+        assert len(rows) == 3
+        aas = [r["aa"] for r in rows]
+        assert aas == sorted(aas, reverse=True)
+
+    def test_adjacent_pairs_excluded(self, spark):
+        e = spark.createDataFrame(self.EDGES, "src long, dst long")
+        got = {(r["a"], r["b"]) for r in G.link_prediction_topk(e, 100).collect()}
+        canon = {(min(s, t), max(s, t)) for s, t in self.EDGES if s != t}
+        assert not got & canon
+
+    def test_max_center_degree_drops_hub_wedges(self, spark):
+        # star: hub 0 with leaves 1..5 plus one off-hub path 1-6-2
+        edges = [(0, i) for i in range(1, 6)] + [(1, 6), (6, 2)]
+        e = spark.createDataFrame(edges, "src long, dst long")
+        full = {
+            (r["a"], r["b"]): r["cn"]
+            for r in G.link_prediction_topk(e, 100).collect()
+        }
+        assert full[(1, 2)] == 2  # via hub 0 AND via 6
+        capped = {
+            (r["a"], r["b"]): r["cn"]
+            for r in G.link_prediction_topk(e, 100, max_center_degree=3).collect()
+        }
+        # hub (deg 5) no longer a wedge center: (1,2) keeps only the
+        # path wedge via 6; leaf-leaf pairs like (3,4) vanish; (0,6)
+        # stays — its centers 1 and 2 are small
+        assert capped == {(1, 2): 1, (0, 6): 2}
+
+    def test_no_candidates_empty(self, spark):
+        e = spark.createDataFrame([(0, 1)], "src long, dst long")
+        assert G.link_prediction_topk(e, 10).count() == 0
