@@ -1003,6 +1003,14 @@ def _g_link_predict(spark, sf):  # missing-link candidates, AA top-50
     return gr.link_prediction_topk(_derived_edges(spark, sf), k=50)
 
 
+def _g_lpa(spark, sf):  # synchronous LPA communities, 2 rounds
+    return gr.lpa_communities(_derived_edges(spark, sf), iters=2)
+
+
+def _g_kcore(spark, sf):  # bounded 2-round 3-core peel
+    return gr.kcore(_derived_edges(spark, sf), k=3, rounds=2)
+
+
 def _g_degree_topk(spark, sf):  # in-degree hubs of the derived link graph
     return gr.degree_topk(_derived_edges(spark, sf), k=20)
 
@@ -1457,6 +1465,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pred_profile": _kg_pred_profile,
         "kg_bgp_match": _kg_bgp_match,
         "g_link_predict": _g_link_predict,
+        "g_lpa": _g_lpa,
+        "g_kcore": _g_kcore,
         "g_ppr": _g_ppr,
         "g_bfs_depth": _g_bfs_depth,
         "g_random_walks": _g_random_walks,
@@ -2845,6 +2855,54 @@ def oracle_sql() -> dict[str, str]:
         FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
         WHERE e1.src < 20
         GROUP BY e1.src
+        """,
+        # synchronous LPA unrolled 2 rounds: per round distinct-neighbor
+        # majority vote, ties to the SMALLER label (row_number rank —
+        # independent of the operator's struct-max argmax)
+        "g_lpa": _GRAPH_EDGES_SQL + """,
+        und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+                FROM edges WHERE src <> dst),
+        sym AS (SELECT a AS node, b AS nbr FROM und
+                UNION ALL SELECT b AS node, a AS nbr FROM und),
+        l0 AS (SELECT DISTINCT node, node AS label FROM sym)
+        """ + "".join(
+            f""",
+        v{i} AS (SELECT s.node, l.label, COUNT(*) AS c
+                 FROM sym s JOIN l{i - 1} l ON s.nbr = l.node
+                 GROUP BY s.node, l.label),
+        l{i} AS (SELECT node, label FROM (
+                     SELECT node, label,
+                            ROW_NUMBER() OVER (PARTITION BY node
+                                ORDER BY c DESC, label ASC) AS rn
+                     FROM v{i}) WHERE rn = 1)"""
+            for i in (1, 2)
+        ) + """
+        SELECT node, label AS community FROM l2
+        """,
+        # 2-round k=3 peel unrolled: induced degrees per round via IN
+        # subqueries — survivors keep their induced degree (0 visible)
+        "g_kcore": _GRAPH_EDGES_SQL + """,
+        und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+                FROM edges WHERE src <> dst),
+        d1 AS (SELECT node, COUNT(*) AS d FROM (
+                   SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+               GROUP BY node),
+        a1 AS (SELECT node FROM d1 WHERE d >= 3),
+        e1 AS (SELECT a, b FROM und
+               WHERE a IN (SELECT node FROM a1)
+                 AND b IN (SELECT node FROM a1)),
+        d2 AS (SELECT node, COUNT(*) AS d FROM (
+                   SELECT a AS node FROM e1 UNION ALL SELECT b FROM e1)
+               GROUP BY node),
+        a2 AS (SELECT node FROM d2 WHERE d >= 3),
+        e2 AS (SELECT a, b FROM e1
+               WHERE a IN (SELECT node FROM a2)
+                 AND b IN (SELECT node FROM a2)),
+        dfin AS (SELECT node, COUNT(*) AS d FROM (
+                    SELECT a AS node FROM e2 UNION ALL SELECT b FROM e2)
+                 GROUP BY node)
+        SELECT a2.node, COALESCE(dfin.d, 0) AS core_deg
+        FROM a2 LEFT JOIN dfin ON a2.node = dfin.node
         """,
         # common-neighbor link prediction re-derived: symmetric adjacency
         # wedge join + NOT-EXISTS adjacency filter; aa term order pinned

@@ -507,6 +507,132 @@ def propagate_labels(
     return labels
 
 
+def lpa_communities(
+    edges: DataFrame,
+    iters: int = 5,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Synchronous label-propagation communities -> (node, community):
+    the near-linear community detector (Raghavan et al. 2007) — for web
+    curation, link communities ≈ site/topic clusters (domain-level spam
+    farms light up as one dense community); for the entity graph, a
+    cheap first-pass entity grouping before heavier canonicalization.
+
+    Pinned DETERMINISTIC variant (classic LPA is update-order-dependent
+    and irreproducible — useless for a pipeline that must re-run
+    byte-identical): synchronous rounds over the undirected simple
+    graph; ``label_0(v) = v``; each round every node takes the most
+    frequent label among its DISTINCT neighbors' current labels (each
+    neighbor votes once), ties to the SMALLER label; isolated nodes
+    don't exist in an edge-derived node set. Fixed ``iters`` rounds (the
+    paper's observed convergence is ~5 rounds; a fixpoint check would
+    cost one action per round for a loop that's bounded anyway).
+
+    100 TB shape: per round one equi-join (messages keyed on the
+    receiving node — AQE splits hub receivers) + two map-side-combinable
+    aggregations (vote count, struct-max argmax). Label relation is
+    (node, label) longs only; lineage cut every round. Oscillation
+    (bipartite 2-cycles, the known synchronous-LPA artifact) is the
+    caller's concern via ``iters`` parity — determinism is what we pin.
+    """
+    und = cut_lineage(
+        edges.select(
+            F.least(src_col, dst_col).alias("a"),
+            F.greatest(src_col, dst_col).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    sym = und.select(F.col("a").alias("node"), F.col("b").alias("nbr")).unionByName(
+        und.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
+    )
+    labels = sym.select("node").distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(iters):
+        msgs = sym.join(
+            labels.select(F.col("node").alias("nbr"), "label"), "nbr"
+        ).select("node", "label")
+        votes = msgs.groupBy("node", "label").agg(F.count(F.lit(1)).alias("_n"))
+        labels = cut_lineage(
+            votes.groupBy("node")
+            .agg(F.max(F.struct(F.col("_n"), (-F.col("label")).alias("_neg"))).alias("_s"))
+            .select("node", (-F.col("_s._neg")).alias("label"))
+        )
+    return labels.select("node", F.col("label").alias("community"))
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    rounds: int | None = None,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """k-core peeling -> (node, core_deg): nodes surviving repeated
+    removal of degree-<k vertices, with their degree in the surviving
+    induced subgraph. The standard dense-substructure filter — link-farm
+    and citation-cartel detection on the web graph, "well-attested
+    entity" selection on the KG (entities embedded in a dense relational
+    neighborhood vs. one-off extraction noise).
+
+    Pinned semantics (oracle-unrollable): undirected simple graph;
+    ``A_0`` = all endpoint nodes; round t computes induced degrees on
+    ``A_{t-1}`` and keeps nodes with degree >= k; output = ``A_R`` nodes
+    with their induced degree on ``A_R`` (0 for a survivor whose entire
+    neighborhood was peeled this round — visible, not dropped).
+    ``rounds=None`` iterates to the true k-core fixpoint (stops when no
+    node was removed — one cheap count action per round, each round
+    strictly shrinks or terminates); fixed ``rounds`` gives the
+    bounded-depth anytime variant the driver oracle unrolls.
+
+    100 TB shape: per round one map-side-combinable degree aggregation
+    + two semi-joins restricting the edge relation (both AQE-friendly
+    equi-joins; the edge relation only ever shrinks). Lineage cut per
+    round; nothing driver-side but the fixpoint counter.
+    """
+    act = cut_lineage(
+        edges.select(
+            F.least(src_col, dst_col).alias("a"),
+            F.greatest(src_col, dst_col).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+    def induced_deg(e):  # (node, d) over the current induced edge set
+        return (
+            e.select(F.col("a").alias("node"))
+            .unionByName(e.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+
+    survivors = induced_deg(act).select("node")
+    n_prev = survivors.count()
+    t = 0
+    while True:
+        t += 1
+        keep = induced_deg(act).where(F.col("d") >= F.lit(k)).select("node")
+        act = cut_lineage(
+            act.join(keep.select(F.col("node").alias("a")), "a", "left_semi")
+            .join(keep.select(F.col("node").alias("b")), "b", "left_semi")
+        )
+        survivors = keep
+        if rounds is not None:
+            if t >= rounds:
+                break
+        else:
+            n_now = survivors.count()
+            if n_now == n_prev:
+                break
+            n_prev = n_now
+    return survivors.join(induced_deg(act), "node", "left").select(
+        "node", F.coalesce(F.col("d"), F.lit(0)).alias("core_deg")
+    )
+
+
 def _two_hop_joined(edges: DataFrame, sources: DataFrame) -> DataFrame:
     """The hop-expansion join of :func:`two_hop_counts`, exposed so the
     hub-skew test can measure its output partition sizes directly."""

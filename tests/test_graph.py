@@ -1215,3 +1215,117 @@ class TestLinkPrediction:
     def test_no_candidates_empty(self, spark):
         e = spark.createDataFrame([(0, 1)], "src long, dst long")
         assert G.link_prediction_topk(e, 10).count() == 0
+
+
+def _python_lpa(edges, iters):
+    nbrs = {}
+    for s, t in edges:
+        if s != t:
+            nbrs.setdefault(s, set()).add(t)
+            nbrs.setdefault(t, set()).add(s)
+    labels = {n: n for n in nbrs}
+    for _ in range(iters):
+        new = {}
+        for n in nbrs:
+            counts = {}
+            for m in nbrs[n]:
+                counts[labels[m]] = counts.get(labels[m], 0) + 1
+            best = max(counts.items(), key=lambda kv: (kv[1], -kv[0]))
+            new[n] = best[0]
+        labels = new
+    return labels
+
+
+class TestLpaCommunities:
+    # two 4-cliques bridged by one edge, plus a pendant pair
+    CLIQ1 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    CLIQ2 = [(a, b) for a in range(10, 14) for b in range(a + 1, 14)]
+    EDGES = CLIQ1 + CLIQ2 + [(3, 10), (20, 21)]
+
+    def test_matches_python_oracle(self, spark):
+        e = spark.createDataFrame(self.EDGES, "src long, dst long").repartition(3)
+        for iters in (1, 3, 5):
+            got = {
+                r["node"]: r["community"]
+                for r in G.lpa_communities(e, iters=iters).collect()
+            }
+            assert got == _python_lpa(self.EDGES, iters), iters
+
+    def test_cliques_converge_to_min_member(self, spark):
+        e = spark.createDataFrame(self.EDGES, "src long, dst long")
+        got = {
+            r["node"]: r["community"]
+            for r in G.lpa_communities(e, iters=5).collect()
+        }
+        # each clique coalesces on one label; the pendant pair pathology:
+        # synchronous LPA swaps labels on a K2 forever — parity-pinned
+        assert len({got[n] for n in range(4)}) == 1
+        assert len({got[n] for n in range(10, 14)}) == 1
+        assert {got[20], got[21]} == {20, 21}
+
+    def test_direction_and_duplicates_irrelevant(self, spark):
+        e1 = spark.createDataFrame(self.EDGES, "src long, dst long")
+        doubled = self.EDGES + [(t, s) for s, t in self.EDGES]
+        e2 = spark.createDataFrame(doubled, "src long, dst long")
+        a = sorted(tuple(r) for r in G.lpa_communities(e1, iters=3).collect())
+        b = sorted(tuple(r) for r in G.lpa_communities(e2, iters=3).collect())
+        assert a == b
+
+
+def _python_kcore(edges, k, rounds=None):
+    nbrs = {}
+    for s, t in edges:
+        if s != t:
+            nbrs.setdefault(s, set()).add(t)
+            nbrs.setdefault(t, set()).add(s)
+    active = set(nbrs)
+    t_ = 0
+    while True:
+        t_ += 1
+        deg = {n: sum(1 for m in nbrs[n] if m in active) for n in active}
+        keep = {n for n in active if deg[n] >= k}
+        stable = keep == active
+        active = keep
+        if rounds is not None:
+            if t_ >= rounds:
+                break
+        elif stable:
+            break
+    return {
+        n: sum(1 for m in nbrs[n] if m in active) for n in active
+    }
+
+
+class TestKcore:
+    # a 4-clique (3-core), a tail path hanging off it, and a triangle
+    EDGES = (
+        [(a, b) for a in range(4) for b in range(a + 1, 4)]
+        + [(3, 5), (5, 6), (6, 7)]
+        + [(8, 9), (9, 10), (10, 8)]
+    )
+
+    def test_fixpoint_matches_python(self, spark):
+        e = spark.createDataFrame(self.EDGES, "src long, dst long").repartition(3)
+        for k in (2, 3, 4):
+            got = {
+                r["node"]: r["core_deg"] for r in G.kcore(e, k=k).collect()
+            }
+            assert got == _python_kcore(self.EDGES, k), k
+
+    def test_three_core_is_the_clique(self, spark):
+        e = spark.createDataFrame(self.EDGES, "src long, dst long")
+        got = {r["node"] for r in G.kcore(e, k=3).collect()}
+        assert got == {0, 1, 2, 3}
+
+    def test_bounded_rounds_matches_python(self, spark):
+        e = spark.createDataFrame(self.EDGES, "src long, dst long")
+        for rounds in (1, 2):
+            got = {
+                r["node"]: r["core_deg"]
+                for r in G.kcore(e, k=2, rounds=rounds).collect()
+            }
+            assert got == _python_kcore(self.EDGES, 2, rounds=rounds), rounds
+
+    def test_everything_peeled_is_empty(self, spark):
+        e = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+        assert G.kcore(e, k=5).count() == 0
