@@ -1425,6 +1425,15 @@ def _x_domain_cap(spark, sf):  # per-domain cap by quality
     return ex.domain_cap(_t(spark, sf, "documents"), cap=40)
 
 
+def _x_kg_negatives(spark, sf):  # filtered corrupt-tail negative sampling
+    claims = _kg_obs(spark, sf).select("subj", "pred", "obj").distinct()
+    return ex.kg_negative_samples(claims, m=2)
+
+
+def _x_adjacency(spark, sf):  # grouped adjacency export of the link graph
+    return ex.adjacency_lists(_derived_edges(spark, sf))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver's CORRECTNESS gate checks the first 50
     # entries in insertion order.  The 13 queries registered last in round 3
@@ -1457,6 +1466,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_train_order": _x_train_order,
         "x_pack_sequences": _x_pack_sequences,
         "x_domain_cap": _x_domain_cap,
+        "x_kg_negatives": _x_kg_negatives,
+        "x_adjacency": _x_adjacency,
         "kg_triple_snapshot": _kg_triple_snapshot,
         "kg_triple_intervals": _kg_triple_intervals,
         "kg_triple_support": _kg_triple_support,
@@ -3267,6 +3278,45 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
                    ), 0) / 2048) AS BIGINT) AS seq_id
             FROM base
+        """,
+        # filtered corrupt-tail negatives fully re-derived: per-pred pool
+        # index by ascending obj, md5-long draw, NOT-EXISTS filter
+        "x_kg_negatives": """
+            WITH claims AS (
+                SELECT DISTINCT user_id AS subj, event_type AS pred,
+                       floor(value / 50)::BIGINT AS obj
+                FROM events
+            ),
+            pool AS (SELECT DISTINCT pred, obj FROM claims),
+            pool_ix AS (
+                SELECT pred, obj AS neg_obj,
+                       (ROW_NUMBER() OVER (PARTITION BY pred
+                           ORDER BY obj ASC) - 1)::BIGINT AS ix
+                FROM pool
+            ),
+            pool_n AS (SELECT pred, COUNT(*) AS n FROM pool GROUP BY pred),
+            drawn AS (
+                SELECT c.subj, c.pred, c.obj, i.i::BIGINT AS neg_ix,
+                       (('0x' || substr(md5(
+                            'neg-v1:' || c.subj::VARCHAR || ':' || c.pred
+                            || ':' || c.obj::VARCHAR || ':' || i.i::VARCHAR
+                        ), 1, 15))::UBIGINT % pn.n)::BIGINT AS ix
+                FROM claims c
+                JOIN pool_n pn ON c.pred = pn.pred
+                CROSS JOIN (SELECT unnest(range(2)) AS i) i
+            )
+            SELECT d.subj, d.pred, d.obj, d.neg_ix, p.neg_obj
+            FROM drawn d
+            JOIN pool_ix p ON d.pred = p.pred AND d.ix = p.ix
+            WHERE NOT EXISTS (SELECT 1 FROM claims t
+                              WHERE t.subj = d.subj AND t.pred = d.pred
+                                AND t.obj = p.neg_obj)
+        """,
+        # adjacency export: numeric-ordered string_agg twin
+        "x_adjacency": _GRAPH_EDGES_SQL + """
+        SELECT src AS node, COUNT(*) AS n_out,
+               string_agg(dst::VARCHAR, ',' ORDER BY dst) AS out_csv
+        FROM edges GROUP BY src
         """,
         "x_domain_cap": """
             SELECT doc_id, source, domain_rank FROM (

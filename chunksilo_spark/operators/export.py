@@ -220,3 +220,118 @@ def domain_cap(
         )
         .where(F.col("domain_rank") <= cap)
     )
+
+
+def kg_negative_samples(
+    triples: DataFrame,
+    m: int,
+    seed: str = "neg-v1",
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+) -> DataFrame:
+    """Filtered corrupt-tail negatives for KG-embedding training ->
+    (subj, pred, obj, neg_ix, neg_obj): the TransE-family contrastive
+    corpus (Bordes et al. 2013, "filtered" protocol) — for every positive
+    triple, ``m`` deterministic candidate tails drawn from the SAME
+    PREDICATE's object vocabulary, minus any candidate that is itself a
+    true triple (which also removes ``neg_obj == obj``). Per-predicate
+    draws keep negatives type-plausible (corrupting `born_in` with
+    another location, not a person) — the standard trick that makes the
+    contrast informative.
+
+    Pinned and SQL-rederivable: the predicate's object pool is indexed
+    0..n_p-1 by ascending object value; draw ``i`` picks index
+    ``md5(seed:subj:pred:obj:i) % n_p`` (first-15-hex-chars long, the
+    repo-wide md5-long). Determinism means re-runs, resumes, and the
+    oracle emit byte-identical negatives; a new ``seed`` is a fresh
+    epoch of negatives.
+
+    100 TB shape: the pool index is a per-predicate window over the
+    OBJECT VOCABULARY (entity-sized, not corpus-sized; parallel across
+    predicates), joined back twice as vocabulary-sized broadcasts
+    (counts, then values). The corpus-sized path is one explode(xm) +
+    two equi-joins + one anti-join on (subj, pred, obj) — no shuffle
+    keyed on anything lower-cardinality than the triple itself. The
+    false-negative filter makes yield slightly under ``m`` per positive
+    by design; sample more draws upstream if the trainer needs exact-m.
+    """
+    t = triples.select(
+        F.col(subj_col).alias("subj"),
+        F.col(pred_col).alias("pred"),
+        F.col(obj_col).alias("obj"),
+    )
+    pool = t.select("pred", "obj").distinct()
+    w = Window.partitionBy("pred").orderBy(F.col("obj").asc())
+    pool_ix = pool.select(
+        "pred",
+        F.col("obj").alias("neg_obj"),
+        (F.row_number().over(w) - 1).cast("long").alias("_ix"),
+    )
+    pool_n = pool.groupBy("pred").agg(F.count(F.lit(1)).alias("_n"))
+    drawn = (
+        t.join(F.broadcast(pool_n), "pred")
+        .select(
+            "subj", "pred", "obj", "_n",
+            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("neg_ix"),
+        )
+        .withColumn(
+            "_ix",
+            F.pmod(
+                _md5_long(
+                    F.concat_ws(
+                        ":",
+                        F.lit(seed),
+                        F.col("subj").cast("string"),
+                        F.col("pred"),
+                        F.col("obj").cast("string"),
+                        F.col("neg_ix").cast("string"),
+                    )
+                ),
+                F.col("_n"),
+            ),
+        )
+        .join(F.broadcast(pool_ix), ["pred", "_ix"])
+    )
+    true_triples = t.select(
+        "subj", "pred", F.col("obj").alias("neg_obj")
+    ).distinct()
+    return drawn.join(
+        true_triples, ["subj", "pred", "neg_obj"], "left_anti"
+    ).select(
+        "subj", "pred", "obj",
+        F.col("neg_ix").cast("long").alias("neg_ix"),  # int in Spark,
+        "neg_obj",                                     # BIGINT in SQL twins
+    )
+
+
+def adjacency_lists(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Grouped adjacency export -> (node, n_out, out_csv): each node's
+    distinct out-neighbors as an ascending CSV string — the GNN/graph-
+    trainer interchange row (one line per node, neighbor list inline),
+    and the layout random-walk workers read without a per-step join.
+    CSV rather than array<long> so the row is engine-portable and the
+    oracle hash is order-pinned (sort_array == ORDER BY dst).
+
+    100 TB shape: one map-side-combinable groupBy on src; the collected
+    list is one node's out-degree, bounded by the web graph's max
+    out-degree (thousands), never corpus-scale. Hub IN-degree doesn't
+    matter here — grouping is by src only.
+    """
+    e = edges.select(
+        F.col(src_col).alias("node"), F.col(dst_col).alias("dst")
+    ).distinct()
+    return e.groupBy("node").agg(
+        F.count(F.lit(1)).alias("n_out"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.sort_array(F.collect_list("dst")),  # numeric order, THEN cast
+                lambda x: x.cast("string"),
+            ),
+        ).alias("out_csv"),
+    )

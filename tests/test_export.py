@@ -170,3 +170,77 @@ class TestDomainCap:
         df = self._skew_df(spark, n_big=10)
         with pytest.raises(ValueError, match="2\\*cap"):
             ex.skew_prefilter(df, cap=5, skew_threshold=9)
+
+
+TRIPLES = [
+    (1, "born_in", 100),
+    (1, "born_in", 101),   # multi-valued
+    (2, "born_in", 100),
+    (3, "born_in", 102),
+    (1, "works_for", 200),
+    (2, "works_for", 200),
+    (3, "works_for", 201),
+]
+
+
+def _python_negatives(triples, m, seed="neg-v1"):
+    pools = {}
+    for s, p, o in triples:
+        pools.setdefault(p, set()).add(o)
+    pools = {p: sorted(v) for p, v in pools.items()}
+    true = set(triples)
+    out = []
+    for s, p, o in sorted(set(triples)):
+        pool = pools[p]
+        for i in range(m):
+            ix = _md5_long(f"{seed}:{s}:{p}:{o}:{i}") % len(pool)
+            cand = pool[ix]
+            if (s, p, cand) not in true:
+                out.append((s, p, o, i, cand))
+    return sorted(out)
+
+
+class TestKgNegativeSamples:
+    def test_matches_python_oracle(self, spark):
+        t = spark.createDataFrame(
+            TRIPLES, "subj long, pred string, obj long"
+        ).repartition(3)
+        got = sorted(
+            tuple(r) for r in ex.kg_negative_samples(t, m=4).collect()
+        )
+        assert got == _python_negatives(TRIPLES, 4)
+        assert got  # fixture actually yields negatives
+
+    def test_negatives_stay_in_predicate_pool(self, spark):
+        t = spark.createDataFrame(TRIPLES, "subj long, pred string, obj long")
+        pools = {}
+        for s, p, o in TRIPLES:
+            pools.setdefault(p, set()).add(o)
+        for r in ex.kg_negative_samples(t, m=6).collect():
+            assert r["neg_obj"] in pools[r["pred"]]
+            assert (r["subj"], r["pred"], r["neg_obj"]) not in set(TRIPLES)
+
+    def test_seed_changes_draws(self, spark):
+        t = spark.createDataFrame(TRIPLES, "subj long, pred string, obj long")
+        a = sorted(tuple(r) for r in ex.kg_negative_samples(t, m=4, seed="a").collect())
+        b = sorted(tuple(r) for r in ex.kg_negative_samples(t, m=4, seed="b").collect())
+        assert a != b
+
+    def test_partitioning_invariance(self, spark):
+        t1 = spark.createDataFrame(TRIPLES, "subj long, pred string, obj long")
+        got1 = sorted(tuple(r) for r in ex.kg_negative_samples(t1, m=3).collect())
+        got2 = sorted(
+            tuple(r)
+            for r in ex.kg_negative_samples(t1.repartition(7), m=3).collect()
+        )
+        assert got1 == got2
+
+
+class TestAdjacencyLists:
+    def test_sorted_numeric_not_lexical(self, spark):
+        e = spark.createDataFrame(
+            [(1, 10), (1, 2), (1, 10), (2, 3)], "src long, dst long"
+        )
+        got = {r["node"]: (r["n_out"], r["out_csv"])
+               for r in ex.adjacency_lists(e).collect()}
+        assert got == {1: (2, "2,10"), 2: (1, "3")}
