@@ -999,6 +999,15 @@ def _g_ppr(spark, sf):  # personalized PageRank from a weighted seed slice
     )
 
 
+def _kg_mention_contexts(spark, sf):  # linker-training context windows
+    aliases = spark.createDataFrame(
+        [("spark",), ("merge",), ("vector",), ("customer",)], "alias string"
+    )
+    return ex.mention_contexts(
+        _t(spark, sf, "documents"), aliases, window=24
+    )
+
+
 def _g_link_predict(spark, sf):  # missing-link candidates, AA top-50
     return gr.link_prediction_topk(_derived_edges(spark, sf), k=50)
 
@@ -1475,6 +1484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_type_propagation": _kg_type_propagation,
         "kg_pred_profile": _kg_pred_profile,
         "kg_bgp_match": _kg_bgp_match,
+        "kg_mention_contexts": _kg_mention_contexts,
         "g_link_predict": _g_link_predict,
         "g_lpa": _g_lpa,
         "g_kcore": _g_kcore,
@@ -2866,6 +2876,25 @@ def oracle_sql() -> dict[str, str]:
         FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
         WHERE e1.src < 20
         GROUP BY e1.src
+        """,
+        # first-occurrence context windows: strpos/substr twins of
+        # locate/substring (both 1-based, both clamp out-of-range)
+        "kg_mention_contexts": """
+            WITH aliases AS (
+                SELECT * FROM (VALUES ('spark'), ('merge'), ('vector'),
+                               ('customer')) AS t(alias)
+            ),
+            hit AS (
+                SELECT d.doc_id, a.alias,
+                       strpos(d.text, a.alias)::BIGINT AS pos, d.text
+                FROM documents d CROSS JOIN aliases a
+                WHERE strpos(d.text, a.alias) > 0
+            )
+            SELECT doc_id, alias, pos,
+                   substr(text, greatest(1, pos - 24)::INT,
+                          (pos - greatest(1, pos - 24))::INT) AS left_ctx,
+                   substr(text, (pos + length(alias))::INT, 24) AS right_ctx
+            FROM hit
         """,
         # synchronous LPA unrolled 2 rounds: per round distinct-neighbor
         # majority vote, ties to the SMALLER label (row_number rank —

@@ -335,3 +335,53 @@ def adjacency_lists(
             ),
         ).alias("out_csv"),
     )
+
+
+def mention_contexts(
+    docs: DataFrame,
+    aliases: DataFrame,
+    window: int = 40,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alias_col: str = "alias",
+) -> DataFrame:
+    """Linker-training context rows -> (doc_id, alias, pos, left_ctx,
+    right_ctx): for every document containing an alias, the FIRST
+    case-sensitive occurrence with ``window`` characters of context on
+    each side — the (mention, context) pair an entity-disambiguation
+    model trains on (and the human-review snippet for linked mentions).
+
+    Pinned: ``pos`` is the 1-based offset of the first occurrence
+    (``locate``/``strpos`` twins); ``left_ctx`` is the up-to-``window``
+    chars strictly before the mention, ``right_ctx`` the up-to-``window``
+    chars after it; no-match rows are dropped.
+
+    100 TB shape: the alias table is broadcast and the corpus is scanned
+    ONCE — the crossJoin materializes |aliases| rows per document inside
+    one codegen stage (filter + substring arithmetic, no Python), which
+    is the right trade for config-sized alias lists (10^2-10^4). For a
+    gazetteer-scale dictionary (10^6+), this per-alias column scan is the
+    wrong shape — route through stage 2's Arrow mention detector
+    (``stage2_link.detect_mentions``'s seam), which walks each document
+    once for ALL aliases.
+    """
+    a = aliases.select(F.col(alias_col).alias("alias"))
+    d = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    # F.locate takes a plain-string needle only; expr() for the column form
+    hit = (
+        d.crossJoin(F.broadcast(a))
+        .withColumn("pos", F.expr("locate(alias, text)").cast("long"))
+        .where(F.col("pos") > 0)
+    )
+    return hit.select(
+        "doc_id",
+        "alias",
+        "pos",
+        F.expr(
+            f"substring(text, greatest(1, pos - {window}), "
+            f"pos - greatest(1, pos - {window}))"
+        ).alias("left_ctx"),
+        F.expr(f"substring(text, pos + length(alias), {window})").alias(
+            "right_ctx"
+        ),
+    )

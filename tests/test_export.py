@@ -244,3 +244,44 @@ class TestAdjacencyLists:
         got = {r["node"]: (r["n_out"], r["out_csv"])
                for r in ex.adjacency_lists(e).collect()}
         assert got == {1: (2, "2,10"), 2: (1, "3")}
+
+
+class TestMentionContexts:
+    DOCS = [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "beta at start"),
+        (3, "ends with beta"),
+        (4, "no match here"),
+        (5, "beta beta beta"),  # first occurrence only
+        (6, "Beta capitalized"),  # case-sensitive: no match
+    ]
+
+    def _got(self, spark, window):
+        d = spark.createDataFrame(self.DOCS, "doc_id long, text string")
+        a = spark.createDataFrame([("beta",), ("delta",)], "alias string")
+        return {
+            (r["doc_id"], r["alias"]): (r["pos"], r["left_ctx"], r["right_ctx"])
+            for r in ex.mention_contexts(d, a, window=window).collect()
+        }
+
+    def test_python_oracle(self, spark):
+        got = self._got(spark, window=6)
+        want = {}
+        for doc_id, text in self.DOCS:
+            for alias in ("beta", "delta"):
+                i = text.find(alias)
+                if i >= 0:
+                    want[(doc_id, alias)] = (
+                        i + 1,
+                        text[max(0, i - 6):i],
+                        text[i + len(alias):i + len(alias) + 6],
+                    )
+        assert got == want
+
+    def test_edges(self, spark):
+        got = self._got(spark, window=10)
+        assert got[(2, "beta")] == (1, "", " at start")   # nothing left of start
+        assert got[(3, "beta")] == (11, "ends with ", "")  # nothing right of end
+        assert got[(5, "beta")][0] == 1                    # first only
+        assert (6, "beta") not in got                      # case-sensitive
+        assert (4, "beta") not in got
