@@ -1008,6 +1008,22 @@ def _kg_mention_contexts(spark, sf):  # linker-training context windows
     )
 
 
+def _kg_inverse_preds(spark, sf):  # inverse/symmetric predicate mining
+    from chunksilo_spark.operators.schema_induction import inverse_predicates
+
+    claims = _kg_obs(spark, sf).select("subj", "pred", "obj").distinct()
+    return inverse_predicates(claims)
+
+
+def _kg_isa_closure(spark, sf):  # materialized-ancestors table, depth 4
+    docs = _t(spark, sf, "documents").select("doc_id")
+    d = F.col("doc_id")
+    isa = docs.where(d > 0).select(
+        d.alias("src"), (d / 2).cast("long").alias("dst")
+    )
+    return gr.bounded_closure(isa, max_depth=4)
+
+
 def _g_link_predict(spark, sf):  # missing-link candidates, AA top-50
     return gr.link_prediction_topk(_derived_edges(spark, sf), k=50)
 
@@ -1485,6 +1501,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pred_profile": _kg_pred_profile,
         "kg_bgp_match": _kg_bgp_match,
         "kg_mention_contexts": _kg_mention_contexts,
+        "kg_isa_closure": _kg_isa_closure,
+        "kg_inverse_preds": _kg_inverse_preds,
         "g_link_predict": _g_link_predict,
         "g_lpa": _g_lpa,
         "g_kcore": _g_kcore,
@@ -2895,6 +2913,44 @@ def oracle_sql() -> dict[str, str]:
                           (pos - greatest(1, pos - 24))::INT) AS left_ctx,
                    substr(text, (pos + length(alias))::INT, 24) AS right_ctx
             FROM hit
+        """,
+        # inverse/symmetric predicate mining over distinct claims —
+        # swapped-pair self-join + per-predicate totals
+        "kg_inverse_preds": """
+            WITH claims AS (
+                SELECT DISTINCT user_id AS subj, event_type AS pred,
+                       floor(value / 50)::BIGINT AS obj
+                FROM events
+            ),
+            totals AS (SELECT pred, COUNT(*) AS n_pred
+                       FROM claims GROUP BY pred),
+            matched AS (
+                SELECT l.pred, r.pred AS inv_pred, COUNT(*) AS n_matched
+                FROM claims l JOIN claims r
+                  ON l.subj = r.obj AND l.obj = r.subj
+                GROUP BY l.pred, r.pred
+            )
+            SELECT m.pred, m.inv_pred, t.n_pred, m.n_matched,
+                   round(m.n_matched::DOUBLE / t.n_pred, 6)
+                       AS inv_confidence
+            FROM matched m JOIN totals t ON m.pred = t.pred
+        """,
+        # min-hop bounded closure via a recursive CTE (path enumeration
+        # + MIN — independent of the operator's iterated squaring)
+        "kg_isa_closure": """
+            WITH RECURSIVE isa AS (
+                SELECT doc_id AS src, (doc_id // 2) AS dst
+                FROM documents WHERE doc_id > 0
+            ),
+            paths(src, dst, dist) AS (
+                SELECT src, dst, 1::BIGINT FROM isa
+                UNION ALL
+                SELECT p.src, e.dst, p.dist + 1
+                FROM paths p JOIN isa e ON p.dst = e.src
+                WHERE p.dist < 4
+            )
+            SELECT src, dst, MIN(dist) AS dist
+            FROM paths GROUP BY src, dst
         """,
         # synchronous LPA unrolled 2 rounds: per round distinct-neighbor
         # majority vote, ties to the SMALLER label (row_number rank —

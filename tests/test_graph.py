@@ -1329,3 +1329,68 @@ class TestKcore:
     def test_everything_peeled_is_empty(self, spark):
         e = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
         assert G.kcore(e, k=5).count() == 0
+
+
+def _python_closure(edges, max_depth):
+    """Min-hop closure <= max_depth; cycle pairs (s, s) reported."""
+    es = {(s, t) for s, t in edges if s != t}
+    adj = {}
+    for s, t in es:
+        adj.setdefault(s, set()).add(t)
+    nodes = {n for e in es for n in e}
+    out = {}
+    for s in nodes:
+        dist = {s: 0}
+        frontier, d = [s], 0
+        while frontier and d < max_depth:
+            d += 1
+            nxt = []
+            for v in frontier:
+                for w in adj.get(v, ()):
+                    if w not in dist:
+                        dist[w] = d
+                        nxt.append(w)
+            frontier = nxt
+        for t, dd in dist.items():
+            if t != s:
+                out[(s, t)] = dd
+        cyc = [
+            dist[p] + 1
+            for p in adj
+            if s in adj[p] and p in dist and dist[p] + 1 <= max_depth
+        ]
+        if cyc:
+            out[(s, s)] = min(cyc)
+    return out
+
+
+class TestBoundedClosure:
+    # chain 0->1->2->3->4, a shortcut 0->3, a 3-cycle 10->11->12->10,
+    # a self-loop (dropped), duplicate edges
+    EDGES = [(0, 1), (1, 2), (2, 3), (3, 4), (0, 3), (0, 1),
+             (10, 11), (11, 12), (12, 10), (7, 7)]
+
+    @pytest.mark.parametrize("depth", [1, 2, 3, 4, 7])
+    def test_matches_python_oracle(self, spark, depth):
+        e = spark.createDataFrame(self.EDGES, "src long, dst long").repartition(3)
+        got = {
+            (r["src"], r["dst"]): r["dist"]
+            for r in G.bounded_closure(e, max_depth=depth).collect()
+        }
+        assert got == _python_closure(self.EDGES, depth), depth
+
+    def test_shortcut_wins(self, spark):
+        e = spark.createDataFrame(self.EDGES, "src long, dst long")
+        got = {
+            (r["src"], r["dst"]): r["dist"]
+            for r in G.bounded_closure(e, max_depth=4).collect()
+        }
+        assert got[(0, 3)] == 1   # not the 3-hop chain
+        assert got[(0, 4)] == 2   # via the shortcut
+        assert got[(10, 10)] == 3  # cycle pair reported
+        assert (7, 7) not in got   # self-loop dropped
+
+    def test_bad_depth_raises(self, spark):
+        e = spark.createDataFrame(self.EDGES, "src long, dst long")
+        with pytest.raises(ValueError):
+            G.bounded_closure(e, max_depth=0)
