@@ -1015,6 +1015,21 @@ def _kg_inverse_preds(spark, sf):  # inverse/symmetric predicate mining
     return inverse_predicates(claims)
 
 
+def _kg_path_rules(spark, sf):  # AMIE-style composition-rule mining
+    from chunksilo_spark.operators.schema_induction import path_rules
+
+    claims = _kg_obs(spark, sf).select("subj", "pred", "obj").distinct()
+    return path_rules(claims, min_support=5)
+
+
+def _kg_snapshot_diff(spark, sf):  # nightly-build claim delta t1 -> t2
+    from chunksilo_spark.operators.temporal import snapshot_diff
+
+    return snapshot_diff(
+        _kg_obs(spark, sf), "2024-01-10 00:00:00", "2024-01-25 00:00:00"
+    )
+
+
 def _kg_isa_closure(spark, sf):  # materialized-ancestors table, depth 4
     docs = _t(spark, sf, "documents").select("doc_id")
     d = F.col("doc_id")
@@ -1503,6 +1518,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_mention_contexts": _kg_mention_contexts,
         "kg_isa_closure": _kg_isa_closure,
         "kg_inverse_preds": _kg_inverse_preds,
+        "kg_path_rules": _kg_path_rules,
+        "kg_snapshot_diff": _kg_snapshot_diff,
         "g_link_predict": _g_link_predict,
         "g_lpa": _g_lpa,
         "g_kcore": _g_kcore,
@@ -2934,6 +2951,70 @@ def oracle_sql() -> dict[str, str]:
                    round(m.n_matched::DOUBLE / t.n_pred, 6)
                        AS inv_confidence
             FROM matched m JOIN totals t ON m.pred = t.pred
+        """,
+        # AMIE-style closed path rules: distinct chain pairs (bridge
+        # projected out), CWA confidence
+        "kg_path_rules": """
+            WITH claims AS (
+                SELECT DISTINCT user_id AS subj, event_type AS pred,
+                       floor(value / 50)::BIGINT AS obj
+                FROM events
+            ),
+            chains AS (
+                SELECT DISTINCT l.subj AS a, l.pred AS pred_p,
+                       r.pred AS pred_q, r.obj AS c
+                FROM claims l JOIN claims r ON l.obj = r.subj
+            ),
+            body AS (SELECT pred_p, pred_q, COUNT(*) AS n_body
+                     FROM chains GROUP BY pred_p, pred_q),
+            heads AS (
+                SELECT ch.pred_p, ch.pred_q, cl.pred AS pred_r,
+                       COUNT(*) AS support
+                FROM chains ch
+                JOIN claims cl ON ch.a = cl.subj AND ch.c = cl.obj
+                GROUP BY ch.pred_p, ch.pred_q, cl.pred
+                HAVING COUNT(*) >= 5
+            )
+            SELECT h.pred_p, h.pred_q, h.pred_r, b.n_body, h.support,
+                   round(h.support::DOUBLE / b.n_body, 6) AS confidence
+            FROM heads h
+            JOIN body b ON h.pred_p = b.pred_p AND h.pred_q = b.pred_q
+        """,
+        # snapshot delta re-derived from TWO independent row_number
+        # snapshots + a full outer join (vs the operator's single-scan
+        # conditional struct-max)
+        "kg_snapshot_diff": """
+            WITH obs AS (
+                SELECT user_id AS subj, event_type AS pred,
+                       floor(value / 50)::BIGINT AS obj, ts,
+                       event_id AS obs_id
+                FROM events
+            ),
+            s1 AS (SELECT subj, pred, obj FROM (
+                       SELECT subj, pred, obj, row_number() OVER (
+                           PARTITION BY subj, pred
+                           ORDER BY ts DESC, obs_id DESC) AS rn
+                       FROM obs
+                       WHERE ts <= TIMESTAMP '2024-01-10 00:00:00')
+                   WHERE rn = 1),
+            s2 AS (SELECT subj, pred, obj FROM (
+                       SELECT subj, pred, obj, row_number() OVER (
+                           PARTITION BY subj, pred
+                           ORDER BY ts DESC, obs_id DESC) AS rn
+                       FROM obs
+                       WHERE ts <= TIMESTAMP '2024-01-25 00:00:00')
+                   WHERE rn = 1)
+            SELECT * FROM (
+                SELECT COALESCE(s1.subj, s2.subj) AS subj,
+                       COALESCE(s1.pred, s2.pred) AS pred,
+                       CASE WHEN s1.subj IS NULL THEN 'added'
+                            WHEN s2.subj IS NULL THEN 'removed'
+                            WHEN s1.obj <> s2.obj THEN 'changed'
+                       END AS change,
+                       s1.obj AS obj_before, s2.obj AS obj_after
+                FROM s1 FULL OUTER JOIN s2
+                  ON s1.subj = s2.subj AND s1.pred = s2.pred
+            ) WHERE change IS NOT NULL
         """,
         # min-hop bounded closure via a recursive CTE (path enumeration
         # + MIN — independent of the operator's iterated squaring)

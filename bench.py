@@ -70,6 +70,12 @@ HEADLINE = [
     "j5_asof_latest_order",
     "g_bfs_depth",
     "g_random_walks",
+    # round-4 (cont.): KG query surface, completion, communities, exports
+    "kg_bgp_match",
+    "g_link_predict",
+    "g_lpa",
+    "kg_isa_closure",
+    "x_kg_negatives",
 ]
 
 

@@ -71,3 +71,75 @@ def inverse_predicates(
             "inv_confidence"
         ),
     )
+
+
+def path_rules(
+    claims: DataFrame,
+    min_support: int = 1,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+) -> DataFrame:
+    """Composition-rule candidates ``p(a,b) ∧ q(b,c) ⇒ r(a,c)`` ->
+    (pred_p, pred_q, pred_r, n_body, support, confidence): AMIE-style
+    horn-rule mining restricted to the length-2 closed path shape — the
+    workhorse rule class (born_in ∧ located_in ⇒ citizen_of). Mined
+    rules drive KG completion (materialize high-confidence heads) and
+    extractor QA (a confident rule with missing heads = extraction gaps).
+
+    Pinned semantics (SQL-rederivable, set-based like AMIE's support):
+    over DISTINCT claims, ``n_body(p, q)`` = #DISTINCT pairs (a, c) with
+    ∃b: p(a,b) ∧ q(b,c) — the mid-entity b is PROJECTED OUT before
+    counting, so a pair connected through many bridges counts once;
+    ``support(p,q,r)`` = # of those pairs with r(a,c) present;
+    ``confidence = round(support / n_body, 6)``. Rules below
+    ``min_support`` are dropped. (CWA confidence; AMIE's PCA variant =
+    swap the denominator — same plan shape.)
+
+    100 TB shape: the chain join is keyed on the bridge entity b — the
+    hub-entity deg^2 blowup, same territory as link prediction: AQE
+    skew-join splits hot b's, and the immediate DISTINCT over
+    (a, p, q, c) collapses bridge multiplicity before anything else
+    grows. The head join is an equi-join on the (a, c) pair; per-(p,q)
+    body totals are predicate-pair-sized and broadcast back.
+    """
+    c = claims.select(
+        F.col(subj_col).alias("subj"),
+        F.col(pred_col).alias("pred"),
+        F.col(obj_col).alias("obj"),
+    ).distinct()
+    chains = (
+        c.alias("l")
+        .join(c.alias("r"), F.col("l.obj") == F.col("r.subj"))
+        .select(
+            F.col("l.subj").alias("a"),
+            F.col("l.pred").alias("pred_p"),
+            F.col("r.pred").alias("pred_q"),
+            F.col("r.obj").alias("c"),
+        )
+        .distinct()
+    )
+    body = chains.groupBy("pred_p", "pred_q").agg(
+        F.count(F.lit(1)).alias("n_body")
+    )
+    heads = (
+        chains.join(
+            c.select(
+                F.col("subj").alias("a"),
+                F.col("pred").alias("pred_r"),
+                F.col("obj").alias("c"),
+            ),
+            ["a", "c"],
+        )
+        .groupBy("pred_p", "pred_q", "pred_r")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= F.lit(min_support))
+    )
+    return heads.join(F.broadcast(body), ["pred_p", "pred_q"]).select(
+        "pred_p",
+        "pred_q",
+        "pred_r",
+        "n_body",
+        "support",
+        F.round(F.col("support") / F.col("n_body"), 6).alias("confidence"),
+    )

@@ -208,3 +208,52 @@ def snapshot_from_intervals(
         (F.col("valid_from") <= at)
         & (F.col("valid_to").isNull() | (at < F.col("valid_to")))
     )
+
+
+def snapshot_diff(
+    triples: DataFrame,
+    t1: Column | str,
+    t2: Column | str,
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+    ts: str = "ts",
+    tiebreak: str = "obs_id",
+) -> DataFrame:
+    """Claim-level delta between two instants -> (subj, pred, change,
+    obj_before, obj_after): what a nightly KG build actually publishes —
+    ``added`` (no observation by t1, observed by t2), ``removed`` (the
+    reverse — meaningful when t1 > t2 or the log is corrected), and
+    ``changed`` (both present, different object). Unchanged claims are
+    dropped; 'before'/'after' follow :func:`triple_snapshot` semantics
+    (latest (ts, tiebreak) at-or-before the cutoff).
+
+    100 TB shape: ONE scan and ONE shuffle — both snapshots come out of
+    a single groupBy(subj, pred) via conditional struct-max aggregation
+    (``max(when(ts <= t, struct))``), map-side combinable; no
+    snapshot-vs-snapshot join at all. The diff itself is a projection.
+    """
+    at1 = F.lit(t1) if isinstance(t1, str) else t1
+    at2 = F.lit(t2) if isinstance(t2, str) else t2
+    st = F.struct(F.col(ts), F.col(tiebreak), F.col(obj).alias("_obj"))
+    agg = triples.groupBy(subj, pred).agg(
+        F.max(F.when(F.col(ts) <= at1, st)).alias("_s1"),
+        F.max(F.when(F.col(ts) <= at2, st)).alias("_s2"),
+    )
+    before = F.col("_s1._obj")
+    after = F.col("_s2._obj")
+    change = (
+        F.when(F.col("_s1").isNull() & F.col("_s2").isNotNull(), F.lit("added"))
+        .when(F.col("_s1").isNotNull() & F.col("_s2").isNull(), F.lit("removed"))
+        .when(before != after, F.lit("changed"))
+    )
+    return (
+        agg.select(
+            subj,
+            pred,
+            change.alias("change"),
+            before.alias("obj_before"),
+            after.alias("obj_after"),
+        )
+        .where(F.col("change").isNotNull())
+    )

@@ -58,3 +58,66 @@ class TestInversePredicates:
             for r in inverse_predicates(df, min_matched=3).collect()
         }
         assert got == {("r", "r")}
+
+
+from chunksilo_spark.operators.schema_induction import path_rules  # noqa: E402
+
+RULE_CLAIMS = [
+    # born(a, city) + in_country(city, country) => citizen(a, country)
+    (1, "born", 100), (2, "born", 100), (3, "born", 101),
+    (100, "in_country", 500), (101, "in_country", 500),
+    (1, "citizen", 500), (2, "citizen", 500),   # 3 missing: conf 2/3
+    # multi-bridge pair counts ONCE: 4->both 100,101->500
+    (4, "born", 100), (4, "born", 101),
+    # noise predicate with no chains
+    (7, "likes", 8),
+]
+
+
+def _python_rules(claims, min_support=1):
+    cs = set(claims)
+    chains = {
+        (a, p, q, c2)
+        for (a, p, b) in cs
+        for (b2, q, c2) in cs
+        if b2 == b
+    }
+    body = {}
+    for a, p, q, c in chains:
+        body[(p, q)] = body.get((p, q), 0) + 1
+    heads = {}
+    for a, p, q, c in chains:
+        for r in {r for (a2, r, c2) in cs if a2 == a and c2 == c}:
+            heads[(p, q, r)] = heads.get((p, q, r), 0) + 1
+    return {
+        (p, q, r): (body[(p, q)], n, round(n / body[(p, q)], 6))
+        for (p, q, r), n in heads.items()
+        if n >= min_support
+    }
+
+
+class TestPathRules:
+    def test_matches_python_oracle(self, spark):
+        df = spark.createDataFrame(
+            RULE_CLAIMS, "subj long, pred string, obj long"
+        ).repartition(3)
+        got = {
+            (r["pred_p"], r["pred_q"], r["pred_r"]): (
+                r["n_body"], r["support"], r["confidence"]
+            )
+            for r in path_rules(df).collect()
+        }
+        assert got == _python_rules(RULE_CLAIMS)
+        # the headline rule: body pairs are (1,500),(2,500),(3,500),(4,500)
+        # — 4 counted once despite two bridges; heads 1,2 => conf 0.5
+        assert got[("born", "in_country", "citizen")] == (4, 2, 0.5)
+
+    def test_min_support(self, spark):
+        df = spark.createDataFrame(RULE_CLAIMS, "subj long, pred string, obj long")
+        got = {
+            (r["pred_p"], r["pred_q"], r["pred_r"])
+            for r in path_rules(df, min_support=2).collect()
+        }
+        assert ("born", "in_country", "citizen") in got
+        for key in got:
+            assert _python_rules(RULE_CLAIMS)[key][1] >= 2

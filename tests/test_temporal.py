@@ -5,6 +5,7 @@ import datetime as dt
 
 from pyspark.sql import functions as F
 
+from chunksilo_spark.operators import temporal as T
 from chunksilo_spark.operators.temporal import (
     snapshot_from_intervals,
     triple_intervals,
@@ -211,3 +212,67 @@ class TestFunctionalConflicts:
         )
         r = functional_conflicts(df).collect()[0]
         assert r["top_obj"] == "zzz" and r["latest_obj"] == "zzz"
+
+
+class TestSnapshotDiff:
+    # obs log: (subj, pred, obj, ts, obs_id)
+    OBS = [
+        (1, "p", 10, "2024-01-01 00:00:00", 1),
+        (1, "p", 11, "2024-01-20 00:00:00", 2),   # changed by t2
+        (2, "p", 20, "2024-01-25 00:00:00", 3),   # added after t1
+        (3, "p", 30, "2024-01-05 00:00:00", 4),   # unchanged -> dropped
+        (4, "p", 40, "2024-03-01 00:00:00", 5),   # after both -> absent
+        (5, "p", 50, "2024-01-10 00:00:00", 6),
+        (5, "p", 50, "2024-01-22 00:00:00", 7),   # re-observed same obj
+    ]
+    T1 = "2024-01-15 00:00:00"
+    T2 = "2024-02-01 00:00:00"
+
+    def _df(self, spark):
+        return spark.createDataFrame(
+            self.OBS, "subj long, pred string, obj long, ts string, obs_id long"
+        ).withColumn("ts", F.to_timestamp("ts"))
+
+    def test_classification(self, spark):
+        got = {
+            (r["subj"], r["pred"]): (
+                r["change"], r["obj_before"], r["obj_after"]
+            )
+            for r in T.snapshot_diff(self._df(spark), self.T1, self.T2).collect()
+        }
+        assert got == {
+            (1, "p"): ("changed", 10, 11),
+            (2, "p"): ("added", None, 20),
+        }
+
+    def test_reverse_cutoffs_flip_direction(self, spark):
+        got = {
+            (r["subj"], r["pred"]): r["change"]
+            for r in T.snapshot_diff(self._df(spark), self.T2, self.T1).collect()
+        }
+        assert got == {(1, "p"): "changed", (2, "p"): "removed"}
+
+    def test_consistent_with_two_snapshots(self, spark):
+        df = self._df(spark)
+        s1 = {
+            (r["subj"], r["pred"]): r["obj"]
+            for r in T.triple_snapshot(df, self.T1).collect()
+        }
+        s2 = {
+            (r["subj"], r["pred"]): r["obj"]
+            for r in T.triple_snapshot(df, self.T2).collect()
+        }
+        want = {}
+        for k in set(s1) | set(s2):
+            b, a = s1.get(k), s2.get(k)
+            if b is None:
+                want[k] = ("added", None, a)
+            elif a is None:
+                want[k] = ("removed", b, None)
+            elif a != b:
+                want[k] = ("changed", b, a)
+        got = {
+            (r["subj"], r["pred"]): (r["change"], r["obj_before"], r["obj_after"])
+            for r in T.snapshot_diff(df, self.T1, self.T2).collect()
+        }
+        assert got == want
