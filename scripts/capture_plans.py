@@ -135,6 +135,28 @@ CAPTURE = [
      "explosion (a range-join formulation would plan as "
      "BroadcastNestedLoop); right side pre-deduped by a map-side "
      "struct-max aggregate"),
+    ("kg_bgp_match", "SPARQL BGP: per-pattern constants appear as "
+     "PushedFilters on the triple scan (EqualTo on pred), each pattern "
+     "projects only its variables, joins are hash equi-joins on shared "
+     "vars (AQE broadcasts the selective sides)"),
+    ("g_link_predict", "link prediction: wedge join through the center "
+     "with degrees pre-joined; groupBy (pa,pb) map-side-combinable; "
+     "anti-join vs adjacency; final top-k is TakeOrderedAndProject"),
+    ("g_lpa", "synchronous LPA: per round one equi-join keyed on the "
+     "receiving node + vote count + struct-max argmax (both map-side-"
+     "combinable); lineage cut per round"),
+    ("kg_isa_closure", "bounded closure by ITERATED SQUARING: "
+     "ceil(log2(d)) min-plus self-joins + groupBy-min instead of d "
+     "expansion steps; dist capped in-plan before the min"),
+    ("x_kg_negatives", "filtered negatives: vocabulary-sized pools join "
+     "back as broadcasts (counts, then values); corpus path is one "
+     "explode + equi-joins + anti-join on the triple key"),
+    ("kg_path_rules", "AMIE path rules: bridge-keyed chain join with "
+     "immediate DISTINCT (multi-bridge collapse), head equi-join on "
+     "the (a,c) pair, predicate-pair body totals broadcast"),
+    ("kg_snapshot_diff", "snapshot delta: ONE scan, ONE shuffle — both "
+     "cutoffs as conditional struct-max inside a single groupBy; no "
+     "snapshot-vs-snapshot join"),
 ]
 
 
