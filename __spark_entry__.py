@@ -1043,6 +1043,17 @@ def _g_link_predict(spark, sf):  # missing-link candidates, AA top-50
     return gr.link_prediction_topk(_derived_edges(spark, sf), k=50)
 
 
+def _g_degree_profile(spark, sf):  # log2-bucket degree histogram audit
+    return gr.degree_profile(_derived_edges(spark, sf))
+
+
+def _kg_entity_embedding(spark, sf):  # mean-pooled entity vectors (long form)
+    vecs = _t(spark, sf, "embeddings").select(
+        (F.col("vec_id") % 50).alias("entity"), "embedding"
+    )
+    return sim.mean_pooled_embeddings(vecs, "entity")
+
+
 def _g_lpa(spark, sf):  # synchronous LPA communities, 2 rounds
     return gr.lpa_communities(_derived_edges(spark, sf), iters=2)
 
@@ -1521,6 +1532,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_path_rules": _kg_path_rules,
         "kg_snapshot_diff": _kg_snapshot_diff,
         "g_link_predict": _g_link_predict,
+        "g_degree_profile": _g_degree_profile,
+        "kg_entity_embedding": _kg_entity_embedding,
         "g_lpa": _g_lpa,
         "g_kcore": _g_kcore,
         "g_ppr": _g_ppr,
@@ -3032,6 +3045,26 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT src, dst, MIN(dist) AS dist
             FROM paths GROUP BY src, dst
+        """,
+        # degree histogram: per-direction counts then log2 bucket rollup
+        "g_degree_profile": _GRAPH_EDGES_SQL + """,
+        outd AS (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY src),
+        ind AS (SELECT dst AS node, COUNT(*) AS deg FROM edges GROUP BY dst),
+        sides AS (SELECT 'out' AS side, deg FROM outd
+                  UNION ALL SELECT 'in' AS side, deg FROM ind)
+        SELECT side, floor(log2(deg))::BIGINT AS bucket,
+               COUNT(*) AS n_nodes, MIN(deg) AS min_deg, MAX(deg) AS max_deg
+        FROM sides GROUP BY side, bucket
+        """,
+        # mean-pooled entity embeddings: unnest + subscripts lockstep
+        # expansion; float32 widened to double in BOTH engines before avg
+        "kg_entity_embedding": """
+            SELECT entity, dim, round(avg(v), 6) AS mean_val FROM (
+                SELECT vec_id % 50 AS entity,
+                       (generate_subscripts(embedding, 1) - 1)::BIGINT AS dim,
+                       unnest(embedding)::DOUBLE AS v
+                FROM embeddings
+            ) GROUP BY entity, dim
         """,
         # synchronous LPA unrolled 2 rounds: per round distinct-neighbor
         # majority vote, ties to the SMALLER label (row_number rank —

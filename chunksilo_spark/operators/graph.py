@@ -1120,3 +1120,40 @@ def canonical_url_col(url: Column) -> Column:
     return F.when(scheme == "", F.lit(None).cast("string")).otherwise(
         F.concat(scheme, F.lit("://"), auth, path, rest)
     )
+
+
+def degree_profile(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Log2-bucketed degree histogram -> (side, bucket, n_nodes,
+    min_deg, max_deg): the one-page health audit of a crawled graph.
+    Web graphs are power-law — a sane crawl shows a straight-ish line in
+    (bucket, log n_nodes); a missing tail means the frontier collapsed,
+    a fat head means a link-farm burst. Run per build, diff per day.
+
+    Pinned: distinct-edge degrees per direction (``side`` in
+    {'in', 'out'}), ``bucket = floor(log2(degree))`` (exact for powers
+    of two in IEEE math, both engines). Two map-side-combinable
+    aggregations (per-node count, then per-bucket rollup) per side —
+    output is O(log max_degree) rows, nothing else leaves the executors.
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+
+    def side(col: str, name: str) -> DataFrame:
+        deg = e.groupBy(col).agg(F.count(F.lit(1)).alias("deg"))
+        return deg.select(
+            F.lit(name).alias("side"),
+            F.floor(F.log2("deg")).cast("long").alias("bucket"),
+            F.col("deg"),
+        )
+
+    both = side("src", "out").unionByName(side("dst", "in"))
+    return both.groupBy("side", "bucket").agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.min("deg").alias("min_deg"),
+        F.max("deg").alias("max_deg"),
+    )

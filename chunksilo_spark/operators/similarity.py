@@ -347,3 +347,41 @@ def lsh_topk(
         .where(F.col("rank") <= k)
         .select("query_id", F.col(id_col).alias("neighbor_id"), "cosine", "rank")
     )
+
+
+def mean_pooled_embeddings(
+    vectors: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-group mean embedding in LONG FORM -> (group, dim, mean_val):
+    the entity-embedding constructor — an entity's vector is the mean of
+    its mention/chunk vectors (the standard aggregation the linker's
+    alias dictionary and the ANN index are built from). Long form so the
+    result is engine-portable and SQL-checkable; ``F.array_agg`` it back
+    per group when a caller needs array shape (dims are small and
+    per-group).
+
+    Pinned: values cast to double BEFORE averaging; mean rounded to 6dp
+    (the repo float pin). Ragged vectors are the caller's bug — dims
+    beyond a short vector are simply absent from its groups' rows.
+
+    100 TB shape: ``posexplode`` is map-side (xDIM rows inside the
+    scan stage), then ONE map-side-combinable groupBy on (group, dim) —
+    the partial sums reduce each group's traffic to DIM doubles per
+    partition, exactly the combiner shape a mean wants. No collect_list
+    of vectors, no per-group array in executor memory.
+    """
+    g = F.col(group_col).alias("grp")
+    exploded = vectors.select(
+        g, F.posexplode(F.col(vec_col)).alias("dim", "_v")
+    )
+    return (
+        exploded.groupBy("grp", "dim")
+        .agg(F.round(F.avg(F.col("_v").cast("double")), 6).alias("mean_val"))
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("dim").cast("long").alias("dim"),
+            "mean_val",
+        )
+    )

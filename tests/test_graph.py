@@ -1394,3 +1394,28 @@ class TestBoundedClosure:
         e = spark.createDataFrame(self.EDGES, "src long, dst long")
         with pytest.raises(ValueError):
             G.bounded_closure(e, max_depth=0)
+
+
+class TestDegreeProfile:
+    def test_matches_python_oracle(self, spark):
+        import math
+
+        edges = [(0, i) for i in range(1, 9)] + [(1, 2), (2, 3), (3, 1),
+                                                 (5, 0), (6, 0), (1, 2)]
+        e = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            (r["side"], r["bucket"]): (r["n_nodes"], r["min_deg"], r["max_deg"])
+            for r in G.degree_profile(e).collect()
+        }
+        es = set(edges)
+        outd, ind = {}, {}
+        for s, t in es:
+            outd[s] = outd.get(s, 0) + 1
+            ind[t] = ind.get(t, 0) + 1
+        want = {}
+        for side, degs in (("out", outd), ("in", ind)):
+            for d in degs.values():
+                b = math.floor(math.log2(d))
+                n, lo, hi = want.get((side, b), (0, d, d))
+                want[(side, b)] = (n + 1, min(lo, d), max(hi, d))
+        assert got == want

@@ -829,3 +829,35 @@ class TestReviewRegressions:
         assert fused_linked_triples(pages, bc).count() == 0
         docs = s1.extract_documents(pages, partitions=2)
         assert s2.link_mentions(s2.detect_mentions(docs), bc).count() == 0
+
+
+class TestMeanPooledEmbeddings:
+    def test_matches_python_oracle(self, spark):
+        from chunksilo_spark.operators.similarity import mean_pooled_embeddings
+
+        rows = [
+            (1, [1.0, 2.0, 3.0]),
+            (1, [3.0, 2.0, 1.0]),
+            (2, [0.5, -0.5, 4.0]),
+        ]
+        df = spark.createDataFrame(rows, "entity long, embedding array<float>")
+        got = {
+            (r["entity"], r["dim"]): r["mean_val"]
+            for r in mean_pooled_embeddings(df, "entity").collect()
+        }
+        assert got == {
+            (1, 0): 2.0, (1, 1): 2.0, (1, 2): 2.0,
+            (2, 0): 0.5, (2, 1): -0.5, (2, 2): 4.0,
+        }
+
+    def test_partitioning_invariance(self, spark):
+        from chunksilo_spark.operators.similarity import mean_pooled_embeddings
+
+        rows = [(i % 5, [float(i), float(i * 2)]) for i in range(40)]
+        df = spark.createDataFrame(rows, "entity long, embedding array<float>")
+        a = sorted(tuple(r) for r in mean_pooled_embeddings(df, "entity").collect())
+        b = sorted(
+            tuple(r)
+            for r in mean_pooled_embeddings(df.repartition(7), "entity").collect()
+        )
+        assert a == b
