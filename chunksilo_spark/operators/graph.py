@@ -874,7 +874,9 @@ def link_prediction_topk(
     sym = und.select(F.col("a").alias("node"), F.col("b").alias("nbr")).unionByName(
         und.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
     )
-    deg = sym.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    deg = cut_lineage(  # node-sized; consumed 3x (centers, da, db)
+        sym.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    )
     centers = sym.select(F.col("node").alias("x"), F.col("nbr").alias("c")).join(
         deg.select(F.col("node").alias("c"), F.col("d").alias("dc")), "c"
     )
