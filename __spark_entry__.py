@@ -2987,11 +2987,24 @@ def oracle_sql() -> dict[str, str]:
                 JOIN claims cl ON ch.a = cl.subj AND ch.c = cl.obj
                 GROUP BY ch.pred_p, ch.pred_q, cl.pred
                 HAVING COUNT(*) >= 5
+            ),
+            pca AS (
+                SELECT ch.pred_p, ch.pred_q, sp.pred AS pred_r,
+                       COUNT(*) AS n_pca_body
+                FROM chains ch
+                JOIN (SELECT DISTINCT subj, pred FROM claims) sp
+                  ON ch.a = sp.subj
+                GROUP BY ch.pred_p, ch.pred_q, sp.pred
             )
             SELECT h.pred_p, h.pred_q, h.pred_r, b.n_body, h.support,
-                   round(h.support::DOUBLE / b.n_body, 6) AS confidence
+                   round(h.support::DOUBLE / b.n_body, 6) AS confidence,
+                   p.n_pca_body,
+                   round(h.support::DOUBLE / p.n_pca_body, 6)
+                       AS pca_confidence
             FROM heads h
             JOIN body b ON h.pred_p = b.pred_p AND h.pred_q = b.pred_q
+            JOIN pca p ON h.pred_p = p.pred_p AND h.pred_q = p.pred_q
+                      AND h.pred_r = p.pred_r
         """,
         # snapshot delta re-derived from TWO independent row_number
         # snapshots + a full outer join (vs the operator's single-scan

@@ -92,9 +92,14 @@ def path_rules(
     ∃b: p(a,b) ∧ q(b,c) — the mid-entity b is PROJECTED OUT before
     counting, so a pair connected through many bridges counts once;
     ``support(p,q,r)`` = # of those pairs with r(a,c) present;
-    ``confidence = round(support / n_body, 6)``. Rules below
-    ``min_support`` are dropped. (CWA confidence; AMIE's PCA variant =
-    swap the denominator — same plan shape.)
+    ``confidence = round(support / n_body, 6)`` (CWA: every unproven
+    head counts against the rule). ``n_pca_body(p,q,r)`` = # body pairs
+    whose subject a has at least one r-claim AT ALL, and
+    ``pca_confidence = round(support / n_pca_body, 6)`` — AMIE's
+    partial-completeness denominator (an absent head only counts
+    against the rule if the KG knows *something* r-shaped about a; the
+    honest confidence over an incomplete KG, always >= the CWA value).
+    Rules below ``min_support`` are dropped.
 
     100 TB shape: the chain join is keyed on the bridge entity b — the
     hub-entity deg^2 blowup, same territory as link prediction: AQE
@@ -135,11 +140,30 @@ def path_rules(
         .agg(F.count(F.lit(1)).alias("support"))
         .where(F.col("support") >= F.lit(min_support))
     )
-    return heads.join(F.broadcast(body), ["pred_p", "pred_q"]).select(
-        "pred_p",
-        "pred_q",
-        "pred_r",
-        "n_body",
-        "support",
-        F.round(F.col("support") / F.col("n_body"), 6).alias("confidence"),
+    # PCA denominator: body pairs whose subject has ANY r-claim — join on
+    # the subject only, against the (subj, pred) projection
+    pca = (
+        chains.join(
+            c.select(F.col("subj").alias("a"), F.col("pred").alias("pred_r"))
+            .distinct(),
+            "a",
+        )
+        .groupBy("pred_p", "pred_q", "pred_r")
+        .agg(F.count(F.lit(1)).alias("n_pca_body"))
+    )
+    return (
+        heads.join(F.broadcast(body), ["pred_p", "pred_q"])
+        .join(pca, ["pred_p", "pred_q", "pred_r"])
+        .select(
+            "pred_p",
+            "pred_q",
+            "pred_r",
+            "n_body",
+            "support",
+            F.round(F.col("support") / F.col("n_body"), 6).alias("confidence"),
+            "n_pca_body",
+            F.round(F.col("support") / F.col("n_pca_body"), 6).alias(
+                "pca_confidence"
+            ),
+        )
     )

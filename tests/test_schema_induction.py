@@ -86,11 +86,17 @@ def _python_rules(claims, min_support=1):
     for a, p, q, c in chains:
         body[(p, q)] = body.get((p, q), 0) + 1
     heads = {}
+    pca = {}
     for a, p, q, c in chains:
         for r in {r for (a2, r, c2) in cs if a2 == a and c2 == c}:
             heads[(p, q, r)] = heads.get((p, q, r), 0) + 1
+        for r in {r for (a2, r, c2) in cs if a2 == a}:
+            pca[(p, q, r)] = pca.get((p, q, r), 0) + 1
     return {
-        (p, q, r): (body[(p, q)], n, round(n / body[(p, q)], 6))
+        (p, q, r): (
+            body[(p, q)], n, round(n / body[(p, q)], 6),
+            pca[(p, q, r)], round(n / pca[(p, q, r)], 6),
+        )
         for (p, q, r), n in heads.items()
         if n >= min_support
     }
@@ -103,14 +109,16 @@ class TestPathRules:
         ).repartition(3)
         got = {
             (r["pred_p"], r["pred_q"], r["pred_r"]): (
-                r["n_body"], r["support"], r["confidence"]
+                r["n_body"], r["support"], r["confidence"],
+                r["n_pca_body"], r["pca_confidence"],
             )
             for r in path_rules(df).collect()
         }
         assert got == _python_rules(RULE_CLAIMS)
         # the headline rule: body pairs are (1,500),(2,500),(3,500),(4,500)
-        # — 4 counted once despite two bridges; heads 1,2 => conf 0.5
-        assert got[("born", "in_country", "citizen")] == (4, 2, 0.5)
+        # — 4 counted once despite two bridges; heads 1,2 => CWA conf 0.5,
+        # but only subjects 1,2 have ANY citizen claim => PCA conf 1.0
+        assert got[("born", "in_country", "citizen")] == (4, 2, 0.5, 2, 1.0)
 
     def test_min_support(self, spark):
         df = spark.createDataFrame(RULE_CLAIMS, "subj long, pred string, obj long")
@@ -121,3 +129,9 @@ class TestPathRules:
         assert ("born", "in_country", "citizen") in got
         for key in got:
             assert _python_rules(RULE_CLAIMS)[key][1] >= 2
+
+    def test_pca_at_least_cwa(self, spark):
+        df = spark.createDataFrame(RULE_CLAIMS, "subj long, pred string, obj long")
+        for r in path_rules(df).collect():
+            assert r["pca_confidence"] >= r["confidence"]
+            assert r["n_pca_body"] >= r["support"]
