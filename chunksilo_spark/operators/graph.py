@@ -175,8 +175,19 @@ def pagerank(
     src_col: str = "src",
     dst_col: str = "dst",
     checkpoint_every: int = 2,
+    init_ranks: DataFrame | None = None,
 ) -> DataFrame:
     """PageRank by iterative DataFrame joins -> (node, rank).
+
+    ``init_ranks`` ((node, rank), e.g. the previous build's materialized
+    web_rank table) WARM-STARTS the iteration: ``rank_0 = coalesce(init,
+    1/N)`` instead of the uniform vector. The update is a contraction to
+    a unique fixpoint, so warm-starting changes nothing semantically —
+    it resumes convergence where the last build stopped, which is the
+    incremental-maintenance move at 10^12 edges (a daily delta shifts
+    ranks locally; 2 warm iterations ≈ 10 cold ones). Continuation is
+    EXACT: pagerank(iters=a+b) == pagerank(iters=b,
+    init_ranks=pagerank(iters=a)) bit-for-bit (tested).
 
     Semantics (the textbook formulation, pinned for the oracle):
       rank_0(v)    = 1/N
@@ -218,7 +229,21 @@ def pagerank(
     ))
     has_dangling = dangling_nodes.limit(1).count() > 0
 
-    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    if init_ranks is None:
+        ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    else:
+        ranks = cut_lineage(
+            nodes.join(
+                init_ranks.select(
+                    F.col("node"), F.col("rank").alias("_init")
+                ),
+                "node",
+                "left",
+            ).select(
+                "node",
+                F.coalesce(F.col("_init"), F.lit(1.0 / n)).alias("rank"),
+            )
+        )
     for i in range(iters):
         contrib = (
             ed.join(ranks, ed["src"] == ranks["node"])
