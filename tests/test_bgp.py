@@ -126,3 +126,41 @@ class TestBgpMatch:
         got = _run(bgp_match(triples, pats))
         want, _ = _brute(pats)
         assert got == want
+
+
+class TestRandomizedParity:
+    """Seeded random triple sets vs the itertools brute force — the cheap
+    randomized sweep (one Spark job per seed, not per hypothesis example)."""
+
+    def _random_triples(self, seed):
+        import random
+
+        rng = random.Random(seed)
+        ents = list(range(6))
+        preds = ["p", "q", "r"]
+        return list({
+            (rng.choice(ents), rng.choice(preds), rng.choice(ents))
+            for _ in range(rng.randint(8, 20))
+        })
+
+    def test_chain_and_star_on_random_graphs(self, spark):
+        global TRIPLES
+        shapes = [
+            [("?a", "p", "?b"), ("?b", "q", "?c")],
+            [("?a", "p", "?x"), ("?a", "q", "?y")],
+            [("?a", "p", "?b"), ("?b", "q", "?a")],
+        ]
+        orig = TRIPLES
+        try:
+            for seed in (1, 2, 3):
+                triples = self._random_triples(seed)
+                TRIPLES = triples  # _brute reads the module global
+                df = spark.createDataFrame(
+                    triples, "subj long, pred string, obj long"
+                )
+                for pats in shapes:
+                    got = _run(bgp_match(df, pats))
+                    want, _ = _brute(pats)
+                    assert got == want, (seed, pats)
+        finally:
+            TRIPLES = orig

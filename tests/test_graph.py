@@ -1463,3 +1463,22 @@ class TestPagerankWarmStart:
             assert abs(warm[v] - cold[v]) < 1e-2, v
         total = sum(warm.values())
         assert abs(total - 1.0) < 0.125 * 0.85**20 + 1e-9
+
+
+class TestClosureRandomized:
+    def test_random_graphs_vs_bfs(self, spark):
+        import random
+
+        for seed in (11, 12, 13):
+            rng = random.Random(seed)
+            edges = list({
+                (rng.randrange(8), rng.randrange(8))
+                for _ in range(rng.randint(6, 18))
+            })
+            e = spark.createDataFrame(edges, "src long, dst long")
+            for depth in (2, 3):
+                got = {
+                    (r["src"], r["dst"]): r["dist"]
+                    for r in G.bounded_closure(e, max_depth=depth).collect()
+                }
+                assert got == _python_closure(edges, depth), (seed, depth)
