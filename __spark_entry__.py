@@ -999,6 +999,22 @@ def _g_ppr(spark, sf):  # personalized PageRank from a weighted seed slice
     )
 
 
+def _kg_bgp_optional(spark, sf):  # OPTIONAL left-join + MINUS anti-join
+    # purchases, optionally joined to a view of the same band, minus
+    # bands the user also errored on — the SPARQL OPTIONAL/MINUS core
+    from chunksilo_spark.operators.bgp import bgp_match
+
+    claims = _kg_obs(spark, sf).select("subj", "pred", "obj").distinct()
+    return bgp_match(
+        claims,
+        [("?a", "purchase", "?v")],
+        optional=[("?b", "view", "?v")],
+        minus=[("?a", "error", "?v")],
+        select=["a", "v", "b"],
+        distinct=True,
+    )
+
+
 def _kg_mention_contexts(spark, sf):  # linker-training context windows
     aliases = spark.createDataFrame(
         [("spark",), ("merge",), ("vector",), ("customer",)], "alias string"
@@ -1526,6 +1542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_type_propagation": _kg_type_propagation,
         "kg_pred_profile": _kg_pred_profile,
         "kg_bgp_match": _kg_bgp_match,
+        "kg_bgp_optional": _kg_bgp_optional,
         "kg_mention_contexts": _kg_mention_contexts,
         "kg_isa_closure": _kg_isa_closure,
         "kg_inverse_preds": _kg_inverse_preds,
@@ -2924,6 +2941,23 @@ def oracle_sql() -> dict[str, str]:
         FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
         WHERE e1.src < 20
         GROUP BY e1.src
+        """,
+        # OPTIONAL as LEFT JOIN, MINUS as NOT EXISTS over shared vars
+        "kg_bgp_optional": """
+            WITH claims AS (
+                SELECT DISTINCT user_id AS subj, event_type AS pred,
+                       floor(value / 50)::BIGINT AS obj
+                FROM events
+            ),
+            req AS (SELECT subj AS a, obj AS v FROM claims
+                    WHERE pred = 'purchase'),
+            opt AS (SELECT subj AS b, obj AS v FROM claims
+                    WHERE pred = 'view')
+            SELECT DISTINCT req.a, req.v, opt.b
+            FROM req LEFT JOIN opt ON req.v = opt.v
+            WHERE NOT EXISTS (SELECT 1 FROM claims m
+                              WHERE m.pred = 'error'
+                                AND m.subj = req.a AND m.obj = req.v)
         """,
         # first-occurrence context windows: strpos/substr twins of
         # locate/substring (both 1-based, both clamp out-of-range)

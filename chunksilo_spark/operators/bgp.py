@@ -91,6 +91,8 @@ def bgp_match(
     select: list[str] | None = None,
     filters: list[Column] | None = None,
     distinct: bool = False,
+    optional: list | None = None,
+    minus: list | None = None,
     subj_col: str = "subj",
     pred_col: str = "pred",
     obj_col: str = "obj",
@@ -110,8 +112,19 @@ def bgp_match(
     of shared variables, then input order. Disconnected pattern sets
     raise ``ValueError`` (no implicit cartesian products).
 
+    ``optional`` patterns (each its own OPTIONAL group) LEFT-join on
+    their shared variables after the required joins — unmatched rows
+    keep nulls in the optional-only variables, and an optional pattern
+    can multiply rows when several bindings match (SPARQL bag
+    semantics). Optional patterns must share >= 1 variable with the
+    required set. ``minus`` patterns remove solutions for which a
+    matching binding exists over the SHARED variables (anti-join); per
+    the SPARQL MINUS spec, a minus pattern sharing NO variable removes
+    nothing (a warning-worthy query, but the spec'd behavior).
+
     Bag semantics by default (each distinct derivation is a row, the
-    SPARQL default); ``distinct=True`` for set semantics.
+    SPARQL default); ``distinct=True`` for set semantics (applied after
+    optional/minus).
     """
     patterns = list(patterns)
     if not patterns:
@@ -149,6 +162,23 @@ def bgp_match(
         acc = acc.join(scan, on=sorted(bound.intersection(names)), how="inner")
         bound.update(names)
 
+    for opt in optional or []:
+        scan, names = _pattern_scan(triples, opt, cols)
+        shared = sorted(bound.intersection(names))
+        if not shared:
+            raise ValueError(
+                f"OPTIONAL pattern {opt!r} shares no variable with the "
+                f"required set {sorted(bound)!r}"
+            )
+        acc = acc.join(scan, on=shared, how="left")
+        bound.update(names)
+    for mns in minus or []:
+        scan, names = _pattern_scan(triples, mns, cols)
+        shared = sorted(bound.intersection(names))
+        if shared:  # SPARQL MINUS: disjoint domains remove nothing
+            acc = acc.join(
+                scan.select(*shared).distinct(), on=shared, how="left_anti"
+            )
     for f in filters or []:
         acc = acc.where(f)
     out_cols = select if select is not None else sorted(bound)

@@ -164,3 +164,78 @@ class TestRandomizedParity:
                     assert got == want, (seed, pats)
         finally:
             TRIPLES = orig
+
+
+class TestOptionalAndMinus:
+    def test_optional_keeps_unmatched_with_nulls(self, triples):
+        got = _run(
+            bgp_match(
+                TRIPLES_DF := triples,
+                [("?x", "bought", "?y")],
+                optional=[("?y", "madeby", "?m")],
+            )
+        )
+        want = []
+        ts = set(TRIPLES)
+        for x, p, y in ts:
+            if p != "bought":
+                continue
+            makers = [m for (y2, q, m) in ts if q == "madeby" and y2 == y]
+            for m in makers or [None]:
+                want.append((m, x, y))
+        assert got == sorted(want, key=lambda t: (t[0] is not None, t))
+
+    def test_optional_unmatched_yields_nulls(self, triples):
+        # 'knows' targets have no madeby fact: every row keeps m = NULL
+        got = _run(
+            bgp_match(
+                triples,
+                [("?x", "knows", "?y")],
+                optional=[("?y", "madeby", "?m")],
+            )
+        )
+        assert got and all(t[0] is None for t in got)
+        base = _run(bgp_match(triples, [("?x", "knows", "?y")]))
+        assert sorted(t[1:] for t in got) == base
+
+    def test_optional_multiplies_on_multiple_bindings(self, spark):
+        rows = [(1, "p", 2), (2, "q", 7), (2, "q", 8)]
+        df = spark.createDataFrame(rows, "subj long, pred string, obj long")
+        got = _run(
+            bgp_match(df, [("?a", "p", "?b")], optional=[("?b", "q", "?c")])
+        )
+        assert got == [(1, 2, 7), (1, 2, 8)]
+
+    def test_minus_removes_shared_binding_matches(self, triples):
+        # buyers minus those who know entity 3
+        got = _run(
+            bgp_match(
+                triples,
+                [("?x", "bought", "?y")],
+                minus=[("?x", "knows", "?k")],
+                select=["x"],
+                distinct=True,
+            )
+        )
+        ts = set(TRIPLES)
+        buyers = {x for (x, p, y) in ts if p == "bought"}
+        knowers = {x for (x, p, k) in ts if p == "knows"}
+        assert got == sorted((x,) for x in buyers - knowers)
+
+    def test_minus_disjoint_domain_is_noop(self, triples):
+        base = _run(bgp_match(triples, [("?x", "bought", "?y")]))
+        got = _run(
+            bgp_match(
+                triples,
+                [("?x", "bought", "?y")],
+                minus=[("?q", "madeby", "?m")],  # no shared variable
+            )
+        )
+        assert got == base
+
+    def test_optional_disconnected_raises(self, triples):
+        with pytest.raises(ValueError, match="OPTIONAL"):
+            bgp_match(
+                triples, [("?x", "bought", "?y")],
+                optional=[("?q", "madeby", "?m")],
+            )
