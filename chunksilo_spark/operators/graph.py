@@ -176,6 +176,7 @@ def pagerank(
     dst_col: str = "dst",
     checkpoint_every: int = 2,
     init_ranks: DataFrame | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """PageRank by iterative DataFrame joins -> (node, rank).
 
@@ -188,6 +189,15 @@ def pagerank(
     ranks locally; 2 warm iterations ≈ 10 cold ones). Continuation is
     EXACT: pagerank(iters=a+b) == pagerank(iters=b,
     init_ranks=pagerank(iters=a)) bit-for-bit (tested).
+
+    ``weight_col`` makes the walk EVIDENCE-WEIGHTED: a node's rank
+    flows to its out-neighbors proportionally to edge weight
+    (``w_uv / sum_u w``) instead of uniformly — on a KG edge table,
+    pass the ``support`` column so importance follows attestation.
+    Edges with weight <= 0 (or null) are DROPPED before anything else:
+    the node set is the kept edges' endpoints, and a node whose every
+    OUT-edge was dropped is dangling. Same plan shape — the degree
+    relation just carries a weighted sum.
 
     Semantics (the textbook formulation, pinned for the oracle):
       rank_0(v)    = 1/N
@@ -206,9 +216,18 @@ def pagerank(
     # materialize the edge relation ONCE: nodes, degrees and the contribution
     # join all derive from it, and a live upstream plan (e.g. the outlink
     # extraction regex) would otherwise recompute per consumer
-    edges = cut_lineage(edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ))
+    if weight_col is None:
+        edges = cut_lineage(edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst"),
+            F.lit(1.0).alias("_w"),
+        ))
+    else:
+        edges = cut_lineage(
+            edges.select(
+                F.col(src_col).alias("src"), F.col(dst_col).alias("dst"),
+                F.col(weight_col).cast("double").alias("_w"),
+            ).where(F.col("_w") > 0)
+        )
     nodes = cut_lineage(
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
@@ -217,10 +236,19 @@ def pagerank(
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
-    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
-    # contribution edges: (src, dst, 1/out_deg), built once, lineage cut
+    # unweighted: count (exact integers, bit-compatible with the pinned
+    # oracle); weighted: sum of weights — inv_deg = w_uv / W_u either way
+    if weight_col is None:
+        out_deg = edges.groupBy("src").agg(
+            F.count(F.lit(1)).alias("out_deg")
+        )
+        inv = F.lit(1.0) / F.col("out_deg")
+    else:
+        out_deg = edges.groupBy("src").agg(F.sum("_w").alias("out_deg"))
+        inv = F.col("_w") / F.col("out_deg")
+    # contribution edges: (src, dst, w/W), built once, lineage cut
     ed = cut_lineage(edges.join(out_deg, "src").select(
-        "src", "dst", (F.lit(1.0) / F.col("out_deg")).alias("inv_deg")
+        "src", "dst", inv.alias("inv_deg")
     ))
     dangling_nodes = cut_lineage(nodes.join(
         ed.select("src").distinct(),
@@ -292,6 +320,7 @@ def personalized_pagerank(
     dst_col: str = "dst",
     node_col: str = "node",
     weight_col: str = "weight",
+    edge_weight_col: str | None = None,
 ) -> DataFrame:
     """PageRank with teleport to a seed distribution -> (node, rank):
     entity importance RELATIVE to a topic — rank mass flows out from the
@@ -312,10 +341,25 @@ def personalized_pagerank(
     only, dangling mass is a 1-row broadcast cross-join, lineage cut per
     iteration. The reset column rides the node relation — one extra
     double per node, no extra shuffle.
+
+    ``edge_weight_col`` weights the WALK (rank flows proportionally to
+    edge weight, :func:`pagerank`'s ``weight_col`` semantics — weight
+    <= 0 edges dropped before the node set forms); ``weight_col``
+    weights the SEEDS. Orthogonal knobs: evidence-weighted steps,
+    interest-weighted teleports.
     """
-    edges = cut_lineage(edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ))
+    if edge_weight_col is None:
+        edges = cut_lineage(edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst"),
+            F.lit(1.0).alias("_ew"),
+        ))
+    else:
+        edges = cut_lineage(
+            edges.select(
+                F.col(src_col).alias("src"), F.col(dst_col).alias("dst"),
+                F.col(edge_weight_col).cast("double").alias("_ew"),
+            ).where(F.col("_ew") > 0)
+        )
     nodes = cut_lineage(
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
@@ -335,9 +379,16 @@ def personalized_pagerank(
             .alias("_reset"),
         )
     )
-    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    if edge_weight_col is None:
+        out_deg = edges.groupBy("src").agg(
+            F.count(F.lit(1)).alias("out_deg")
+        )
+        inv = F.lit(1.0) / F.col("out_deg")
+    else:
+        out_deg = edges.groupBy("src").agg(F.sum("_ew").alias("out_deg"))
+        inv = F.col("_ew") / F.col("out_deg")
     ed = cut_lineage(edges.join(out_deg, "src").select(
-        "src", "dst", (F.lit(1.0) / F.col("out_deg")).alias("inv_deg")
+        "src", "dst", inv.alias("inv_deg")
     ))
     dangling_nodes = cut_lineage(nodes.join(
         ed.select("src").distinct(),

@@ -37,6 +37,7 @@ __all__ = [
     "entity_lookup",
     "neighborhood",
     "answer_bgp",
+    "property_path",
     "related_entities",
 ]
 
@@ -99,6 +100,26 @@ def answer_bgp(
     return bgp_match(rel, patterns, select=select, filters=filters, distinct=True)
 
 
+def property_path(
+    edges: DataFrame,
+    pred: str,
+    max_depth: int = 4,
+    min_support: int = 1,
+) -> DataFrame:
+    """SPARQL property-path ``pred+`` (one-or-more), depth-bounded ->
+    (src, dst, dist): transitive reachability along ONE predicate — the
+    is-a / part-of / located-in ancestor query — materialized via
+    `operators/graph.bounded_closure`'s iterated squaring. Support-
+    filtered like :func:`answer_bgp`, for the same evidence reason."""
+    rel = edges.where(
+        (F.col("pred") == F.lit(pred))
+        & (F.col("support") >= F.lit(min_support))
+    ).select(
+        F.col("subj_canon_id").alias("src"), F.col("obj_canon_id").alias("dst")
+    )
+    return _graph.bounded_closure(rel, max_depth=max_depth)
+
+
 def related_entities(
     edges: DataFrame,
     seed_ids: list[int],
@@ -112,16 +133,22 @@ def related_entities(
     mass flows out from the seed set along well-attested edges."""
     rel = edges.where(F.col("support") >= F.lit(min_support))
     und = rel.select(
-        F.col("subj_canon_id").alias("src"), F.col("obj_canon_id").alias("dst")
+        F.col("subj_canon_id").alias("src"),
+        F.col("obj_canon_id").alias("dst"),
+        F.col("support").alias("w"),
     ).unionByName(
         rel.select(
             F.col("obj_canon_id").alias("src"),
             F.col("subj_canon_id").alias("dst"),
+            F.col("support").alias("w"),
         )
     )
     spark = edges.sparkSession
     seeds = spark.createDataFrame(
         [(int(s), 1.0) for s in seed_ids], "node long, weight double"
     )
-    ranks = _graph.personalized_pagerank(und, seeds, iters=iters)
+    # evidence-weighted walk: rank follows attestation, not edge count
+    ranks = _graph.personalized_pagerank(
+        und, seeds, iters=iters, edge_weight_col="w"
+    )
     return _graph.rank_topk(ranks, k)

@@ -1482,3 +1482,101 @@ class TestClosureRandomized:
                     for r in G.bounded_closure(e, max_depth=depth).collect()
                 }
                 assert got == _python_closure(edges, depth), (seed, depth)
+
+
+def _python_weighted_pagerank(wedges, iters, d=0.85):
+    kept = [(s, t, w) for s, t, w in wedges if w and w > 0]
+    nodes = sorted({n for s, t, _ in kept for n in (s, t)})
+    n = len(nodes)
+    wsum = {}
+    for s, t, w in kept:
+        wsum[s] = wsum.get(s, 0.0) + w
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(iters):
+        dangling = sum(r for v, r in rank.items() if v not in wsum)
+        contrib = {v: 0.0 for v in nodes}
+        for s, t, w in kept:
+            contrib[t] += rank[s] * (w / wsum[s])
+        rank = {
+            v: (1 - d) / n + d * (contrib[v] + dangling / n) for v in nodes
+        }
+    return rank
+
+
+class TestWeightedPagerank:
+    # parallel-ish weights, a dominated edge, a dropped zero-weight edge
+    # (8 keeps only a dropped edge -> vanishes entirely), dangling node 4
+    WEDGES = [
+        (0, 1, 3.0), (0, 2, 1.0), (1, 2, 2.0), (2, 0, 1.0),
+        (3, 0, 5.0), (2, 4, 0.5), (8, 0, 0.0),
+    ]
+
+    def test_matches_python_oracle(self, spark):
+        e = spark.createDataFrame(
+            self.WEDGES, "src long, dst long, support double"
+        ).repartition(3)
+        got = {
+            r["node"]: r["rank"]
+            for r in G.pagerank(e, iters=5, weight_col="support").collect()
+        }
+        want = _python_weighted_pagerank(self.WEDGES, 5)
+        assert set(got) == set(want)
+        assert 8 not in got
+        for v in want:
+            assert got[v] == pytest.approx(want[v], abs=1e-12), v
+
+    def test_uniform_weights_equal_unweighted(self, spark):
+        rows = [(s, t, 7.5) for s, t, _ in self.WEDGES if s != 8]
+        e = spark.createDataFrame(rows, "src long, dst long, support double")
+        w = {
+            r["node"]: r["rank"]
+            for r in G.pagerank(e, iters=4, weight_col="support").collect()
+        }
+        u = {
+            r["node"]: r["rank"]
+            for r in G.pagerank(
+                e.select("src", "dst"), iters=4
+            ).collect()
+        }
+        for v in u:
+            assert w[v] == pytest.approx(u[v], abs=1e-12), v
+
+
+class TestWeightedPpr:
+    def test_uniform_weights_equal_unweighted(self, spark):
+        edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (5, 0)]
+        e = spark.createDataFrame(edges, "src long, dst long")
+        ew = spark.createDataFrame(
+            [(s, t, 4.0) for s, t in edges], "src long, dst long, w double"
+        )
+        seeds = spark.createDataFrame(
+            [(0, 2.0), (3, 1.0)], "node long, weight double"
+        )
+        a = {
+            r["node"]: r["rank"]
+            for r in G.personalized_pagerank(e, seeds, iters=4).collect()
+        }
+        b = {
+            r["node"]: r["rank"]
+            for r in G.personalized_pagerank(
+                ew, seeds, iters=4, edge_weight_col="w"
+            ).collect()
+        }
+        assert set(a) == set(b)
+        for v in a:
+            assert b[v] == pytest.approx(a[v], abs=1e-12), v
+
+    def test_heavier_edge_attracts_rank(self, spark):
+        ew = spark.createDataFrame(
+            [(0, 1, 9.0), (0, 2, 1.0), (1, 0, 1.0), (2, 0, 1.0)],
+            "src long, dst long, w double",
+        )
+        seeds = spark.createDataFrame([(0, 1.0)], "node long, weight double")
+        got = {
+            r["node"]: r["rank"]
+            for r in G.personalized_pagerank(
+                ew, seeds, iters=5, edge_weight_col="w"
+            ).collect()
+        }
+        assert got[1] > got[2]
+        assert abs(sum(got.values()) - 1.0) < 1e-9

@@ -127,3 +127,29 @@ class TestRelatedEntities:
         assert ({cid} | nbrs) & ranked
         ranks = [r["rank"] for r in rows]
         assert ranks == sorted(ranks, reverse=True)
+
+
+class TestPropertyPath:
+    def test_depth1_equals_edge_scan_and_transitivity(self, tables):
+        pred = tables["edges"].select("pred").first()["pred"]
+        d1 = {
+            (r["src"], r["dst"])
+            for r in K.property_path(tables["edges"], pred, max_depth=1).collect()
+        }
+        scan = {
+            (r["subj_canon_id"], r["obj_canon_id"])
+            for r in tables["edges"]
+            .where(F.col("pred") == pred)
+            .where("subj_canon_id != obj_canon_id")
+            .collect()
+        }
+        assert d1 == scan
+        deep = {
+            (r["src"], r["dst"]): r["dist"]
+            for r in K.property_path(tables["edges"], pred, max_depth=3).collect()
+        }
+        # depth-1 pairs persist with dist 1; any extra pair has dist >= 2
+        for pair in d1:
+            assert deep[pair] == 1
+        for pair, dist in deep.items():
+            assert (pair in d1) == (dist == 1)
