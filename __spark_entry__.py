@@ -987,6 +987,14 @@ def _kg_bgp_match(spark, sf):  # conjunctive triple-pattern query (SPARQL BGP)
     )
 
 
+def _g_pagerank_weighted(spark, sf):  # evidence-weighted walk, top-50
+    edges = _derived_edges(spark, sf).withColumn(
+        "w",
+        (1 + F.pmod(F.col("src") + F.col("dst"), F.lit(5))).cast("double"),
+    )
+    return gr.rank_topk(gr.pagerank(edges, iters=3, weight_col="w"), 50)
+
+
 def _g_ppr(spark, sf):  # personalized PageRank from a weighted seed slice
     edges = _derived_edges(spark, sf)
     docs = _t(spark, sf, "documents").select("doc_id")
@@ -1553,6 +1561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_embedding": _kg_entity_embedding,
         "g_lpa": _g_lpa,
         "g_kcore": _g_kcore,
+        "g_pagerank_weighted": _g_pagerank_weighted,
         "g_ppr": _g_ppr,
         "g_bfs_depth": _g_bfs_depth,
         "g_random_walks": _g_random_walks,
@@ -2601,6 +2610,34 @@ def oracle_sql() -> dict[str, str]:
         c{i} AS (SELECT e.dst AS node, SUM(r.rank / deg.d) AS c
                  FROM edges e
                  JOIN deg ON e.src = deg.src
+                 JOIN r{i - 1} r ON r.node = e.src
+                 GROUP BY e.dst),
+        r{i} AS (SELECT nd.node,
+                        (1.0 - 0.85) / (SELECT n FROM nn)
+                        + 0.85 * COALESCE(c{i}.c, 0.0) AS rank
+                 FROM nodes nd LEFT JOIN c{i} ON nd.node = c{i}.node)"""
+            for i in (1, 2, 3)
+        ) + """
+        SELECT node, round(rank, 6) AS rank FROM r3
+        ORDER BY round(rank, 6) DESC, node ASC LIMIT 50
+        """,
+        # weighted walk unrolled: contribution = rank * (w / W_src); the
+        # deterministic per-edge weight 1 + (src+dst) % 5 re-derived
+        "g_pagerank_weighted": _GRAPH_EDGES_SQL + """,
+        we AS (SELECT src, dst,
+                      (1 + (src + dst) % 5)::DOUBLE AS w FROM edges),
+        wdeg AS (SELECT src, SUM(w) AS d FROM we GROUP BY src),
+        nodes AS (SELECT DISTINCT node FROM (
+            SELECT src AS node FROM we
+            UNION ALL SELECT dst FROM we)),
+        nn AS (SELECT COUNT(*)::DOUBLE AS n FROM nodes),
+        r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)
+        """ + "".join(
+            f""",
+        c{i} AS (SELECT e.dst AS node,
+                        SUM(r.rank * (e.w / wdeg.d)) AS c
+                 FROM we e
+                 JOIN wdeg ON e.src = wdeg.src
                  JOIN r{i - 1} r ON r.node = e.src
                  GROUP BY e.dst),
         r{i} AS (SELECT nd.node,
