@@ -1509,6 +1509,142 @@ def _x_adjacency(spark, sf):  # grouped adjacency export of the link graph
     return ex.adjacency_lists(_derived_edges(spark, sf))
 
 
+# ---------------------------------------------------------------------------
+# graph-structure queries (round 4: SCC / bow-tie / shortest paths /
+# clustering) and sketch/keyword queries
+
+
+def _scc_edges(spark, sf):
+    # ring-of-8 fixture with a closed-form SCC structure: within each
+    # block of 8 consecutive doc ids a successor ring whose wrap edge
+    # closes FULL blocks only (partial tail blocks decay to singleton
+    # SCCs via trimming), plus one DAG edge from every block base >0
+    # into block 0 (dst = block index mod 8) so cross-block color
+    # propagation and multi-round peeling are exercised without long
+    # chains. Both endpoint sets are semi-joined against the doc ids, so
+    # no contiguity assumption leaks into the fixture.
+    docs = _t(spark, sf, "documents").select("doc_id")
+    d = F.col("doc_id")
+    g = (d - d % 8).cast("long")
+    ring = docs.select(
+        d.alias("src"),
+        (g + F.pmod(d - g + 1, F.lit(8))).cast("long").alias("dst"),
+    )
+    inter = docs.where((d % 8 == 0) & (d > 0)).select(
+        d.alias("src"), ((d / 8).cast("long") % 8).cast("long").alias("dst")
+    )
+    ids = docs.select(d.alias("dst"))
+    return (
+        ring.join(ids, "dst", "left_semi")
+        .unionByName(inter.join(ids, "dst", "left_semi"))
+    )
+
+
+def _g_scc(spark, sf):  # strongly connected components (trim+color+reach)
+    # oracle is the ANALYTIC component id: block base for full blocks of
+    # 8, the node itself otherwise — the generic trim/coloring/backward-
+    # reach operator is checked against a closed form it never sees
+    return gr.strongly_connected_components(_scc_edges(spark, sf))
+
+
+def _g_bowtie(spark, sf):  # Broder bow-tie decomposition (core/in/out/other)
+    # mod-10 fixture with every role populated: an 8-member core ring
+    # over multiples of 10 below 80; ids ≡1 point INTO the core ('in');
+    # the core points at ids ≡2 ('out'); ids ≡3 hang off in-nodes
+    # (tendrils -> 'other'); ids ≡5/6 form disconnected pairs ('other').
+    # Oracle: the analytic role by id class (SCC correctness itself is
+    # pinned by g_scc + the Tarjan pytest).
+    docs = _t(spark, sf, "documents").select("doc_id")
+    d = F.col("doc_id")
+    core = docs.where((d % 10 == 0) & (d < 80)).select(
+        d.alias("src"),
+        F.when(d + 10 < 80, d + 10).otherwise(F.lit(0)).cast("long").alias("dst"),
+    )
+    into = docs.where(d % 10 == 1).select(
+        d.alias("src"), F.pmod(d - 1, F.lit(80)).cast("long").alias("dst")
+    )
+    outof = docs.where(d % 10 == 2).select(
+        F.pmod(d - 2, F.lit(80)).cast("long").alias("src"), d.alias("dst")
+    )
+    tendril = docs.where(d % 10 == 3).select(
+        (d - 2).cast("long").alias("src"), d.alias("dst")
+    )
+    disc = docs.where(d % 10 == 5).select(
+        d.alias("src"), (d + 1).cast("long").alias("dst")
+    )
+    ids_s = docs.select(d.alias("src"))
+    ids_d = docs.select(d.alias("dst"))
+    edges = (
+        core.unionByName(into)
+        .unionByName(outof)
+        .unionByName(tendril)
+        .unionByName(disc)
+        .join(ids_s, "src", "left_semi")
+        .join(ids_d, "dst", "left_semi")
+    )
+    return gr.bowtie_roles(edges)
+
+
+def _g_shortest_paths(spark, sf):  # weighted SSSP, changed-only frontier
+    # the bounded-branching halving graph of g_bfs_depth with integer
+    # weights 1 + src%3; oracle = depth-bounded all-paths recursive CTE
+    # + min(dist) — exact long arithmetic in both engines
+    docs = _t(spark, sf, "documents").select("doc_id")
+    d = F.col("doc_id")
+    halving = docs.where(d > 0).select(
+        d.alias("src"), (d / 2).cast("long").alias("dst")
+    )
+    side = docs.where((d % 7 == 3) & (d > 0)).select(
+        d.alias("src"), (d - 1).cast("long").alias("dst")
+    )
+    edges = halving.union(side).withColumn(
+        "weight", (F.lit(1) + F.pmod(F.col("src"), F.lit(3))).cast("long")
+    )
+    seeds = docs.where((d % 40 == 0) & (d > 0)).select(d.alias("node"))
+    return gr.shortest_paths(edges, seeds, max_hops=6)
+
+
+def _g_clustering(spark, sf):  # local clustering coefficients
+    # oracle re-derives triangles with the INDEPENDENT non-oriented
+    # chained a<b<c joins (same independence as g_triangles) plus the
+    # degree aggregation and the 2T/(d(d-1)) formula
+    return gr.clustering_coefficients(_derived_edges(spark, sf))
+
+
+def _t_kmv_cardinality(spark, sf):  # KMV distinct sketch, exact-SQL algebra
+    # hash integer cents, not the raw double: double->string rendering is
+    # the one step the two engines could disagree on, so it never enters
+    # the hash
+    from chunksilo_spark.operators.sketches import kmv_distinct
+
+    ev = _t(spark, sf, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    return kmv_distinct(ev, ["event_type"], "cents", k=32)
+
+
+def _t_tfidf_terms(spark, sf):  # per-doc TF-IDF keyword extraction
+    return cu.tfidf_top_terms(_t(spark, sf, "documents"), k=3)
+
+
+def _kg_bgp_filter(spark, sf):  # SPARQL VALUES + FILTER over the BGP core
+    # "users who purchased in one of THESE bands and clicked a different
+    # band" — the inline VALUES table prunes the join tree (broadcast),
+    # the FILTER applies across two variables
+    from chunksilo_spark.operators.bgp import bgp_match
+
+    claims = _kg_obs(spark, sf).select("subj", "pred", "obj").distinct()
+    return bgp_match(
+        claims,
+        [("?a", "purchase", "?v"), ("?a", "click", "?w")],
+        select=["a", "v", "w"],
+        filters=[F.col("v") != F.col("w")],
+        values=(["?v"], [(0,), (1,), (2,)]),
+        distinct=True,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver's CORRECTNESS gate checks the first 50
     # entries in insertion order.  The 13 queries registered last in round 3
@@ -1567,6 +1703,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_random_walks": _g_random_walks,
         "t_bigram_lm": _t_bigram_lm,
         "t_dsir_weights": _t_dsir_weights,
+        # -- round-4 additions: SCC / SSSP / VALUES-BGP take the window
+        #    slots freed by rotating three-rounds-green anchors to the
+        #    tail; the rest of the round-4 set queues just past the
+        #    window boundary and is covered by the local oracle gate --
+        "g_scc": _g_scc,
+        "g_shortest_paths": _g_shortest_paths,
+        "kg_bgp_filter": _kg_bgp_filter,
+        "g_bowtie": _g_bowtie,
+        "g_clustering": _g_clustering,
+        "t_kmv_cardinality": _t_kmv_cardinality,
+        "t_tfidf_terms": _t_tfidf_terms,
         # -- previously-green rows that keep their driver window slot --
         "d_contamination": _d_contamination,
         "a1_rollup": _a1_rollup,
@@ -3609,5 +3756,204 @@ def oracle_sql() -> dict[str, str]:
                            AS domain_rank
                 FROM documents
             ) WHERE domain_rank <= 40
+        """,
+        # ANALYTIC closed form of the ring-of-8 fixture: full blocks are
+        # 8-cycles (component = block base), everything else — partial
+        # tail blocks, inter-block DAG edges — decays to singleton SCCs.
+        # The trim/color/backward-reach operator never sees this formula.
+        "g_scc": """
+            WITH docs AS (SELECT doc_id AS d FROM documents),
+            ring AS (
+                SELECT d AS src, (d - d % 8) + ((d % 8 + 1) % 8) AS dst
+                FROM docs
+            ),
+            inter AS (
+                SELECT d AS src, (d // 8) % 8 AS dst
+                FROM docs WHERE d % 8 = 0 AND d > 0
+            ),
+            edges AS (
+                SELECT src, dst FROM ring
+                WHERE dst IN (SELECT d FROM docs)
+                UNION
+                SELECT src, dst FROM inter
+                WHERE dst IN (SELECT d FROM docs)
+            ),
+            nodes AS (
+                SELECT src AS node FROM edges
+                UNION SELECT dst FROM edges
+            ),
+            fullb AS (
+                SELECT d - d % 8 AS gb FROM docs
+                GROUP BY 1 HAVING COUNT(*) = 8
+            )
+            SELECT node,
+                   CASE WHEN (node - node % 8) IN (SELECT gb FROM fullb)
+                        THEN node - node % 8 ELSE node END AS component
+            FROM nodes
+        """,
+        # analytic bow-tie roles of the mod-10 fixture (the SCC machinery
+        # itself is pinned by g_scc and the Tarjan-oracle pytest)
+        "g_bowtie": """
+            WITH docs AS (SELECT doc_id AS d FROM documents),
+            raw AS (
+                SELECT d AS src,
+                       CASE WHEN d + 10 < 80 THEN d + 10 ELSE 0 END AS dst
+                FROM docs WHERE d % 10 = 0 AND d < 80
+                UNION ALL
+                SELECT d, (d - 1) % 80 FROM docs WHERE d % 10 = 1
+                UNION ALL
+                SELECT (d - 2) % 80, d FROM docs WHERE d % 10 = 2
+                UNION ALL
+                SELECT d - 2, d FROM docs WHERE d % 10 = 3
+                UNION ALL
+                SELECT d, d + 1 FROM docs WHERE d % 10 = 5
+            ),
+            edges AS (
+                SELECT src, dst FROM raw
+                WHERE src IN (SELECT d FROM docs)
+                  AND dst IN (SELECT d FROM docs)
+            ),
+            nodes AS (
+                SELECT src AS node FROM edges
+                UNION SELECT dst FROM edges
+            )
+            SELECT node,
+                   CASE node % 10
+                        WHEN 0 THEN 'core'
+                        WHEN 1 THEN 'in'
+                        WHEN 2 THEN 'out'
+                        ELSE 'other'
+                   END AS role
+            FROM nodes
+        """,
+        # hop-bounded all-paths enumeration + min(dist): independent of
+        # the Spark side's changed-only Bellman-Ford relaxation
+        "g_shortest_paths": """
+            WITH RECURSIVE e AS (
+                SELECT doc_id AS src, doc_id // 2 AS dst,
+                       1 + (doc_id % 3) AS w
+                FROM documents WHERE doc_id > 0
+                UNION ALL
+                SELECT doc_id, doc_id - 1, 1 + (doc_id % 3)
+                FROM documents WHERE doc_id % 7 = 3 AND doc_id > 0
+            ), sp AS (
+                SELECT doc_id AS node, CAST(0 AS BIGINT) AS dist, 0 AS hops
+                FROM documents WHERE doc_id % 40 = 0 AND doc_id > 0
+                UNION ALL
+                SELECT e.dst, sp.dist + e.w, sp.hops + 1
+                FROM sp JOIN e ON sp.node = e.src
+                WHERE sp.hops < 6
+            )
+            SELECT node, CAST(min(dist) AS BIGINT) AS dist
+            FROM sp GROUP BY node
+        """,
+        # independent non-oriented triangle derivation (chained a<b<c
+        # joins, same independence as g_triangles) + the degree agg and
+        # the 2T/(d(d-1)) formula
+        "g_clustering": _GRAPH_EDGES_SQL + """
+        , und AS (
+            SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+            FROM edges WHERE src <> dst
+        ), deg AS (
+            SELECT node, COUNT(*) AS degree FROM (
+                SELECT a AS node FROM und
+                UNION ALL SELECT b FROM und
+            ) GROUP BY node
+        ), tri AS (
+            SELECT e1.a AS x, e1.b AS y, e2.b AS z
+            FROM und e1
+            JOIN und e2 ON e2.a = e1.b
+            JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+        ), tcnt AS (
+            SELECT node, COUNT(*) AS n_triangles FROM (
+                SELECT x AS node FROM tri
+                UNION ALL SELECT y FROM tri
+                UNION ALL SELECT z FROM tri
+            ) GROUP BY node
+        )
+        SELECT deg.node, deg.degree,
+               CAST(COALESCE(tcnt.n_triangles, 0) AS BIGINT) AS n_triangles,
+               CASE WHEN deg.degree < 2 THEN 0.0
+                    ELSE round(2.0 * COALESCE(tcnt.n_triangles, 0)
+                               / (deg.degree * (deg.degree - 1)), 6)
+               END AS lcc
+        FROM deg LEFT JOIN tcnt ON deg.node = tcnt.node
+        """,
+        # the identical KMV algebra: md5-15-hex 60-bit hash over distinct
+        # integer-cent values, row_number window for the k-th minimum,
+        # (k-1) * 2^60 / h_k in IEEE double
+        "t_kmv_cardinality": """
+            WITH dv AS (
+                SELECT DISTINCT event_type,
+                       CAST(round(value * 100) AS BIGINT) AS cents
+                FROM events
+            ), hashed AS (
+                SELECT event_type,
+                       (('0x' || substr(md5(cents::VARCHAR), 1, 15))
+                        ::UBIGINT)::BIGINT AS h
+                FROM dv
+            ), ranked AS (
+                SELECT event_type, h,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY h ASC) AS rn
+                FROM hashed
+            ), pg AS (
+                SELECT event_type, COUNT(*) AS n,
+                       min(CASE WHEN rn = 32 THEN h END) AS hk
+                FROM ranked GROUP BY event_type
+            )
+            SELECT event_type,
+                   CAST(CASE WHEN n >= 32 THEN 32 ELSE n END AS BIGINT)
+                       AS n_kept,
+                   round(CASE WHEN n >= 32
+                              THEN 31.0 * 1152921504606846976.0 / hk
+                              ELSE CAST(n AS DOUBLE) END, 4)
+                       AS est_distinct
+            FROM pg
+        """,
+        # one tokenization pass reused for tf AND df, ratio formed before
+        # the log (the Spark float-order pin), total order on
+        # (tfidf desc, term asc)
+        "t_tfidf_terms": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(list_filter(
+                           string_split_regex(trim(lower(text)), '\\s+'),
+                           x -> x <> '')) AS term
+                FROM documents
+            ), tf AS (
+                SELECT doc_id, term, COUNT(*) AS tf
+                FROM toks GROUP BY doc_id, term
+            ), dfr AS (
+                SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+            ), n AS (
+                SELECT COUNT(DISTINCT doc_id) AS n FROM documents
+            ), scored AS (
+                SELECT tf.doc_id, tf.term, tf.tf, dfr.df,
+                       round(tf.tf * ln((SELECT n FROM n) / dfr.df), 6)
+                           AS tfidf
+                FROM tf JOIN dfr USING (term)
+            )
+            SELECT doc_id, term, tf, df, tfidf, CAST(rank AS BIGINT) AS rank
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY doc_id ORDER BY tfidf DESC, term ASC
+                ) AS rank FROM scored
+            ) WHERE rank <= 3
+        """,
+        # VALUES = an inline relation inner-joined on the bound variable;
+        # FILTER = a cross-variable predicate
+        "kg_bgp_filter": """
+            WITH claims AS (
+                SELECT DISTINCT user_id AS subj, event_type AS pred,
+                       CAST(floor(value / 50) AS BIGINT) AS obj
+                FROM events
+            )
+            SELECT DISTINCT p.subj AS a, p.obj AS v, c.obj AS w
+            FROM claims p
+            JOIN claims c ON c.subj = p.subj
+            JOIN (VALUES (0), (1), (2)) AS bands(v) ON bands.v = p.obj
+            WHERE p.pred = 'purchase' AND c.pred = 'click'
+              AND p.obj <> c.obj
         """,
     }

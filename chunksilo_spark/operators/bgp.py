@@ -93,6 +93,7 @@ def bgp_match(
     distinct: bool = False,
     optional: list | None = None,
     minus: list | None = None,
+    values: tuple[list[str], list[tuple]] | None = None,
     subj_col: str = "subj",
     pred_col: str = "pred",
     obj_col: str = "obj",
@@ -121,6 +122,14 @@ def bgp_match(
     matching binding exists over the SHARED variables (anti-join); per
     the SPARQL MINUS spec, a minus pattern sharing NO variable removes
     nothing (a warning-worthy query, but the spec'd behavior).
+
+    ``values`` is the SPARQL ``VALUES`` clause: ``(["?x", "?y"], [(1, 2),
+    (3, 4), ...])`` constrains the named variables to the given binding
+    rows via an inner join with the inline table. The inline relation is
+    driver-literal and tiny by construction, so Spark broadcasts it — at
+    100 TB this is the "restrict the query to this entity list" fast
+    path (the list prunes the join tree instead of filtering at the
+    end). Variables must all be bound by the required patterns.
 
     Bag semantics by default (each distinct derivation is a row, the
     SPARQL default); ``distinct=True`` for set semantics (applied after
@@ -161,6 +170,21 @@ def bgp_match(
         scan, names = scans[nxt]
         acc = acc.join(scan, on=sorted(bound.intersection(names)), how="inner")
         bound.update(names)
+
+    if values is not None:
+        vnames = [_var_name(v) if _is_var(v) else v for v in values[0]]
+        unbound = [v for v in vnames if v not in bound]
+        if unbound:
+            raise ValueError(
+                f"VALUES names unbound variables: {unbound!r} (bound: "
+                f"{sorted(bound)!r})"
+            )
+        if not values[1]:
+            raise ValueError("VALUES with an empty binding list")
+        inline = acc.sparkSession.createDataFrame(
+            [tuple(r) for r in values[1]], schema=vnames
+        ).distinct()
+        acc = acc.join(F.broadcast(inline), on=vnames, how="inner")
 
     for opt in optional or []:
         scan, names = _pattern_scan(triples, opt, cols)

@@ -689,3 +689,67 @@ def domain_profile(
             F.countDistinct("_lang").alias("n_langs"),
         )
     )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document TF-IDF keyword extraction -> (id, term, tf, df,
+    tfidf, rank), the top-``k`` terms per doc. The classic corpus
+    summarization / topic-tagging pass of a training-data pipeline
+    (what is this page ABOUT, cheaply, for routing and reporting), and
+    the raw material for sparse retrieval beside the BM25 operator.
+
+    Pinned semantics: terms are lowercase clean whitespace tokens
+    (``ws_tokens_clean``), tf = raw in-doc count, df = docs containing
+    the term, ``tfidf = round(tf * ln(N / df), 6)`` with the ratio
+    formed BEFORE the log (float-order pin, both engines); top-k by
+    (tfidf desc, term asc) — a total order, so rank is deterministic.
+    Docs whose every term appears in every doc still emit rows
+    (tfidf 0.0) — absence of distinctive terms is itself the signal.
+
+    100 TB shape: one explode + one (doc, term) count (map-side
+    combinable), a term-keyed df aggregation REUSING that relation (the
+    corpus is tokenized exactly once), a 1-row N broadcast, and the
+    equi-join back on term (AQE handles stopword-ish hot terms); the
+    final per-doc top-k is a window over doc-sized groups. Nothing
+    driver-bound, no second scan of the corpus.
+    """
+    from pyspark.sql import Window
+
+    tf = cut_lineage(  # feeds BOTH the df aggregation and the join back
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.explode(ws_tokens_clean(F.lower(F.col(text_col)))).alias(
+                "term"
+            ),
+        )
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_rel = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(
+        F.countDistinct(id_col).alias("_n")
+    )  # 1 row -> broadcast cross-join
+    scored = (
+        tf.join(df_rel, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col("id").alias(id_col),
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.col("_n") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).where(F.col("rank") <= k)

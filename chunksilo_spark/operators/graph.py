@@ -1235,3 +1235,369 @@ def degree_profile(
         F.min("deg").alias("min_deg"),
         F.max("deg").alias("max_deg"),
     )
+
+
+def strongly_connected_components(
+    edges: DataFrame,
+    max_rounds: int = 8,
+    max_color_iters: int = 30,
+    max_trim_iters: int = 50,
+    strict: bool = True,
+) -> DataFrame:
+    """Strongly-connected components of a directed (src, dst) edge set ->
+    (node, component), component = min member id. The web-graph bow-tie
+    primitive (Broder et al. 2000): the giant SCC is the crawl "core";
+    for the entity graph, SCCs are mutually-entailing `is-a` / `same-as`
+    cycles that canonicalization must collapse before the taxonomy is a
+    DAG.
+
+    Trim + forward-max-coloring + backward reach (Orzan's coloring /
+    the FW-BW-coloring family of Slota et al.), per outer round:
+
+      1. TRIM to fixpoint: a node with no in-edge or no out-edge in the
+         remaining subgraph is a singleton SCC — peel with two left-semi
+         joins per pass. This alone shreds the DAG-ish majority of a web
+         graph (IN/OUT/tendrils) before any coloring work.
+      2. COLOR forward to fixpoint: color(v) = max(v, colors of
+         in-neighbors). At the fixpoint color(v) is the max id that
+         reaches v; each color class has one root (the node == color).
+         Each iteration is ONE equi-join keyed on dst plus a map-side-
+         combinable max — hub skew is AQE territory, same as pagerank.
+      3. BACKWARD REACH from every color root at once, restricted to
+         same-color edges: nodes that reach their root within the color
+         class form exactly the root's SCC. Level-synchronous frontier
+         expansion like :func:`bfs_depths`, all roots in parallel.
+      4. Relabel each found SCC to min member id, remove its nodes,
+         repeat.
+
+    Every round removes at least every color-root SCC (plus everything
+    trimmable), so rounds are few on real graphs — the bow-tie paper's
+    structure collapses in 2-3. ``strict=True`` (default) raises if any
+    node is still unassigned after ``max_rounds``/``max_color_iters``
+    budgets — a partial SCC labeling is wrong, not approximate, so there
+    is no non-strict silent mode unless the caller opts in to get the
+    assigned subset (unassigned nodes are then ABSENT, never mislabeled).
+
+    100 TB shape: every step is an equi-join / semi-join / map-side-
+    combined max over the remaining subgraph — no all-pairs relation, no
+    driver-side graph. Lineage is cut per fixpoint step (reliable
+    checkpoints under a configured dir); the remaining subgraph shrinks
+    monotonically. Per-step convergence probes are one ``limit(1)``
+    count each against an already-checkpointed relation.
+    """
+    e_all = cut_lineage(
+        edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
+    )
+    nodes = cut_lineage(
+        e_all.select(F.col("src").alias("node"))
+        .unionByName(e_all.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    assigned = None  # (node, component) accumulator
+
+    def acc(a: DataFrame | None, more: DataFrame) -> DataFrame:
+        return more if a is None else a.unionByName(more)
+
+    remaining, e = nodes, e_all
+    for _round in range(max_rounds):
+        # -- 1. trim singleton SCCs to fixpoint --
+        for _trim in range(max_trim_iters):
+            keep = cut_lineage(
+                remaining.join(
+                    e.select(F.col("src").alias("node")).distinct(),
+                    "node",
+                    "left_semi",
+                ).join(
+                    e.select(F.col("dst").alias("node")).distinct(),
+                    "node",
+                    "left_semi",
+                )
+            )
+            peeled = remaining.join(keep, "node", "left_anti")
+            if peeled.limit(1).count() == 0:
+                break
+            assigned = acc(
+                assigned, peeled.select("node", F.col("node").alias("component"))
+            )
+            remaining = keep
+            e = cut_lineage(
+                e.join(
+                    keep.select(F.col("node").alias("src")), "src", "left_semi"
+                ).join(
+                    keep.select(F.col("node").alias("dst")), "dst", "left_semi"
+                )
+            )
+        if remaining.limit(1).count() == 0:
+            break
+        # -- 2. forward max-coloring to fixpoint --
+        color = cut_lineage(
+            remaining.select("node", F.col("node").alias("color"))
+        )
+        converged = False
+        for _it in range(max_color_iters):
+            incoming = (
+                color.join(e, color["node"] == e["src"])
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.max("color").alias("in_color"))
+            )
+            nxt = cut_lineage(
+                color.join(incoming, "node", "left_outer").select(
+                    "node",
+                    F.greatest(
+                        "color", F.coalesce("in_color", "color")
+                    ).alias("color"),
+                )
+            )
+            changed = (
+                nxt.join(
+                    color.withColumnRenamed("color", "old"), "node"
+                )
+                .where(F.col("color") != F.col("old"))
+                .limit(1)
+                .count()
+            )
+            color = nxt
+            if changed == 0:
+                converged = True
+                break
+        if not converged:
+            if strict:
+                raise RuntimeError(
+                    f"SCC coloring did not converge in {max_color_iters} "
+                    "iterations — raise max_color_iters (long in-chains "
+                    "need as many rounds as their length)"
+                )
+            break
+        # -- 3. backward reach from every color root within its class --
+        # edge (u -> v) usable backward from v to u iff both same color
+        ec = cut_lineage(
+            e.join(
+                color.select(F.col("node").alias("src"), F.col("color").alias("cs")),
+                "src",
+            )
+            .join(
+                color.select(F.col("node").alias("dst"), F.col("color").alias("cd")),
+                "dst",
+            )
+            .where(F.col("cs") == F.col("cd"))
+            .select("src", "dst", F.col("cs").alias("color"))
+        )
+        scc = cut_lineage(
+            color.where(F.col("node") == F.col("color")).select("node", "color")
+        )
+        frontier = scc
+        while True:
+            nxt = cut_lineage(
+                frontier.join(
+                    ec,
+                    (frontier["node"] == ec["dst"])
+                    & (frontier["color"] == ec["color"]),
+                )
+                .select(F.col("src").alias("node"), frontier["color"])
+                .distinct()
+                .join(scc, "node", "left_anti")
+            )
+            if nxt.limit(1).count() == 0:
+                break
+            scc = cut_lineage(scc.unionByName(nxt))
+            frontier = nxt
+        # -- 4. relabel to min member id, peel, next round --
+        labels = scc.groupBy("color").agg(F.min("node").alias("component"))
+        found = cut_lineage(
+            scc.join(labels, "color").select("node", "component")
+        )
+        assigned = acc(assigned, found)
+        remaining = cut_lineage(
+            remaining.join(found.select("node"), "node", "left_anti")
+        )
+        if remaining.limit(1).count() == 0:
+            break
+        e = cut_lineage(
+            e.join(
+                remaining.select(F.col("node").alias("src")), "src", "left_semi"
+            ).join(
+                remaining.select(F.col("node").alias("dst")), "dst", "left_semi"
+            )
+        )
+    else:
+        if remaining.limit(1).count() != 0 and strict:
+            raise RuntimeError(
+                f"SCC did not assign every node in {max_rounds} rounds — "
+                "raise max_rounds"
+            )
+    if assigned is None:
+        return nodes.select(
+            "node", F.col("node").alias("component")
+        ).limit(0)
+    return assigned
+
+
+def bowtie_roles(
+    edges: DataFrame,
+    scc: DataFrame | None = None,
+    max_depth: int = 30,
+) -> DataFrame:
+    """Bow-tie decomposition of a directed graph -> (node, role), role in
+    {'core', 'in', 'out', 'other'} — the Broder et al. (2000) map of the
+    web: the giant SCC ('core'), pages that reach it ('in'), pages it
+    reaches ('out'), and tendrils/islands ('other'). For crawl curation
+    this is THE structural audit: a healthy crawl is mostly core+in+out;
+    a scraper loop shows up as a bloated disconnected 'other'.
+
+    ``scc`` defaults to :func:`strongly_connected_components` of the
+    edge set; pass a precomputed labeling to reuse it. The core is the
+    largest SCC (ties -> min component id — deterministic); 'in'/'out'
+    are level-synchronous BFS reaches (:func:`bfs_depths`) over the
+    reversed / forward edges seeded at the core, so the whole
+    decomposition costs one SCC run + two BFS sweeps + one size argmax —
+    no per-class passes.
+    """
+    if scc is None:
+        scc = strongly_connected_components(edges)
+    scc = cut_lineage(scc)
+    top = (
+        scc.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .orderBy(F.col("sz").desc(), F.col("component").asc())
+        .limit(1)
+    )
+    core = cut_lineage(
+        scc.join(
+            top.select("component"), "component", "left_semi"
+        ).select("node")
+    )
+    e = edges.select("src", "dst")
+    fwd = bfs_depths(e, core, max_depth=max_depth).select("node")
+    bwd = bfs_depths(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
+        core,
+        max_depth=max_depth,
+    ).select("node")
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    return (
+        nodes.join(core.withColumn("_c", F.lit(1)), "node", "left_outer")
+        .join(
+            fwd.withColumn("_f", F.lit(1)).distinct(), "node", "left_outer"
+        )
+        .join(
+            bwd.withColumn("_b", F.lit(1)).distinct(), "node", "left_outer"
+        )
+        .select(
+            "node",
+            F.when(F.col("_c").isNotNull(), F.lit("core"))
+            .when(F.col("_b").isNotNull(), F.lit("in"))
+            .when(F.col("_f").isNotNull(), F.lit("out"))
+            .otherwise(F.lit("other"))
+            .alias("role"),
+        )
+    )
+
+
+def shortest_paths(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 10,
+    node_col: str = "node",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """Single-source-set weighted shortest paths -> (node, dist): min
+    total edge weight from any seed within ``max_hops`` edges,
+    non-negative integer weights (dist is exact long arithmetic — no
+    float drift between engines). The KG proximity primitive: entity
+    relatedness along weighted relation edges, crawl cost-to-reach,
+    citation distance.
+
+    Bellman-Ford with a CHANGED-ONLY frontier (delta-stepping's
+    practical core): each hop joins only the nodes whose distance
+    improved last round against the edge relation, min-combines
+    candidate distances map-side, and keeps a candidate only where it
+    beats the current label (one left-outer join). Converged (empty
+    frontier) exits early — on a non-negative-weight graph that is the
+    true fixpoint, ``max_hops`` is just the lineage/budget bound.
+
+    100 TB shape: per hop, one equi-join keyed on the frontier node (AQE
+    splits hub keys) + one map-side-combined min + one outer join on
+    node; the distance relation is node-sized, the frontier shrinks to
+    the shortest-path DAG's active level. Lineage cut per hop.
+    """
+    dist = cut_lineage(
+        seeds.select(F.col(node_col).alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+    )
+    frontier = dist
+    e = edges.select(
+        "src", "dst", F.col(weight_col).cast("long").alias("w")
+    )
+    for _h in range(max_hops):
+        cand = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min(F.col("dist") + F.col("w")).alias("nd"))
+        )
+        improved = cut_lineage(
+            cand.join(
+                dist.withColumnRenamed("dist", "old"), "node", "left_outer"
+            )
+            .where(F.col("old").isNull() | (F.col("nd") < F.col("old")))
+            .select("node", F.col("nd").alias("dist"))
+        )
+        if improved.limit(1).count() == 0:
+            break
+        dist = cut_lineage(
+            dist.join(improved.select("node"), "node", "left_anti")
+            .unionByName(improved)
+        )
+        frontier = improved
+    return dist
+
+
+def clustering_coefficients(edges: DataFrame) -> DataFrame:
+    """Local clustering coefficient on the undirected simple graph ->
+    (node, degree, n_triangles, lcc), lcc = 2T / (d(d-1)) rounded to 6
+    (0.0 when d < 2). The community-vs-spam texture signal that pairs
+    with :func:`triangle_counts` (which supplies T via the degree-
+    oriented wedge join — see its docstring for the O(sqrt m) fan-out
+    bound): genuine topic neighborhoods are triangle-dense, link farms
+    and nav boilerplate are star-shaped (high degree, lcc ~ 0).
+
+    Costs the triangle pass + one degree aggregation + one left join;
+    output is node-sized. Nodes outside any triangle get lcc 0.0 with
+    their true degree — absence of triangles is the signal, so they are
+    NOT dropped.
+    """
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    tri = triangle_counts(edges)
+    return deg.join(tri, "node", "left_outer").select(
+        "node",
+        "degree",
+        F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
+        F.when(
+            F.col("degree") < 2, F.lit(0.0)
+        )
+        .otherwise(
+            F.round(
+                2.0
+                * F.coalesce("n_triangles", F.lit(0))
+                / (F.col("degree") * (F.col("degree") - 1)),
+                6,
+            )
+        )
+        .alias("lcc"),
+    )

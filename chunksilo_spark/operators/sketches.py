@@ -1,0 +1,97 @@
+"""Deterministic cardinality sketches for corpus profiling.
+
+At 10^12 documents, "how many distinct users/URLs/values per group" is a
+profiling query you run constantly (dedup ratios, per-domain URL counts,
+crawl-frontier growth) and exact ``count(DISTINCT ...)`` is a full
+shuffle of every distinct value. The KMV (k-minimum-values) estimator
+(Bar-Yossef et al. 2002 / Beyer et al. 2007) keeps only the k smallest
+hash values per group: if the k-th smallest of n uniform hashes in
+(0, 1] sits at h_k, then n ≈ (k-1)/h_k, with relative error ~1/sqrt(k).
+
+Everything here is DETERMINISTIC (md5-derived hashes, the repo-wide
+``_md5_bucket`` algebra) so the estimate is reproducible across runs AND
+re-derivable in ANSI SQL — the driver oracle computes the identical
+estimate in DuckDB, making a *sketch* hash-checkable, which sampled or
+seeded-random sketches never are.
+
+Scale shape: the KMV synopsis is a mergeable bounded-size state — the
+production form is a partial-aggregating sketch UDAF (or
+``approx_count_distinct``, Spark's HLL++, when ±5% and no SQL twin is
+fine). This implementation pins the estimator's SEMANTICS with exact-SQL
+building blocks: one distinct pass, then a per-group window rank to find
+h_k. The window sorts only within group partitions (AQE splits skewed
+groups); rows never leave their group's partition. Swapping the window
+for a bounded-heap UDAF changes the plan, not the estimate — the hash
+and the formula are the contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = ["kmv_distinct"]
+
+# first 15 md5 hex chars -> uniform integer in [0, 2^60)
+_HASH_SPACE = float(1 << 60)
+
+
+def _h60(col: Column) -> Column:
+    """md5-derived 60-bit hash of the column's string form — the exact
+    algebra of ``curation._md5_bucket`` without the modulus (DuckDB twin:
+    ``('0x' || substr(md5(x::VARCHAR), 1, 15))::UBIGINT``)."""
+    return F.conv(
+        F.substring(F.md5(col.cast("string")), 1, 15), 16, 10
+    ).cast("long")
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 32,
+) -> DataFrame:
+    """Per-group distinct-count estimate -> (group_cols..., n_kept,
+    est_distinct): KMV over ``value_col`` with sketch size ``k``.
+
+    Pinned semantics (both engines, bit-for-bit):
+
+      * hash = first 15 md5 hex chars of the value's string form, as a
+        60-bit integer (collisions at 2^-60 — absorbed into the
+        estimator's ~1/sqrt(k) error).
+      * groups with fewer than k distinct values report the EXACT
+        distinct count (the sketch isn't full, so it IS the distinct
+        set) — ``n_kept`` = that count, ``est_distinct`` = it as double.
+      * full sketches report n_kept = k and
+        ``est_distinct = round((k-1) * 2^60 / h_k, 4)`` with the
+        division done in IEEE double (one multiply, one divide, one
+        round — same float-order pin both engines).
+    """
+    if k < 2:
+        raise ValueError("kmv k must be >= 2")
+    dv = (
+        df.select(*group_cols, F.col(value_col).alias("_v"))
+        .distinct()
+        .select(*group_cols, _h60(F.col("_v")).alias("_h"))
+    )
+    w = Window.partitionBy(*group_cols).orderBy(F.asc("_h"))
+    ranked = dv.select(
+        *group_cols, "_h", F.row_number().over(w).alias("_rn")
+    )
+    per_group = ranked.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.min(F.when(F.col("_rn") == k, F.col("_h"))).alias("_hk"),
+    )
+    full = F.col("_n") >= k
+    return per_group.select(
+        *group_cols,
+        F.when(full, F.lit(k)).otherwise(F.col("_n")).alias("n_kept"),
+        F.round(
+            F.when(
+                full,
+                F.lit(float(k - 1)) * F.lit(_HASH_SPACE) / F.col("_hk"),
+            ).otherwise(F.col("_n").cast("double")),
+            4,
+        ).alias("est_distinct"),
+    )

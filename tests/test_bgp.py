@@ -239,3 +239,67 @@ class TestOptionalAndMinus:
                 triples, [("?x", "bought", "?y")],
                 optional=[("?q", "madeby", "?m")],
             )
+
+
+class TestValues:
+    def test_values_restricts_bindings(self, triples):
+        got = bgp_match(
+            triples,
+            [("?x", "knows", "?y")],
+            select=["x", "y"],
+            values=(["?x"], [(1,), (3,)]),
+        )
+        rows = sorted((r["x"], r["y"]) for r in got.collect())
+        assert rows == [(1, 2), (1, 3), (3, 1)]
+
+    def test_values_multi_var_rows(self, triples):
+        got = bgp_match(
+            triples,
+            [("?x", "knows", "?y")],
+            select=["x", "y"],
+            values=(["?x", "?y"], [(1, 2), (2, 3), (9, 9)]),
+        )
+        assert sorted((r["x"], r["y"]) for r in got.collect()) == [
+            (1, 2), (2, 3),
+        ]
+
+    def test_values_duplicate_binding_rows_do_not_multiply(self, triples):
+        got = bgp_match(
+            triples,
+            [("?x", "knows", "?y")],
+            select=["x", "y"],
+            values=(["?x"], [(1,), (1,)]),
+        )
+        assert sorted((r["x"], r["y"]) for r in got.collect()) == [
+            (1, 2), (1, 3),
+        ]
+
+    def test_values_unbound_var_raises(self, triples):
+        with pytest.raises(ValueError, match="unbound"):
+            bgp_match(
+                triples,
+                [("?x", "knows", "?y")],
+                values=(["?z"], [(1,)]),
+            )
+
+    def test_values_empty_rows_raises(self, triples):
+        with pytest.raises(ValueError, match="empty"):
+            bgp_match(
+                triples,
+                [("?x", "knows", "?y")],
+                values=(["?x"], []),
+            )
+
+    def test_values_composes_with_filter_and_optional(self, triples):
+        got = bgp_match(
+            triples,
+            [("?x", "bought", "?p")],
+            optional=[("?p", "madeby", "?m")],
+            filters=[F.col("x") < F.lit(3)],
+            values=(["?p"], [(10,), (11,)]),
+            select=["x", "p", "m"],
+        )
+        rows = sorted(
+            (r["x"], r["p"], r["m"]) for r in got.collect()
+        )
+        assert rows == [(1, 10, 100), (2, 10, 100), (2, 11, 100)]

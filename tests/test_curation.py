@@ -582,3 +582,69 @@ class TestDsirLogratio:
         en = sum(v for k, v in got.items() if k < 100) / 8
         de = sum(v for k, v in got.items() if k >= 100) / 8
         assert en > 0 > de
+
+
+class TestTfidfTopTerms:
+    DOCS = [
+        (1, "apple banana apple cherry"),
+        (2, "banana cherry cherry date"),
+        (3, "apple banana"),
+        (4, "  Unique\tTOKENS  here  "),  # ws mess + case folding
+    ]
+
+    def _python_tfidf(self, docs, k):
+        import math
+
+        tf = {}
+        for i, text in docs:
+            for t in text.lower().split():
+                tf[(i, t)] = tf.get((i, t), 0) + 1
+        df = {}
+        for (_, t) in tf:
+            df[t] = df.get(t, 0) + 1
+        n = len(docs)
+        scored = [
+            (i, t, c, df[t], round(c * math.log(n / df[t]), 6))
+            for (i, t), c in tf.items()
+        ]
+        out = []
+        for i in {i for i, _ in docs}:
+            mine = sorted(
+                (r for r in scored if r[0] == i),
+                key=lambda r: (-r[4], r[1]),
+            )[:k]
+            out.extend(
+                (i, t, c, d, s, rank + 1)
+                for rank, (_, t, c, d, s) in enumerate(mine)
+            )
+        return sorted(out)
+
+    def _run(self, spark, k):
+        docs = spark.createDataFrame(self.DOCS, "doc_id long, text string")
+        got = cu.tfidf_top_terms(docs, k=k)
+        return sorted(
+            (r["doc_id"], r["term"], r["tf"], r["df"], r["tfidf"], r["rank"])
+            for r in got.collect()
+        )
+
+    def test_matches_python_oracle(self, spark):
+        for k in (1, 2, 5):
+            assert self._run(spark, k) == self._python_tfidf(self.DOCS, k), k
+
+    def test_distinctive_term_outranks_common(self, spark):
+        got = self._run(spark, 1)
+        top = {i: t for i, t, *_ in got}
+        # doc 1's 'apple' (tf 2, df 2) beats 'cherry' (tf 1, df 2) and
+        # 'banana' (tf 1, df 3); doc 4 is all-unique -> lexicographically
+        # first unique term wins among equal scores
+        assert top[1] == "apple"
+        assert top[4] == "here"
+
+    def test_corpuswide_term_scores_zero_but_stays(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "same"), (2, "same")], "doc_id long, text string"
+        )
+        rows = cu.tfidf_top_terms(docs, k=1).collect()
+        assert sorted((r["doc_id"], r["term"], r["tfidf"]) for r in rows) == [
+            (1, "same", 0.0), (2, "same", 0.0),
+        ]

@@ -1580,3 +1580,221 @@ class TestWeightedPpr:
         }
         assert got[1] > got[2]
         assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# strongly connected components / bow-tie / shortest paths / clustering
+
+
+def _tarjan_scc(edges):
+    """Iterative Tarjan -> {node: min member id of its SCC}, over every
+    node appearing as an endpoint (self-loops ignored like the operator)."""
+    adj, nodes = {}, set()
+    for s, d in edges:
+        nodes.add(s)
+        nodes.add(d)
+        if s != d:
+            adj.setdefault(s, []).append(d)
+    index, low, onstack, stack = {}, {}, set(), []
+    out, counter = {}, [0]
+    for root in sorted(nodes):
+        if root in index:
+            continue
+        work = [(root, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                onstack.add(v)
+            recurse = False
+            nbrs = adj.get(v, [])
+            for i in range(pi, len(nbrs)):
+                w = nbrs[i]
+                if w not in index:
+                    work[-1] = (v, i + 1)
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                if w in onstack:
+                    low[v] = min(low[v], index[w])
+            if recurse:
+                continue
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w = stack.pop()
+                    onstack.discard(w)
+                    comp.append(w)
+                    if w == v:
+                        break
+                m = min(comp)
+                for w in comp:
+                    out[w] = m
+            work.pop()
+            if work:
+                u, _ = work[-1]
+                low[u] = min(low[u], low[v])
+    return out
+
+
+def _rand_digraph(seed, n=40, m=90):
+    import hashlib
+
+    edges = []
+    for i in range(m):
+        h = hashlib.md5(f"{seed}:{i}".encode()).hexdigest()
+        edges.append((int(h[:8], 16) % n, int(h[8:16], 16) % n))
+    return [(s, d) for s, d in edges if s != d]
+
+
+class TestStronglyConnectedComponents:
+    def _run(self, spark, edges, **kw):
+        e = spark.createDataFrame(edges, "src long, dst long").repartition(5)
+        got = G.strongly_connected_components(e, **kw)
+        return {r["node"]: r["component"] for r in got.collect()}
+
+    def test_matches_tarjan_on_random_digraphs(self, spark):
+        for seed in ("a", "b", "c"):
+            edges = _rand_digraph(seed)
+            assert self._run(spark, edges) == _tarjan_scc(edges), seed
+
+    def test_cycle_chain_and_dag(self, spark):
+        edges = [
+            (0, 1), (1, 2), (2, 0),          # 3-cycle
+            (2, 3), (3, 4),                  # DAG tail -> singletons
+            (4, 5), (5, 4),                  # 2-cycle
+            (9, 9),                          # self-loop only -> dropped
+        ]
+        got = self._run(spark, edges)
+        assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 4}
+
+    def test_nested_color_rounds(self, spark):
+        # high-id ring pointing into a low-id ring: the low ring is
+        # colored by the high ring's max and must survive to round 2
+        edges = [
+            (10, 11), (11, 12), (12, 10),
+            (10, 1),
+            (1, 2), (2, 3), (3, 1),
+        ]
+        got = self._run(spark, edges)
+        assert got == {10: 10, 11: 10, 12: 10, 1: 1, 2: 1, 3: 1}
+
+    def test_strict_raises_when_budget_too_small(self, spark):
+        edges = [(0, 1), (1, 2), (2, 3), (3, 0), (3, 4), (4, 5), (5, 4)]
+        with pytest.raises(RuntimeError):
+            self._run(spark, edges, max_color_iters=1)
+
+    def test_empty_edges(self, spark):
+        assert self._run(spark, [(7, 7)]) == {}
+
+
+class TestBowtieRoles:
+    # core 2-cycle {0,1}; 10 -> core ('in'); core -> 20 ('out');
+    # 10 -> 30 tendril ('other'); 40<->41 disconnected 2-cycle (smaller
+    # than core? same size — tie broken by min component id -> {0,1}
+    # stays core); 50 -> 51 disconnected pair ('other')
+    EDGES = [
+        (0, 1), (1, 0),
+        (10, 0),
+        (1, 20),
+        (10, 30),
+        (40, 41), (41, 40),
+        (50, 51),
+    ]
+
+    def test_roles(self, spark):
+        e = spark.createDataFrame(self.EDGES, "src long, dst long")
+        got = {r["node"]: r["role"] for r in G.bowtie_roles(e).collect()}
+        assert got == {
+            0: "core", 1: "core", 10: "in", 20: "out", 30: "other",
+            40: "other", 41: "other", 50: "other", 51: "other",
+        }
+
+    def test_precomputed_scc_reused(self, spark):
+        e = spark.createDataFrame(self.EDGES, "src long, dst long")
+        scc = G.strongly_connected_components(e)
+        got = {r["node"]: r["role"] for r in G.bowtie_roles(e, scc=scc).collect()}
+        assert got[0] == "core" and got[10] == "in" and got[20] == "out"
+
+
+def _python_sssp(edges, seeds, max_hops):
+    dist = {s: 0 for s in seeds}
+    for _ in range(max_hops):
+        nxt = dict(dist)
+        for s, d, w in edges:
+            if s in dist and dist[s] + w < nxt.get(d, float("inf")):
+                nxt[d] = dist[s] + w
+        dist = nxt
+    return sorted(dist.items())
+
+
+class TestShortestPaths:
+    EDGES = [
+        (0, 1, 5), (0, 2, 1), (2, 1, 1),      # 0->2->1 (2) beats 0->1 (5)
+        (1, 3, 1), (3, 4, 1), (4, 1, 1),      # cycle, non-negative
+        (0, 5, 100), (2, 5, 98),              # equal-cost alternatives
+        (90, 91, 1),                          # unreachable island
+    ]
+
+    def _run(self, spark, seeds, max_hops):
+        e = spark.createDataFrame(
+            self.EDGES, "src long, dst long, weight long"
+        ).repartition(4)
+        s = spark.createDataFrame([(x,) for x in seeds], "node long")
+        got = G.shortest_paths(e, s, max_hops=max_hops)
+        return sorted((r["node"], r["dist"]) for r in got.collect())
+
+    def test_matches_python_bounded_bellman_ford(self, spark):
+        for mh in (0, 1, 2, 3, 8):
+            assert self._run(spark, [0], mh) == _python_sssp(
+                [(s, d, w) for s, d, w in self.EDGES], [0], mh
+            ), mh
+
+    def test_longer_hop_cheaper_path_wins(self, spark):
+        got = dict(self._run(spark, [0], 8))
+        assert got[1] == 2 and got[5] == 99  # 0->2 (1) + 2->5 (98)
+        assert 90 not in got
+
+    def test_multi_seed_min(self, spark):
+        got = dict(self._run(spark, [0, 4], 8))
+        assert got[1] == 1  # 4->1 beats 0->2->1
+
+
+class TestClusteringCoefficients:
+    def test_triangle_plus_star(self, spark):
+        # triangle 0-1-2 plus hub 0 fanned to 3,4: deg(0)=4, T(0)=1
+        edges = [(0, 1), (1, 2), (2, 0), (0, 3), (0, 4)]
+        e = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            r["node"]: (r["degree"], r["n_triangles"], r["lcc"])
+            for r in G.clustering_coefficients(e).collect()
+        }
+        assert got[0] == (4, 1, round(2 * 1 / (4 * 3), 6))
+        assert got[1] == (2, 1, 1.0) and got[2] == (2, 1, 1.0)
+        assert got[3] == (1, 0, 0.0) and got[4] == (1, 0, 0.0)
+
+    def test_matches_brute_force_on_random_graph(self, spark):
+        edges = _rand_digraph("lcc", n=25, m=60)
+        und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+        adj = {}
+        for a, b in und:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        exp = {}
+        for v, nb in adj.items():
+            d = len(nb)
+            t = sum(
+                1
+                for x in nb
+                for y in nb
+                if x < y and y in adj.get(x, set())
+            )
+            exp[v] = (d, t, 0.0 if d < 2 else round(2 * t / (d * (d - 1)), 6))
+        e = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            r["node"]: (r["degree"], r["n_triangles"], r["lcc"])
+            for r in G.clustering_coefficients(e).collect()
+        }
+        assert got == exp

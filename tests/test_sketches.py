@@ -1,0 +1,68 @@
+"""KMV distinct-cardinality sketch: formula parity vs a plain-python
+re-derivation, exact path under k, and estimator sanity on known
+cardinalities."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from chunksilo_spark.operators.sketches import kmv_distinct
+
+SPACE = float(1 << 60)
+
+
+def _h60(v) -> int:
+    return int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+
+
+def _python_kmv(pairs, k):
+    groups = {}
+    for g, v in set(pairs):
+        groups.setdefault(g, set()).add(_h60(v))
+    out = {}
+    for g, hashes in groups.items():
+        n = len(hashes)
+        if n < k:
+            out[g] = (n, round(float(n), 4))
+        else:
+            hk = sorted(hashes)[k - 1]
+            out[g] = (k, round((k - 1) * SPACE / hk, 4))
+    return out
+
+
+class TestKmvDistinct:
+    def _run(self, spark, pairs, k):
+        df = spark.createDataFrame(pairs, "grp string, v long")
+        got = kmv_distinct(df, ["grp"], "v", k=k)
+        return {
+            r["grp"]: (r["n_kept"], r["est_distinct"]) for r in got.collect()
+        }
+
+    def test_matches_python_formula(self, spark):
+        pairs = [(f"g{i % 3}", (i * 7) % 50) for i in range(400)]
+        for k in (2, 8, 16):
+            assert self._run(spark, pairs, k) == _python_kmv(pairs, k), k
+
+    def test_exact_below_k(self, spark):
+        pairs = [("a", 1), ("a", 2), ("a", 2), ("b", 9)]
+        got = self._run(spark, pairs, 8)
+        assert got == {"a": (2, 2.0), "b": (1, 1.0)}
+
+    def test_estimate_within_relative_error(self, spark):
+        # 5000 distinct values, k=64 -> ~1/sqrt(64) = 12.5% rel. error;
+        # allow 3x slack (deterministic hashes: this never flakes)
+        n = 5000
+        pairs = [("g", i) for i in range(n)]
+        (_, est), = self._run(spark, pairs, 64).values()
+        assert abs(est - n) / n < 0.375
+
+    def test_k_below_two_raises(self, spark):
+        df = spark.createDataFrame([("a", 1)], "grp string, v long")
+        with pytest.raises(ValueError):
+            kmv_distinct(df, ["grp"], "v", k=1)
+
+    def test_duplicates_do_not_inflate(self, spark):
+        base = [("g", i) for i in range(100)]
+        dup = base * 5
+        assert self._run(spark, base, 16) == self._run(spark, dup, 16)
