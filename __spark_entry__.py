@@ -1515,23 +1515,28 @@ def _x_adjacency(spark, sf):  # grouped adjacency export of the link graph
 
 
 def _scc_edges(spark, sf):
-    # ring-of-8 fixture with a closed-form SCC structure: within each
-    # block of 8 consecutive doc ids a successor ring whose wrap edge
-    # closes FULL blocks only (partial tail blocks decay to singleton
-    # SCCs via trimming), plus one DAG edge from every block base >0
-    # into block 0 (dst = block index mod 8) so cross-block color
-    # propagation and multi-round peeling are exercised without long
-    # chains. Both endpoint sets are semi-joined against the doc ids, so
-    # no contiguity assumption leaks into the fixture.
+    # ring-of-4 fixture with a closed-form SCC structure: within each
+    # block of 4 consecutive doc ids a successor ring. The wrap edge is
+    # DROPPED for blocks whose base is a multiple of 100 (those blocks
+    # are paths -> singleton SCCs via cascading trim; block 0 is one of
+    # them, so the inter-edge targets below dangle and trim too), and
+    # partial tail blocks decay the same way. Every block base >0 also
+    # points one DAG edge into block 1 (a full ring), so block 1 is
+    # colored by a foreign max and must survive to a SECOND
+    # color/peel round. Ring size 4 keeps the fixpoint chains short —
+    # the same machinery at a fraction of the per-iteration job count.
+    # Both endpoint sets are semi-joined against the doc ids, so no
+    # contiguity assumption leaks into the fixture.
     docs = _t(spark, sf, "documents").select("doc_id")
     d = F.col("doc_id")
-    g = (d - d % 8).cast("long")
-    ring = docs.select(
+    g = (d - d % 4).cast("long")
+    ring = docs.where(~((d % 4 == 3) & (g % 100 == 0))).select(
         d.alias("src"),
-        (g + F.pmod(d - g + 1, F.lit(8))).cast("long").alias("dst"),
+        (g + F.pmod(d - g + 1, F.lit(4))).cast("long").alias("dst"),
     )
-    inter = docs.where((d % 8 == 0) & (d > 0)).select(
-        d.alias("src"), ((d / 8).cast("long") % 8).cast("long").alias("dst")
+    inter = docs.where((d % 4 == 0) & (d > 0)).select(
+        d.alias("src"),
+        (F.lit(4) + (d / 4).cast("long") % 4).cast("long").alias("dst"),
     )
     ids = docs.select(d.alias("dst"))
     return (
@@ -3757,19 +3762,22 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             ) WHERE domain_rank <= 40
         """,
-        # ANALYTIC closed form of the ring-of-8 fixture: full blocks are
-        # 8-cycles (component = block base), everything else — partial
-        # tail blocks, inter-block DAG edges — decays to singleton SCCs.
-        # The trim/color/backward-reach operator never sees this formula.
+        # ANALYTIC closed form of the ring-of-4 fixture: full blocks with
+        # an intact wrap edge (base not a multiple of 100) are 4-cycles
+        # (component = block base); everything else — wrap-dropped path
+        # blocks, partial tail blocks, inter-block DAG edges — decays to
+        # singleton SCCs. The trim/color/backward-reach operator never
+        # sees this formula.
         "g_scc": """
             WITH docs AS (SELECT doc_id AS d FROM documents),
             ring AS (
-                SELECT d AS src, (d - d % 8) + ((d % 8 + 1) % 8) AS dst
+                SELECT d AS src, (d - d % 4) + ((d % 4 + 1) % 4) AS dst
                 FROM docs
+                WHERE NOT (d % 4 = 3 AND (d - d % 4) % 100 = 0)
             ),
             inter AS (
-                SELECT d AS src, (d // 8) % 8 AS dst
-                FROM docs WHERE d % 8 = 0 AND d > 0
+                SELECT d AS src, 4 + ((d // 4) % 4) AS dst
+                FROM docs WHERE d % 4 = 0 AND d > 0
             ),
             edges AS (
                 SELECT src, dst FROM ring
@@ -3783,12 +3791,13 @@ def oracle_sql() -> dict[str, str]:
                 UNION SELECT dst FROM edges
             ),
             fullb AS (
-                SELECT d - d % 8 AS gb FROM docs
-                GROUP BY 1 HAVING COUNT(*) = 8
+                SELECT d - d % 4 AS gb FROM docs
+                GROUP BY 1 HAVING COUNT(*) = 4
             )
             SELECT node,
-                   CASE WHEN (node - node % 8) IN (SELECT gb FROM fullb)
-                        THEN node - node % 8 ELSE node END AS component
+                   CASE WHEN (node - node % 4) IN (SELECT gb FROM fullb)
+                             AND (node - node % 4) % 100 <> 0
+                        THEN node - node % 4 ELSE node END AS component
             FROM nodes
         """,
         # analytic bow-tie roles of the mod-10 fixture (the SCC machinery
