@@ -76,6 +76,17 @@ HEADLINE = [
     "g_lpa",
     "kg_isa_closure",
     "x_kg_negatives",
+    # round-4 (cont.): clustering coefficients, keyword extraction, KMV
+    # sketch, VALUES-BGP. The SCC/bow-tie/SSSP family is excluded from
+    # the wall on purpose: local walls are dominated by fixed
+    # per-iteration job launches (the same amortize-at-scale shape as
+    # pagerank), so they'd add minutes of scheduler overhead, not signal
+    # — their correctness is oracle-gated and their per-round plan shape
+    # is captured in PLANS.md.
+    "g_clustering",
+    "t_tfidf_terms",
+    "t_kmv_cardinality",
+    "kg_bgp_filter",
 ]
 
 

@@ -157,6 +157,16 @@ CAPTURE = [
     ("kg_snapshot_diff", "snapshot delta: ONE scan, ONE shuffle — both "
      "cutoffs as conditional struct-max inside a single groupBy; no "
      "snapshot-vs-snapshot join"),
+    ("g_clustering", "degree agg + left join onto the triangle pass; the "
+     "oriented wedge relations stay lineage-cut (computed once)"),
+    ("t_tfidf_terms", "corpus tokenized ONCE: the lineage-cut (id, term, "
+     "tf) relation feeds both the df aggregation and the join back; N is "
+     "a 1-row broadcast cross-join; top-k window per doc"),
+    ("t_kmv_cardinality", "KMV sketch: one distinct, one per-group window "
+     "rank, one combinable groupBy — output is group-sized"),
+    ("kg_bgp_filter", "VALUES appears as a BroadcastHashJoin of the "
+     "3-row inline relation (prunes the join tree); the cross-variable "
+     "FILTER sits above the self-join"),
 ]
 
 
