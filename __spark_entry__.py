@@ -1633,6 +1633,28 @@ def _t_tfidf_terms(spark, sf):  # per-doc TF-IDF keyword extraction
     return cu.tfidf_top_terms(_t(spark, sf, "documents"), k=3)
 
 
+def _kg_forward_chain(spark, sf):  # semi-naive Datalog materialization
+    # halving ancestry base (d -anc-> d//2) + a transitive rule (the
+    # delta path length doubles per round, so the ~9-deep chain closes
+    # in ~4 rounds) + a second rule consuming DERIVED triples
+    # (reaches_root). Oracle: recursive-CTE closure — a one-hop-at-a-
+    # time derivation vs the semi-naive doubling engine.
+    from chunksilo_spark.operators.infer import forward_chain
+
+    docs = _t(spark, sf, "documents").select("doc_id")
+    d = F.col("doc_id")
+    base = docs.where(d > 0).select(
+        d.alias("subj"),
+        F.lit("anc").alias("pred"),
+        (d / 2).cast("long").alias("obj"),
+    )
+    rules = [
+        ([("?a", "anc", "?b"), ("?b", "anc", "?c")], ("?a", "anc", "?c")),
+        ([("?a", "anc", 0)], ("?a", "reaches_root", 0)),
+    ]
+    return forward_chain(base, rules, max_rounds=8, strict=True)
+
+
 def _kg_bgp_filter(spark, sf):  # SPARQL VALUES + FILTER over the BGP core
     # "users who purchased in one of THESE bands and clicked a different
     # band" — the inline VALUES table prunes the join tree (broadcast),
@@ -1715,6 +1737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_scc": _g_scc,
         "g_shortest_paths": _g_shortest_paths,
         "kg_bgp_filter": _kg_bgp_filter,
+        "kg_forward_chain": _kg_forward_chain,
         "g_bowtie": _g_bowtie,
         "g_clustering": _g_clustering,
         "t_kmv_cardinality": _t_kmv_cardinality,
@@ -3964,5 +3987,20 @@ def oracle_sql() -> dict[str, str]:
             JOIN (VALUES (0), (1), (2)) AS bands(v) ON bands.v = p.obj
             WHERE p.pred = 'purchase' AND c.pred = 'click'
               AND p.obj <> c.obj
+        """,
+        # one-hop-at-a-time recursive closure vs the semi-naive doubling
+        # engine; the second rule fires on DERIVED triples in both
+        "kg_forward_chain": """
+            WITH RECURSIVE base AS (
+                SELECT doc_id AS s, doc_id // 2 AS o
+                FROM documents WHERE doc_id > 0
+            ), closure AS (
+                SELECT s, o FROM base
+                UNION
+                SELECT c.s, b.o FROM closure c JOIN base b ON c.o = b.s
+            )
+            SELECT s AS subj, 'anc' AS pred, o AS obj FROM closure
+            UNION ALL
+            SELECT DISTINCT s, 'reaches_root', 0 FROM closure WHERE o = 0
         """,
     }
