@@ -1655,6 +1655,38 @@ def _kg_forward_chain(spark, sf):  # semi-naive Datalog materialization
     return forward_chain(base, rules, max_rounds=8, strict=True)
 
 
+def _g_condensation(spark, sf):  # SCC condensation DAG
+    # same ring-of-4 fixture as g_scc; oracle maps each endpoint through
+    # the ANALYTIC component id and distinct-collapses component edges
+    return gr.condensation(_scc_edges(spark, sf))
+
+
+def _kg_chain_incremental(spark, sf):  # incremental inference fixpoint
+    # materialize the closure of the low half of the halving ancestry,
+    # then extend with the high half's base edges: the result must be
+    # the FULL closure (oracle = the same recursive CTE over all edges),
+    # proving delta chaining re-derives nothing yet misses nothing
+    from chunksilo_spark.operators.infer import extend_chain, forward_chain
+
+    docs = _t(spark, sf, "documents").select("doc_id")
+    d = F.col("doc_id")
+    base = docs.where(d > 0).select(
+        d.alias("subj"),
+        F.lit("anc").alias("pred"),
+        (d / 2).cast("long").alias("obj"),
+    )
+    rules = [
+        ([("?a", "anc", "?b"), ("?b", "anc", "?c")], ("?a", "anc", "?c")),
+    ]
+    lo = forward_chain(
+        base.where(F.col("subj") % 2 == 0), rules, max_rounds=8, strict=True
+    )
+    return extend_chain(
+        lo, base.where(F.col("subj") % 2 == 1), rules,
+        max_rounds=8, strict=True,
+    )
+
+
 def _kg_bgp_filter(spark, sf):  # SPARQL VALUES + FILTER over the BGP core
     # "users who purchased in one of THESE bands and clicked a different
     # band" — the inline VALUES table prunes the join tree (broadcast),
@@ -1738,6 +1770,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_shortest_paths": _g_shortest_paths,
         "kg_bgp_filter": _kg_bgp_filter,
         "kg_forward_chain": _kg_forward_chain,
+        "kg_chain_incremental": _kg_chain_incremental,
+        "g_condensation": _g_condensation,
         "g_bowtie": _g_bowtie,
         "g_clustering": _g_clustering,
         "t_kmv_cardinality": _t_kmv_cardinality,
@@ -4002,5 +4036,56 @@ def oracle_sql() -> dict[str, str]:
             SELECT s AS subj, 'anc' AS pred, o AS obj FROM closure
             UNION ALL
             SELECT DISTINCT s, 'reaches_root', 0 FROM closure WHERE o = 0
+        """,
+        # incremental == from-scratch: the oracle is the FULL closure —
+        # the delta-extended materialization must land exactly on it
+        "kg_chain_incremental": """
+            WITH RECURSIVE base AS (
+                SELECT doc_id AS s, doc_id // 2 AS o
+                FROM documents WHERE doc_id > 0
+            ), closure AS (
+                SELECT s, o FROM base
+                UNION
+                SELECT c.s, b.o FROM closure c JOIN base b ON c.o = b.s
+            )
+            SELECT s AS subj, 'anc' AS pred, o AS obj FROM closure
+        """,
+        # endpoints mapped through the analytic SCC id of the ring-of-4
+        # fixture, then distinct component edges
+        "g_condensation": """
+            WITH docs AS (SELECT doc_id AS d FROM documents),
+            ring AS (
+                SELECT d AS src, (d - d % 4) + ((d % 4 + 1) % 4) AS dst
+                FROM docs
+                WHERE NOT (d % 4 = 3 AND (d - d % 4) % 100 = 0)
+            ),
+            inter AS (
+                SELECT d AS src, 4 + ((d // 4) % 4) AS dst
+                FROM docs WHERE d % 4 = 0 AND d > 0
+            ),
+            edges AS (
+                SELECT src, dst FROM ring
+                WHERE dst IN (SELECT d FROM docs)
+                UNION
+                SELECT src, dst FROM inter
+                WHERE dst IN (SELECT d FROM docs)
+            ),
+            fullb AS (
+                SELECT d - d % 4 AS gb FROM docs
+                GROUP BY 1 HAVING COUNT(*) = 4
+            ),
+            lbl AS (
+                SELECT d AS node,
+                       CASE WHEN (d - d % 4) IN (SELECT gb FROM fullb)
+                                 AND (d - d % 4) % 100 <> 0
+                            THEN d - d % 4 ELSE d END AS component
+                FROM docs
+            )
+            SELECT DISTINCT ls.component AS src_comp,
+                            ld.component AS dst_comp
+            FROM edges
+            JOIN lbl ls ON ls.node = edges.src
+            JOIN lbl ld ON ld.node = edges.dst
+            WHERE ls.component <> ld.component
         """,
     }

@@ -1601,3 +1601,42 @@ def clustering_coefficients(edges: DataFrame) -> DataFrame:
         )
         .alias("lcc"),
     )
+
+
+def condensation(
+    edges: DataFrame, scc: DataFrame | None = None
+) -> DataFrame:
+    """Condensation DAG of a directed graph -> (src_comp, dst_comp)
+    distinct component-level edges, intra-component edges dropped. The
+    SCC-contracted graph is acyclic by construction — the relation on
+    which taxonomy ordering, layered crawl scheduling, and the bow-tie
+    IN/OUT split become simple DAG problems.
+
+    ``scc`` defaults to :func:`strongly_connected_components`; pass a
+    precomputed labeling to reuse it. Costs two node-keyed equi-joins of
+    the edge relation against the (node, component) labeling plus one
+    distinct — hub components are AQE territory, output is
+    component-edge-sized.
+    """
+    if scc is None:
+        scc = strongly_connected_components(edges)
+    scc = cut_lineage(scc)
+    e = edges.select("src", "dst")
+    labeled = (
+        e.join(
+            scc.select(
+                F.col("node").alias("src"), F.col("component").alias("src_comp")
+            ),
+            "src",
+        )
+        .join(
+            scc.select(
+                F.col("node").alias("dst"), F.col("component").alias("dst_comp")
+            ),
+            "dst",
+        )
+        .where(F.col("src_comp") != F.col("dst_comp"))
+        .select("src_comp", "dst_comp")
+        .distinct()
+    )
+    return labeled

@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 from ..checkpointing import cut_lineage
 from .bgp import _is_var, _pattern_scan, _var_name, bgp_match
 
-__all__ = ["construct", "forward_chain"]
+__all__ = ["construct", "extend_chain", "forward_chain"]
 
 
 def _template_cols(template, bound, out_names, types):
@@ -159,7 +159,55 @@ def forward_chain(
             *(F.col(c).cast(t).alias(c) for c, t in zip(names, types))
         ).distinct()
     )
-    current, previous, delta = base, base.limit(0), base
+    return _chain_loop(
+        base, base.limit(0), base, rules, max_rounds, strict, names, types
+    )
+
+
+def extend_chain(
+    materialized: DataFrame,
+    delta: DataFrame,
+    rules,
+    max_rounds: int = 10,
+    strict: bool = False,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+) -> DataFrame:
+    """INCREMENTAL forward chaining: given ``materialized`` already
+    closed under ``rules`` (a previous :func:`forward_chain` output —
+    the caller's contract) and a batch of ``delta`` triples (the
+    nightly crawl's new claims), return the fixpoint of the union —
+    WITHOUT re-deriving the existing closure. The semi-naive frontier
+    starts at the delta, so round cost scales with the blast radius of
+    the new triples, not the size of the materialized KG: exactly the
+    incremental-build discipline of ``operators/incremental.py`` applied
+    to inference. (Deletions are NOT handled — retracting a base triple
+    needs DRed-style over-delete/re-derive, out of scope; rebuild.)
+
+    Result is provably equal to ``forward_chain(materialized ∪ delta)``
+    when the contract holds (tested), and every returned triple is
+    derivable regardless.
+    """
+    names = (subj_col, pred_col, obj_col)
+    types = [materialized.schema[c].dataType for c in names]
+
+    def canon(df):
+        return df.select(
+            *(F.col(c).cast(t).alias(c) for c, t in zip(names, types))
+        ).distinct()
+
+    previous = cut_lineage(canon(materialized))
+    fresh = cut_lineage(canon(delta).join(previous, list(names), "left_anti"))
+    if fresh.limit(1).count() == 0:
+        return previous
+    current = cut_lineage(previous.unionByName(fresh))
+    return _chain_loop(
+        current, previous, fresh, rules, max_rounds, strict, names, types
+    )
+
+
+def _chain_loop(current, previous, delta, rules, max_rounds, strict, names, types):
     for _round in range(max_rounds):
         derived = None
         for patterns, template in rules:

@@ -1798,3 +1798,35 @@ class TestClusteringCoefficients:
             for r in G.clustering_coefficients(e).collect()
         }
         assert got == exp
+
+
+class TestCondensation:
+    def test_contracts_cycles_keeps_dag(self, spark):
+        edges = [
+            (0, 1), (1, 0),          # comp 0
+            (2, 3), (3, 2),          # comp 2
+            (1, 2),                  # 0 -> 2
+            (3, 4),                  # 2 -> 4 (singleton)
+            (0, 1),                  # duplicate edge collapses
+        ]
+        e = spark.createDataFrame(edges, "src long, dst long")
+        got = sorted(
+            (r["src_comp"], r["dst_comp"]) for r in G.condensation(e).collect()
+        )
+        assert got == [(0, 2), (2, 4)]
+
+    def test_matches_tarjan_on_random_digraphs(self, spark):
+        edges = _rand_digraph("cond", n=20, m=50)
+        comp = _tarjan_scc(edges)
+        exp = sorted(
+            {
+                (comp[s], comp[d])
+                for s, d in edges
+                if s != d and comp[s] != comp[d]
+            }
+        )
+        e = spark.createDataFrame(edges, "src long, dst long")
+        got = sorted(
+            (r["src_comp"], r["dst_comp"]) for r in G.condensation(e).collect()
+        )
+        assert got == exp

@@ -3,7 +3,11 @@
 import pytest
 from pyspark.sql import functions as F
 
-from chunksilo_spark.operators.infer import construct, forward_chain
+from chunksilo_spark.operators.infer import (
+    construct,
+    extend_chain,
+    forward_chain,
+)
 
 TRIPLES = [
     (1, "knows", 2),
@@ -84,7 +88,7 @@ class TestConstruct:
         ]
 
     def test_set_semantics(self, triples):
-        # two derivations (via b=2.. wait: both buyers) -> one triple
+        # two derivations (both buyers bind ?a) -> one constant triple
         got = construct(
             triples, [("?a", "bought", "?p")], (10, "popular", 0)
         )
@@ -163,3 +167,49 @@ class TestForwardChain:
             triples, [([("?a", "nosuch", "?b")], ("?a", "x", "?b"))]
         )
         assert _rows(got) == sorted(TRIPLES)
+
+
+class TestExtendChain:
+    RULES = [
+        ([("?a", "p", "?b"), ("?b", "p", "?c")], ("?a", "p", "?c")),
+    ]
+
+    def test_incremental_equals_scratch(self, spark):
+        base = [(i, "p", i + 1) for i in range(10)]
+        delta = [(10, "p", 11), (11, "p", 12), (3, "q", 99)]
+        b = spark.createDataFrame(base, "subj long, pred string, obj long")
+        d = spark.createDataFrame(delta, "subj long, pred string, obj long")
+        closed = forward_chain(b, self.RULES, max_rounds=8, strict=True)
+        inc = extend_chain(closed, d, self.RULES, max_rounds=8, strict=True)
+        scratch = forward_chain(
+            b.unionByName(d), self.RULES, max_rounds=8, strict=True
+        )
+        assert _rows(inc) == _rows(scratch)
+
+    def test_bridging_delta_connects_two_closures(self, spark):
+        # two separately-closed chains; the delta bridges them — every
+        # cross pair must appear even though neither side is re-derived
+        left = [(i, "p", i + 1) for i in range(3)]          # 0..3
+        right = [(i, "p", i + 1) for i in range(10, 13)]    # 10..13
+        b = spark.createDataFrame(
+            left + right, "subj long, pred string, obj long"
+        )
+        closed = forward_chain(b, self.RULES, max_rounds=6, strict=True)
+        bridge = spark.createDataFrame(
+            [(3, "p", 10)], "subj long, pred string, obj long"
+        )
+        inc = extend_chain(closed, bridge, self.RULES, max_rounds=6, strict=True)
+        got = set(_rows(inc))
+        assert (0, "p", 13) in got and (2, "p", 11) in got
+
+    def test_duplicate_delta_is_noop(self, spark):
+        base = [(i, "p", i + 1) for i in range(5)]
+        b = spark.createDataFrame(base, "subj long, pred string, obj long")
+        closed = forward_chain(b, self.RULES, max_rounds=6, strict=True)
+        again = extend_chain(
+            closed,
+            spark.createDataFrame(base[:2], "subj long, pred string, obj long"),
+            self.RULES,
+            strict=True,
+        )
+        assert _rows(again) == _rows(closed)
