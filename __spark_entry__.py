@@ -1687,6 +1687,28 @@ def _kg_chain_incremental(spark, sf):  # incremental inference fixpoint
     )
 
 
+def _kg_bgp_agg(spark, sf):  # SPARQL GROUP BY/HAVING over BGP solutions
+    # "per purchase band: how many distinct purchasers also clicked that
+    # band, and how many click-cooccurrences total" — aggregation is
+    # plain DataFrame groupBy over the bag-semantics solution relation
+    from chunksilo_spark.operators.bgp import bgp_match
+
+    claims = _kg_obs(spark, sf).select("subj", "pred", "obj").distinct()
+    sols = bgp_match(
+        claims,
+        [("?a", "purchase", "?v"), ("?a", "click", "?w")],
+        select=["a", "v", "w"],
+    )
+    return (
+        sols.groupBy("v")
+        .agg(
+            F.countDistinct("a").alias("n_users"),
+            F.count(F.lit(1)).alias("n_solutions"),
+        )
+        .where(F.col("n_users") >= 3)
+    )
+
+
 def _kg_bgp_filter(spark, sf):  # SPARQL VALUES + FILTER over the BGP core
     # "users who purchased in one of THESE bands and clicked a different
     # band" — the inline VALUES table prunes the join tree (broadcast),
@@ -1772,6 +1794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_forward_chain": _kg_forward_chain,
         "kg_chain_incremental": _kg_chain_incremental,
         "g_condensation": _g_condensation,
+        "kg_bgp_agg": _kg_bgp_agg,
         "g_bowtie": _g_bowtie,
         "g_clustering": _g_clustering,
         "t_kmv_cardinality": _t_kmv_cardinality,
@@ -4021,6 +4044,24 @@ def oracle_sql() -> dict[str, str]:
             JOIN (VALUES (0), (1), (2)) AS bands(v) ON bands.v = p.obj
             WHERE p.pred = 'purchase' AND c.pred = 'click'
               AND p.obj <> c.obj
+        """,
+        # SPARQL aggregation: GROUP BY over the bag-semantics solution
+        # relation, HAVING as a post-agg filter
+        "kg_bgp_agg": """
+            WITH claims AS (
+                SELECT DISTINCT user_id AS subj, event_type AS pred,
+                       CAST(floor(value / 50) AS BIGINT) AS obj
+                FROM events
+            ), sols AS (
+                SELECT p.subj AS a, p.obj AS v, c.obj AS w
+                FROM claims p
+                JOIN claims c ON c.subj = p.subj
+                WHERE p.pred = 'purchase' AND c.pred = 'click'
+            )
+            SELECT v, COUNT(DISTINCT a) AS n_users,
+                   COUNT(*) AS n_solutions
+            FROM sols GROUP BY v
+            HAVING COUNT(DISTINCT a) >= 3
         """,
         # one-hop-at-a-time recursive closure vs the semi-naive doubling
         # engine; the second rule fires on DERIVED triples in both
