@@ -1629,6 +1629,17 @@ def _t_kmv_cardinality(spark, sf):  # KMV distinct sketch, exact-SQL algebra
     return kmv_distinct(ev, ["event_type"], "cents", k=32)
 
 
+def _t_cm_heavy_hitters(spark, sf):  # Count-Min frequency sketch top-k
+    # width 64 << the ~150 distinct users at sf0.01, so collisions are
+    # REAL and the min-over-depth estimate differs from exact counts —
+    # the oracle re-derives the identical sketch algebra, not the truth
+    from chunksilo_spark.operators.sketches import cm_heavy_hitters
+
+    return cm_heavy_hitters(
+        _t(spark, sf, "events"), "user_id", k=10, width=64, depth=3
+    )
+
+
 def _t_tfidf_terms(spark, sf):  # per-doc TF-IDF keyword extraction
     return cu.tfidf_top_terms(_t(spark, sf, "documents"), k=3)
 
@@ -1798,6 +1809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_bowtie": _g_bowtie,
         "g_clustering": _g_clustering,
         "t_kmv_cardinality": _t_kmv_cardinality,
+        "t_cm_heavy_hitters": _t_cm_heavy_hitters,
         "t_tfidf_terms": _t_tfidf_terms,
         # -- previously-green rows that keep their driver window slot --
         "d_contamination": _d_contamination,
@@ -3999,6 +4011,40 @@ def oracle_sql() -> dict[str, str]:
                               ELSE CAST(n AS DOUBLE) END, 4)
                        AS est_distinct
             FROM pg
+        """,
+        # the identical Count-Min algebra: per-salt md5 bucket, counter =
+        # rows per (salt, bucket), estimate = min over the 3 salted rows,
+        # top-10 on (est_count desc, value asc)
+        "t_cm_heavy_hitters": """
+            WITH v AS (
+                SELECT CAST(user_id AS VARCHAR) AS v FROM events
+            ), salts AS (
+                SELECT unnest(['cm0:', 'cm1:', 'cm2:']) AS salt
+            ), pairs AS (
+                SELECT s.salt,
+                       (('0x' || substr(md5(s.salt || v.v), 1, 15))
+                        ::UBIGINT)::BIGINT % 64 AS b
+                FROM v CROSS JOIN salts s
+            ), sketch AS (
+                SELECT salt, b, COUNT(*) AS c
+                FROM pairs GROUP BY salt, b
+            ), cand AS (
+                SELECT DISTINCT v FROM v
+            ), est AS (
+                SELECT cand.v AS value, MIN(sk.c) AS est_count
+                FROM cand CROSS JOIN salts s
+                JOIN sketch sk
+                  ON sk.salt = s.salt
+                 AND sk.b = (('0x' || substr(md5(s.salt || cand.v), 1, 15))
+                             ::UBIGINT)::BIGINT % 64
+                GROUP BY cand.v
+            )
+            SELECT value, est_count,
+                   CAST(row_number() OVER (
+                       ORDER BY est_count DESC, value ASC) AS BIGINT) AS rank
+            FROM est
+            ORDER BY est_count DESC, value ASC
+            LIMIT 10
         """,
         # one tokenization pass reused for tf AND df, ratio formed before
         # the log (the Spark float-order pin), total order on

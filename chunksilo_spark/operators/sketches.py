@@ -95,3 +95,86 @@ def kmv_distinct(
             4,
         ).alias("est_distinct"),
     )
+
+
+def cm_heavy_hitters(
+    df: DataFrame,
+    value_col: str,
+    k: int = 20,
+    width: int = 256,
+    depth: int = 3,
+) -> DataFrame:
+    """Count-Min heavy hitters -> (value, est_count, rank): the top-``k``
+    values by Count-Min-estimated frequency (Cormode & Muthukrishnan
+    2005). The frequency twin of :func:`kmv_distinct`: ``depth`` hash
+    rows of ``width`` counters each; a value's estimate is the MIN of
+    its ``depth`` counters — always >= the true count, inflated only by
+    collisions (error ~ N/width per row, min over rows).
+
+    Deterministic md5-salted bucket hashing (the ``_md5_bucket``
+    algebra), so the sketch — like the KMV — is bit-for-bit
+    re-derivable in ANSI SQL. Pinned output: top-k by
+    (est_count desc, value asc), rank = row_number over that total
+    order.
+
+    100 TB shape: the sketch build is ONE explode of the (value, salt)
+    pairs into a ``depth × width``-row relation — map-side-combinable
+    counts, bounded state regardless of corpus size (THE point of CM:
+    the counter table is a broadcastable constant-size synopsis).
+    Estimating then touches only the candidate-value relation (distinct
+    values here; at production scale, a pre-filtered candidate set) via
+    an equi-join against the broadcast sketch. Nothing value-cardinality-
+    sized shuffles twice.
+    """
+    if depth < 1 or width < 2:
+        raise ValueError("cm sketch needs depth >= 1 and width >= 2")
+    salts = F.array(*[F.lit(f"cm{i}:") for i in range(depth)])
+    pairs = df.select(
+        F.col(value_col).cast("string").alias("_v"),
+        F.explode(salts).alias("_salt"),
+    ).select(
+        "_salt",
+        F.pmod(
+            F.conv(
+                F.substring(F.md5(F.concat(F.col("_salt"), F.col("_v"))), 1, 15),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(width),
+        ).alias("_b"),
+    )
+    sketch = pairs.groupBy("_salt", "_b").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    cand = (
+        df.select(F.col(value_col).cast("string").alias("value"))
+        .distinct()
+        .select("value", F.explode(salts).alias("_salt"))
+        .select(
+            "value",
+            "_salt",
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.col("_salt"), F.col("value"))), 1, 15
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(width),
+            ).alias("_b"),
+        )
+    )
+    est = (
+        cand.join(F.broadcast(sketch), ["_salt", "_b"])
+        .groupBy("value")
+        .agg(F.min("_c").alias("est_count"))
+    )
+    # top-k FIRST via orderBy+limit (TakeOrderedAndProject: per-partition
+    # heads + driver merge, never a global sort), then rank the k
+    # survivors — the window sorts k rows, not the value universe
+    top = est.orderBy(
+        F.col("est_count").desc(), F.col("value").asc()
+    ).limit(k)
+    w = Window.orderBy(F.col("est_count").desc(), F.col("value").asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))

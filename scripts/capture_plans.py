@@ -167,6 +167,17 @@ CAPTURE = [
     ("kg_bgp_filter", "VALUES appears as a BroadcastHashJoin of the "
      "3-row inline relation (prunes the join tree); the cross-variable "
      "FILTER sits above the self-join"),
+    ("kg_bgp_agg", "solution-level aggregation: count-distinct expands "
+     "map-side over the joined solution relation; HAVING is a post-agg "
+     "filter"),
+    ("kg_forward_chain", "fixpoint relation reads from the final-round "
+     "checkpoint (lineage cut per round — plan depth O(1) in rounds, "
+     "same discipline as g_pagerank); per-round work is equi-joins + "
+     "one anti-join, visible in the per-round plans, not here"),
+    ("t_cm_heavy_hitters", "the bounded-size counter table joins back "
+     "as a BroadcastHashJoin against the candidate values; top-k is "
+     "TakeOrderedAndProject, the rank window sorts only the k "
+     "survivors"),
 ]
 
 

@@ -1830,3 +1830,25 @@ class TestCondensation:
             (r["src_comp"], r["dst_comp"]) for r in G.condensation(e).collect()
         )
         assert got == exp
+
+
+class TestSccHubSkew:
+    def test_giant_hub_scc(self, spark):
+        # a 30%-style hub: node 0 has edges BOTH ways to every 3rd node
+        # (one giant SCC through the hub), everything else DAG-chains
+        # into the hub — the coloring join is hub-keyed, AQE territory
+        n = 120
+        edges = []
+        for i in range(1, n):
+            if i % 3 == 0:
+                edges += [(0, i), (i, 0)]
+            else:
+                edges.append((i, i - 1))
+        e = spark.createDataFrame(edges, "src long, dst long").repartition(8)
+        got = {
+            r["node"]: r["component"]
+            for r in G.strongly_connected_components(e).collect()
+        }
+        assert got == _tarjan_scc(edges)
+        giant = {v for v, c in got.items() if c == 0}
+        assert giant == {0} | {i for i in range(1, n) if i % 3 == 0}

@@ -66,3 +66,58 @@ class TestKmvDistinct:
         base = [("g", i) for i in range(100)]
         dup = base * 5
         assert self._run(spark, base, 16) == self._run(spark, dup, 16)
+
+
+def _python_cm(values, k, width, depth):
+    buckets = {}
+    for v in values:
+        for i in range(depth):
+            b = _h60(f"cm{i}:{v}") % width
+            buckets[(i, b)] = buckets.get((i, b), 0) + 1
+    est = {}
+    for v in set(values):
+        est[v] = min(
+            buckets[(i, _h60(f"cm{i}:{v}") % width)] for i in range(depth)
+        )
+    ranked = sorted(est.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return [(v, c, r + 1) for r, (v, c) in enumerate(ranked)]
+
+
+class TestCmHeavyHitters:
+    def _run(self, spark, values, k, width=256, depth=3):
+        from chunksilo_spark.operators.sketches import cm_heavy_hitters
+
+        df = spark.createDataFrame([(v,) for v in values], "v string")
+        got = cm_heavy_hitters(df, "v", k=k, width=width, depth=depth)
+        return sorted(
+            (r["value"], r["est_count"], r["rank"]) for r in got.collect()
+        )
+
+    def test_matches_python_formula(self, spark):
+        values = [f"t{i % 37}" for i in range(500)] + ["hot"] * 80
+        for width in (16, 256):
+            assert self._run(spark, values, 10, width=width) == sorted(
+                _python_cm(values, 10, width, 3)
+            ), width
+
+    def test_estimate_never_undercounts(self, spark):
+        values = [f"v{i % 50}" for i in range(400)]
+        truth = {}
+        for v in values:
+            truth[v] = truth.get(v, 0) + 1
+        got = self._run(spark, values, 50, width=32)
+        assert all(c >= truth[v] for v, c, _ in got)
+
+    def test_wide_sketch_is_exact_on_small_universe(self, spark):
+        # universe 20 << width 4096: collisions vanish, estimates exact
+        values = [f"u{i % 20}" for i in range(300)] + ["top"] * 55
+        got = dict((v, c) for v, c, _ in self._run(spark, values, 21, width=4096))
+        assert got["top"] == 55
+        assert all(c == 15 for v, c in got.items() if v != "top")
+
+    def test_bad_params_raise(self, spark):
+        from chunksilo_spark.operators.sketches import cm_heavy_hitters
+
+        df = spark.createDataFrame([("a",)], "v string")
+        with pytest.raises(ValueError):
+            cm_heavy_hitters(df, "v", depth=0)
