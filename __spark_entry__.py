@@ -1640,6 +1640,18 @@ def _t_cm_heavy_hitters(spark, sf):  # Count-Min frequency sketch top-k
     )
 
 
+def _t_quantile_sketch(spark, sf):  # histogram quantile sketch
+    # 32 bins over a ~[0, 1000) value range: the estimates genuinely
+    # interpolate (not exact percentiles) and the oracle re-derives the
+    # identical bin/cumulative/interpolation algebra
+    from chunksilo_spark.operators.sketches import histogram_quantiles
+
+    return histogram_quantiles(
+        _t(spark, sf, "events"), ["event_type"], "value",
+        quantiles=[0.5, 0.9, 0.99], n_bins=32,
+    )
+
+
 def _t_tfidf_terms(spark, sf):  # per-doc TF-IDF keyword extraction
     return cu.tfidf_top_terms(_t(spark, sf, "documents"), k=3)
 
@@ -1810,6 +1822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_clustering": _g_clustering,
         "t_kmv_cardinality": _t_kmv_cardinality,
         "t_cm_heavy_hitters": _t_cm_heavy_hitters,
+        "t_quantile_sketch": _t_quantile_sketch,
         "t_tfidf_terms": _t_tfidf_terms,
         # -- previously-green rows that keep their driver window slot --
         "d_contamination": _d_contamination,
@@ -4045,6 +4058,57 @@ def oracle_sql() -> dict[str, str]:
             FROM est
             ORDER BY est_count DESC, value ASC
             LIMIT 10
+        """,
+        # the identical histogram-quantile algebra: fixed-width bins off
+        # per-group min/max, cumulative over bin order, first bin reaching
+        # target = q*n, linear interpolation inside it — every float op in
+        # the same order as the Spark expression tree
+        "t_quantile_sketch": """
+            WITH stats AS (
+                SELECT event_type, min(value) AS gmin, max(value) AS gmax,
+                       COUNT(value) AS n
+                FROM events GROUP BY event_type
+            ), binned AS (
+                SELECT e.event_type,
+                       CASE WHEN s.gmax = s.gmin THEN 0
+                            ELSE CAST(least(floor(
+                                (e.value - s.gmin) /
+                                ((s.gmax - s.gmin) / CAST(32 AS DOUBLE))),
+                                31) AS INT) END AS b
+                FROM events e JOIN stats s USING (event_type)
+                WHERE e.value IS NOT NULL
+            ), hist AS (
+                SELECT event_type, b, COUNT(*) AS c
+                FROM binned GROUP BY event_type, b
+            ), cum AS (
+                SELECT event_type, b, c,
+                       SUM(c) OVER (PARTITION BY event_type ORDER BY b
+                                    ROWS UNBOUNDED PRECEDING) AS cum
+                FROM hist
+            ), qs AS (
+                SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE),
+                               CAST(0.99 AS DOUBLE)]) AS quantile
+            ), tgt AS (
+                SELECT s.event_type, q.quantile, s.gmin, s.gmax, s.n,
+                       q.quantile * CAST(s.n AS DOUBLE) AS target
+                FROM stats s CROSS JOIN qs q
+            ), joined AS (
+                SELECT t.event_type, t.quantile, t.gmin, t.gmax, t.n,
+                       t.target, c.b, c.c, c.cum,
+                       row_number() OVER (
+                           PARTITION BY t.event_type, t.quantile
+                           ORDER BY c.b) AS rn
+                FROM tgt t JOIN cum c USING (event_type)
+                WHERE CAST(c.cum AS DOUBLE) >= t.target
+            )
+            SELECT event_type, quantile, CAST(n AS BIGINT) AS n,
+                   round(CASE WHEN gmax = gmin THEN gmin
+                         ELSE gmin + (CAST(b AS DOUBLE) +
+                              (target - CAST(cum - c AS DOUBLE))
+                              / CAST(c AS DOUBLE))
+                              * ((gmax - gmin) / CAST(32 AS DOUBLE)) END,
+                         6) AS est_q
+            FROM joined WHERE rn = 1
         """,
         # one tokenization pass reused for tf AND df, ratio formed before
         # the log (the Spark float-order pin), total order on

@@ -31,7 +31,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["kmv_distinct"]
+__all__ = ["kmv_distinct", "cm_heavy_hitters", "histogram_quantiles"]
 
 # first 15 md5 hex chars -> uniform integer in [0, 2^60)
 _HASH_SPACE = float(1 << 60)
@@ -178,3 +178,107 @@ def cm_heavy_hitters(
     ).limit(k)
     w = Window.orderBy(F.col("est_count").desc(), F.col("value").asc())
     return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    quantiles: list[float] = (0.5, 0.9, 0.99),
+    n_bins: int = 64,
+) -> DataFrame:
+    """Per-group quantile estimates from a fixed-width histogram ->
+    (group_cols..., quantile, n, est_q). The third member of the sketch
+    family: KMV answers "how many distinct", Count-Min "how often", this
+    answers "how is it distributed" with the same bounded-state,
+    SQL-rederivable discipline (vs ``percentile_approx``'s KLL sketch,
+    which is neither reproducible across engines nor oracle-checkable).
+
+    Pinned algebra (both engines, bit-for-bit):
+
+      * per group: gmin/gmax/n over non-null values; width =
+        (gmax - gmin) / n_bins in IEEE double.
+      * bin(v) = min(floor((v - gmin) / width), n_bins - 1); a
+        degenerate group (gmax == gmin) puts everything in bin 0.
+      * for quantile q: target = q * n; take the FIRST bin whose
+        cumulative count reaches target, interpolate linearly inside it:
+        frac = (target - cum_before) / bin_count,
+        est_q = round(gmin + (bin + frac) * width, 6); degenerate
+        groups report gmin exactly.
+
+    100 TB shape: two aggregations over the corpus — min/max/count
+    (3 scalars per group) and bin counts (<= n_bins rows per group) —
+    both map-side-combinable; the quantile extraction then runs on the
+    histogram relation only (group-count x n_bins rows), with the
+    cumulative window sorting <= n_bins rows per group partition.
+    Nothing after the two scans is corpus-sized, and the histogram is a
+    mergeable synopsis (add counts bin-wise) for rollups across shards.
+    """
+    if n_bins < 1:
+        raise ValueError("histogram needs n_bins >= 1")
+    if not quantiles or any(not (0.0 < q <= 1.0) for q in quantiles):
+        raise ValueError("quantiles must be in (0, 1]")
+    v = F.col(value_col).cast("double")
+    stats = df.groupBy(*group_cols).agg(
+        F.min(v).alias("_gmin"),
+        F.max(v).alias("_gmax"),
+        F.count(v).alias("_n"),
+    )
+    width = (F.col("_gmax") - F.col("_gmin")) / F.lit(float(n_bins))
+    binned = (
+        df.select(*group_cols, v.alias("_v"))
+        .where(F.col("_v").isNotNull())
+        .join(F.broadcast(stats), group_cols)
+        .select(
+            *group_cols,
+            F.when(F.col("_gmax") == F.col("_gmin"), F.lit(0))
+            .otherwise(
+                F.least(
+                    F.floor((F.col("_v") - F.col("_gmin")) / width),
+                    F.lit(n_bins - 1),
+                )
+            )
+            .cast("int")
+            .alias("_bin"),
+        )
+    )
+    hist = binned.groupBy(*group_cols, "_bin").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    wcum = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("_cum", F.sum("_c").over(wcum))
+    qs = F.explode(
+        F.array(*[F.lit(float(q)) for q in quantiles])
+    ).alias("quantile")
+    targets = stats.select(*group_cols, "_gmin", "_gmax", "_n", qs).withColumn(
+        "_target", F.col("quantile") * F.col("_n").cast("double")
+    )
+    # first bin whose cumulative count reaches the target: min over bin of
+    # the (bin, c, cum) struct — lexicographic min == smallest bin
+    hit = (
+        targets.join(cum, group_cols)
+        .where(F.col("_cum").cast("double") >= F.col("_target"))
+        .groupBy(*group_cols, "quantile", "_gmin", "_gmax", "_n", "_target")
+        .agg(F.min(F.struct("_bin", "_c", "_cum")).alias("_s"))
+    )
+    width_h = (F.col("_gmax") - F.col("_gmin")) / F.lit(float(n_bins))
+    frac = (
+        F.col("_target")
+        - (F.col("_s._cum") - F.col("_s._c")).cast("double")
+    ) / F.col("_s._c").cast("double")
+    return hit.select(
+        *group_cols,
+        "quantile",
+        F.col("_n").alias("n"),
+        F.round(
+            F.when(F.col("_gmax") == F.col("_gmin"), F.col("_gmin")).otherwise(
+                F.col("_gmin")
+                + (F.col("_s._bin").cast("double") + frac) * width_h
+            ),
+            6,
+        ).alias("est_q"),
+    )

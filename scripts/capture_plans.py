@@ -178,6 +178,10 @@ CAPTURE = [
      "as a BroadcastHashJoin against the candidate values; top-k is "
      "TakeOrderedAndProject, the rank window sorts only the k "
      "survivors"),
+    ("t_quantile_sketch", "two map-side-combinable aggregations over the "
+     "corpus (min/max/count, then bin counts); the per-group stats join "
+     "back BROADCAST; the cumulative window and quantile extraction run "
+     "on the <= groups x n_bins histogram relation only"),
 ]
 
 

@@ -121,3 +121,87 @@ class TestCmHeavyHitters:
         df = spark.createDataFrame([("a",)], "v string")
         with pytest.raises(ValueError):
             cm_heavy_hitters(df, "v", depth=0)
+
+
+def _python_hq(rows, quantiles, n_bins):
+    import math
+
+    groups = {}
+    for g, v in rows:
+        groups.setdefault(g, []).append(v)
+    out = []
+    for g, vals in groups.items():
+        gmin, gmax, n = min(vals), max(vals), len(vals)
+        width = (gmax - gmin) / n_bins
+        hist = {}
+        for v in vals:
+            b = (
+                0
+                if gmax == gmin
+                else min(int(math.floor((v - gmin) / width)), n_bins - 1)
+            )
+            hist[b] = hist.get(b, 0) + 1
+        bins = sorted(hist)
+        for q in quantiles:
+            target = q * n
+            cum = 0
+            for b in bins:
+                c = hist[b]
+                cum += c
+                if cum >= target:
+                    if gmax == gmin:
+                        est = float(gmin)
+                    else:
+                        est = gmin + (b + (target - (cum - c)) / c) * width
+                    out.append((g, q, n, round(est, 6)))
+                    break
+    return sorted(out)
+
+
+class TestHistogramQuantiles:
+    def _run(self, spark, rows, quantiles, n_bins):
+        from chunksilo_spark.operators.sketches import histogram_quantiles
+
+        df = spark.createDataFrame(rows, "g string, v double")
+        got = histogram_quantiles(df, ["g"], "v", quantiles, n_bins)
+        return sorted(
+            (r["g"], r["quantile"], r["n"], r["est_q"]) for r in got.collect()
+        )
+
+    def test_matches_python_formula(self, spark):
+        rows = (
+            [("a", float(i * i % 97)) for i in range(200)]
+            + [("b", float(i)) for i in range(50)]
+            + [("c", 7.0)] * 9  # degenerate: gmin == gmax
+        )
+        for n_bins in (8, 64):
+            assert self._run(spark, rows, [0.5, 0.9, 0.99], n_bins) == (
+                _python_hq(rows, [0.5, 0.9, 0.99], n_bins)
+            ), n_bins
+
+    def test_estimate_within_one_bin_width(self, spark):
+        import numpy as np
+
+        vals = [float(v) for v in np.random.default_rng(7).normal(50, 10, 500)]
+        rows = [("g", v) for v in vals]
+        n_bins = 64
+        width = (max(vals) - min(vals)) / n_bins
+        got = dict(
+            (q, est) for _, q, _, est in self._run(spark, rows, [0.5, 0.9], n_bins)
+        )
+        for q in (0.5, 0.9):
+            true = float(np.quantile(vals, q))
+            assert abs(got[q] - true) <= width + 1e-9, (q, got[q], true)
+
+    def test_constant_group_reports_exact_value(self, spark):
+        got = self._run(spark, [("k", 3.25)] * 12, [0.5, 1.0], 16)
+        assert got == [("k", 0.5, 12, 3.25), ("k", 1.0, 12, 3.25)]
+
+    def test_bad_params_raise(self, spark):
+        from chunksilo_spark.operators.sketches import histogram_quantiles
+
+        df = spark.createDataFrame([("a", 1.0)], "g string, v double")
+        with pytest.raises(ValueError):
+            histogram_quantiles(df, ["g"], "v", [0.5], n_bins=0)
+        with pytest.raises(ValueError):
+            histogram_quantiles(df, ["g"], "v", [1.5])
