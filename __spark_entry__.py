@@ -1274,6 +1274,26 @@ def _j5_asof_latest_order(spark, sf):  # as-of join: event -> latest order
     )
 
 
+def _j6_bloom_prune(spark, sf):  # bloom-pruned semi-join (FP-superset)
+    # width 256 vs ~60 nation-5 customer keys x 3 salts (~half the mask
+    # set), so false positives are REAL (~12% of non-members) — the oracle
+    # re-derives the identical bit algebra (true members AND FPs), making
+    # a probabilistic pruning step hash-checkable
+    from chunksilo_spark.operators.bloom import bloom_prune
+
+    keys = _t(spark, sf, "customer").where(F.col("c_nationkey") == 5).select(
+        F.col("c_custkey")
+    )
+    pruned = bloom_prune(
+        _t(spark, sf, "orders"), keys, "o_custkey", key_col="c_custkey",
+        width=256, depth=3,
+    )
+    return pruned.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
 def _kg_triple_snapshot(spark, sf):  # temporal KG state as of an instant
     # events as an observation log: (subj=user_id, pred=event_type,
     # obj=value) @ ts — latest-wins per key via one map-side-combinable
@@ -1774,6 +1794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_canonical_urls": _t_canonical_urls,
         "t_domain_profile": _t_domain_profile,
         "j5_asof_latest_order": _j5_asof_latest_order,
+        "j6_bloom_prune": _j6_bloom_prune,
         "g_components": _g_components,
         "g_two_hop": _g_two_hop,
         "f6_issue_keys": _f6_issue_keys,
@@ -2936,6 +2957,37 @@ def oracle_sql() -> dict[str, str]:
         SELECT a2.node, round(h2.hub, 6) AS hub, round(a2.auth, 6) AS auth
         FROM a2 JOIN h2 ON a2.node = h2.node
         ORDER BY round(a2.auth, 6) DESC, a2.node ASC LIMIT 50
+        """,
+        # the identical bloom bit algebra: member bits = md5-salted
+        # positions of nation-5 custkeys; an order survives iff ALL 3 of
+        # its salted positions are set — true members AND false positives
+        # reproduce exactly
+        "j6_bloom_prune": """
+            WITH keys AS (
+                SELECT DISTINCT c_custkey AS k FROM customer
+                WHERE c_nationkey = 5
+            ), salts AS (
+                SELECT unnest(['bf0:', 'bf1:', 'bf2:']) AS salt
+            ), bits AS (
+                SELECT DISTINCT
+                       (('0x' || substr(md5(s.salt || CAST(k AS VARCHAR)),
+                                        1, 15))::UBIGINT)::BIGINT % 256 AS b
+                FROM keys CROSS JOIN salts s
+            ), probe AS (
+                SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, s.salt,
+                       (('0x' || substr(md5(s.salt ||
+                                            CAST(o.o_custkey AS VARCHAR)),
+                                        1, 15))::UBIGINT)::BIGINT % 256 AS b
+                FROM orders o CROSS JOIN salts s
+            ), hits AS (
+                SELECT o_orderkey, o_custkey, any_value(o_totalprice) AS price
+                FROM probe JOIN bits USING (b)
+                GROUP BY o_orderkey, o_custkey
+                HAVING COUNT(*) = 3
+            )
+            SELECT o_custkey, COUNT(*) AS n_orders,
+                   round(SUM(price), 2) AS sum_price
+            FROM hits GROUP BY o_custkey
         """,
         # as-of: DuckDB's native ASOF LEFT JOIN — a different engine's
         # built-in implementation of the same pinned semantics (right side

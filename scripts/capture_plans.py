@@ -182,6 +182,10 @@ CAPTURE = [
      "corpus (min/max/count, then bin counts); the per-group stats join "
      "back BROADCAST; the cumulative window and quantile extraction run "
      "on the <= groups x n_bins histogram relation only"),
+    ("j6_bloom_prune", "the fact-side membership test is a pure codegen'd "
+     "Filter off the bitmask literal — NO join, NO Exchange of the fact "
+     "table before the filter; the only shuffle is the post-prune "
+     "aggregation"),
 ]
 
 
