@@ -760,6 +760,78 @@ def _s_knn_ivf(spark, sf):  # IVF coarse-quantizer ANN
     )
 
 
+def _s_kmeans(spark, sf):  # distributed Lloyd's k-means, 2 full rounds
+    # the ITERATIVE fit is oracle-checked: seeds = 4 lowest ids, two
+    # E/M rounds with round-6 pins, final assignment — the SQL twin
+    # unrolls the same algebra as CTE chains (see _kmeans_oracle)
+    from chunksilo_spark.operators.clustering import kmeans_assign
+
+    return kmeans_assign(_t(spark, sf, "embeddings"), k=4, iters=2)
+
+
+def _kmeans_oracle(k: int = 4, iters: int = 2) -> str:
+    """Generate the DuckDB twin of _s_kmeans: per-dimension relation
+    (unnest zip), seed centroids = k lowest ids, then per iteration an
+    E-step (dist = round(sum sq-diff, 6), argmin by (dist, cluster)) and
+    an M-step (centroid = round(sum/count, 6), empty clusters keep the
+    previous centroid via LEFT JOIN + COALESCE)."""
+    sql = [
+        """
+        WITH pts AS (
+            SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+        ), dims AS (
+            SELECT vec_id, unnest(emb) AS v,
+                   unnest(range(1, len(emb) + 1)) AS i
+            FROM pts
+        ), seeds AS (
+            SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cl
+            FROM pts ORDER BY vec_id LIMIT %d
+        ), c0 AS (
+            SELECT s.cl, d.i, d.v AS c
+            FROM seeds s JOIN dims d USING (vec_id)
+        )"""
+        % k
+    ]
+    prev = "c0"
+    for it in range(1, iters + 1):
+        sql.append(
+            """, a{it} AS (
+            SELECT d.vec_id, cd.cl,
+                   round(SUM((d.v - cd.c) * (d.v - cd.c)), 6) AS dist
+            FROM dims d JOIN {prev} cd ON d.i = cd.i
+            GROUP BY d.vec_id, cd.cl
+        ), a{it}f AS (
+            SELECT vec_id, cl FROM (
+                SELECT vec_id, cl, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY dist ASC, cl ASC) AS rn
+                FROM a{it}
+            ) WHERE rn = 1
+        ), m{it} AS (
+            SELECT a.cl, d.i, round(SUM(d.v) / COUNT(*), 6) AS c
+            FROM a{it}f a JOIN dims d USING (vec_id)
+            GROUP BY a.cl, d.i
+        ), c{it} AS (
+            SELECT p.cl, p.i, COALESCE(m.c, p.c) AS c
+            FROM {prev} p LEFT JOIN m{it} m ON p.cl = m.cl AND p.i = m.i
+        )""".format(it=it, prev=prev)
+        )
+        prev = f"c{it}"
+    sql.append(
+        """, fin AS (
+            SELECT d.vec_id, cd.cl,
+                   round(SUM((d.v - cd.c) * (d.v - cd.c)), 6) AS dist
+            FROM dims d JOIN {prev} cd ON d.i = cd.i
+            GROUP BY d.vec_id, cd.cl
+        )
+        SELECT vec_id, CAST(cl AS INT) AS cluster_id, dist FROM (
+            SELECT vec_id, cl, dist, row_number() OVER (
+                PARTITION BY vec_id ORDER BY dist ASC, cl ASC) AS rn
+            FROM fin
+        ) WHERE rn = 1""".format(prev=prev)
+    )
+    return "".join(sql)
+
+
 def _m_binary_meta(spark, sf):  # multimodal: opaque binary metadata
     docs = _t(spark, sf, "documents").select(
         F.col("doc_id").alias("asset_id"),
@@ -1863,6 +1935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_knn_bruteforce": _s_knn_bruteforce,
         "s_knn_lsh": _s_knn_lsh,
         "s_knn_ivf": _s_knn_ivf,
+        "s_kmeans": _s_kmeans,
         "m_binary_meta": _m_binary_meta,
         # -- rotated to the tail: three-plus-rounds driver-green scalar /
         #    simple-filter rows whose family keeps another in-window
@@ -2557,6 +2630,9 @@ def oracle_sql() -> dict[str, str]:
                 WHERE q.vec_id < 10
             ) WHERE rank <= 5
         """,
+        # the full iterative Lloyd's fit, unrolled: seed -> E/M -> E/M ->
+        # final assignment, every float op pinned by the round-6 algebra
+        "s_kmeans": _kmeans_oracle(k=4, iters=2),
         # both sublinear ANN paths (banded LSH and IVF probe) must reproduce
         # the exact brute-force top-5 on the clustered derivation
         # (spike +8.0 at 1-based index label+1)

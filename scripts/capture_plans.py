@@ -186,6 +186,10 @@ CAPTURE = [
      "Filter off the bitmask literal — NO join, NO Exchange of the fact "
      "table before the filter; the only shuffle is the post-prune "
      "aggregation"),
+    ("s_kmeans", "the final E-step is MAP-ONLY: centroids are a k x d "
+     "literal, the distance argmin is a projected column expression — "
+     "no join, no corpus shuffle (the per-iteration M-step aggregations "
+     "ran at fit time, each one map-side-combined to k x d rows)"),
 ]
 
 
