@@ -1744,6 +1744,80 @@ def _t_quantile_sketch(spark, sf):  # histogram quantile sketch
     )
 
 
+def _t_bpe_pairs(spark, sf):  # BPE round-1 pair statistics
+    from chunksilo_spark.operators.tokenizer import initial_pair_counts
+
+    pc = initial_pair_counts(_t(spark, sf, "documents"))
+    top = pc.orderBy(F.desc("cnt"), F.asc("left"), F.asc("right")).limit(20)
+    w = Window.orderBy(F.desc("cnt"), F.asc("left"), F.asc("right"))
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def _t_bpe_merges(spark, sf):  # full 6-round BPE tokenizer training
+    # the ITERATIVE trainer is oracle-checked end-to-end: the SQL twin
+    # replays all 6 rounds with the identical bracket-replace algebra
+    # (see _bpe_oracle)
+    from chunksilo_spark.operators.tokenizer import bpe_train
+
+    return bpe_train(_t(spark, sf, "documents"), n_merges=6)
+
+
+def _bpe_oracle(n_merges: int = 6) -> str:
+    """DuckDB twin of _t_bpe_merges: word-frequency relation, bracketed
+    char sequences, then per round — pair counts via 1-based list
+    indexing, top-1 by (cnt desc, left, right), one literal replace.
+    ``replace`` is left-to-right non-overlapping in both engines, which
+    with per-symbol brackets IS greedy BPE."""
+    head = """
+        WITH toks AS (
+            SELECT unnest(list_filter(
+                string_split_regex(trim(lower(text)), '\\s+'),
+                x -> x <> '')) AS word
+            FROM documents
+        ), wf AS (
+            SELECT word, COUNT(*) AS c FROM toks
+            WHERE word NOT LIKE '%' || chr(1) || '%'
+              AND word NOT LIKE '%' || chr(2) || '%'
+            GROUP BY word
+        ), s0 AS (
+            SELECT c, chr(1) || array_to_string(string_split(word, ''),
+                       chr(2) || chr(1)) || chr(2) AS seq
+            FROM wf
+        )"""
+    rounds = []
+    for r in range(1, n_merges + 1):
+        rounds.append(
+            """, p{r} AS (
+            SELECT "left", "right", SUM(c) AS cnt FROM (
+                SELECT c, syms[i] AS "left", syms[i + 1] AS "right" FROM (
+                    SELECT c, syms, unnest(range(1, len(syms))) AS i
+                    FROM (
+                        SELECT c, string_split(
+                            substr(seq, 2, length(seq) - 2),
+                            chr(2) || chr(1)) AS syms
+                        FROM s{p}
+                    )
+                )
+            ) GROUP BY "left", "right"
+        ), b{r} AS (
+            SELECT "left", "right", cnt FROM p{r}
+            ORDER BY cnt DESC, "left" ASC, "right" ASC LIMIT 1
+        ), s{r} AS (
+            SELECT s.c, replace(s.seq,
+                chr(1) || b."left" || chr(2) || chr(1) || b."right"
+                    || chr(2),
+                chr(1) || b."left" || b."right" || chr(2)) AS seq
+            FROM s{p} s, b{r} b
+        )""".format(r=r, p=r - 1)
+        )
+    tail = " UNION ALL ".join(
+        'SELECT CAST({r} AS INT) AS merge_rank, "left", "right", '
+        "CAST(cnt AS BIGINT) AS pair_count FROM b{r}".format(r=r)
+        for r in range(1, n_merges + 1)
+    )
+    return head + "".join(rounds) + " " + tail
+
+
 def _t_tfidf_terms(spark, sf):  # per-doc TF-IDF keyword extraction
     return cu.tfidf_top_terms(_t(spark, sf, "documents"), k=3)
 
@@ -1916,6 +1990,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_kmv_cardinality": _t_kmv_cardinality,
         "t_cm_heavy_hitters": _t_cm_heavy_hitters,
         "t_quantile_sketch": _t_quantile_sketch,
+        "t_bpe_pairs": _t_bpe_pairs,
+        "t_bpe_merges": _t_bpe_merges,
         "t_tfidf_terms": _t_tfidf_terms,
         # -- previously-green rows that keep their driver window slot --
         "d_contamination": _d_contamination,
@@ -4187,6 +4263,38 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY est_count DESC, value ASC
             LIMIT 10
         """,
+        # character-bigram statistics: same word-frequency + bracket-
+        # sequence derivation as the trainer, pairs via 1-based indexing
+        "t_bpe_pairs": """
+            WITH toks AS (
+                SELECT unnest(list_filter(
+                    string_split_regex(trim(lower(text)), '\\s+'),
+                    x -> x <> '')) AS word
+                FROM documents
+            ), wf AS (
+                SELECT word, COUNT(*) AS c FROM toks
+                WHERE word NOT LIKE '%' || chr(1) || '%'
+                  AND word NOT LIKE '%' || chr(2) || '%'
+                GROUP BY word
+            ), pairs AS (
+                SELECT "left", "right", SUM(c) AS cnt FROM (
+                    SELECT c, syms[i] AS "left", syms[i + 1] AS "right" FROM (
+                        SELECT c, syms, unnest(range(1, len(syms))) AS i
+                        FROM (SELECT c, string_split(word, '') AS syms
+                              FROM wf)
+                    )
+                ) GROUP BY "left", "right"
+            )
+            SELECT "left", "right", CAST(cnt AS BIGINT) AS cnt,
+                   CAST(row_number() OVER (
+                       ORDER BY cnt DESC, "left" ASC, "right" ASC) AS BIGINT)
+                       AS rank
+            FROM pairs
+            ORDER BY cnt DESC, "left" ASC, "right" ASC
+            LIMIT 20
+        """,
+        # the full 6-round BPE training loop, unrolled round by round
+        "t_bpe_merges": _bpe_oracle(n_merges=6),
         # the identical histogram-quantile algebra: fixed-width bins off
         # per-group min/max, cumulative over bin order, first bin reaching
         # target = q*n, linear interpolation inside it — every float op in

@@ -1,0 +1,177 @@
+"""Distributed BPE (byte-pair-encoding) tokenizer training.
+
+The LLM-pipeline op the sketch/dedup/export families feed into: before a
+model trains on a 100 TB corpus, someone has to TRAIN THE TOKENIZER on
+it, and the classic BPE loop (Sennrich et al. 2016) is corpus-scale pair
+counting — exactly a Spark aggregation problem:
+
+  1. corpus -> word-frequency relation: ONE shuffle, corpus-sized in,
+     vocab-sized out (the only corpus-scale step; everything after runs
+     on the vocab relation, which is what makes a 10^12-doc tokenizer
+     train tractable — web-scale vocabs are ~10^8 rows, not 10^12);
+  2. per merge round: adjacent-pair counts over the symbol sequences
+     (map-side-combinable groupBy on the vocab relation), take the top
+     pair (TakeOrderedAndProject, 1 row to the driver per round — the
+     ONLY driver state is the merge table itself), apply the merge.
+
+The merge application is pinned as STRING ALGEBRA, not a per-symbol
+loop: each word's symbol sequence is held as ``\\x01sym\\x02`` bracket
+groups, and merging pair (l, r) is one literal
+``replace("\\x01l\\x02\\x01r\\x02" -> "\\x01lr\\x02")`` — left-to-right,
+non-overlapping, which IS greedy BPE (the bracket per symbol makes
+runs like ``aaaa -> [aa][aa]`` merge correctly and prevents prefix
+false-matches like (a,a) firing on ``[a][at]``). The same ``replace``
+exists verbatim in ANSI SQL, so the driver's DuckDB oracle replays the
+whole multi-round training loop bit-for-bit.
+
+The loop cuts lineage every round (``checkpointing.cut_lineage`` — the
+PageRank discipline): round k's pair count reads the materialized round
+k-1 relation, not a k-deep replace chain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..checkpointing import cut_lineage
+from ..functions.textstats import ws_tokens_clean
+
+__all__ = [
+    "bpe_train",
+    "bpe_segment_words",
+    "word_frequencies",
+    "initial_pair_counts",
+]
+
+# bracket chars — pinned, and words containing them are dropped (guarded)
+_O = "\x01"
+_C = "\x02"
+
+
+def word_frequencies(
+    df: DataFrame, text_col: str = "text", lowercase: bool = True
+) -> DataFrame:
+    """(word, c): the corpus's word-frequency relation — the one
+    corpus-scale aggregation of tokenizer training. Words containing the
+    reserved bracket bytes (never in real text) are dropped."""
+    txt = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    return (
+        df.select(F.explode(ws_tokens_clean(txt)).alias("word"))
+        .where(~F.col("word").contains(_O) & ~F.col("word").contains(_C))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def _seq_col(word: Column) -> Column:
+    """word -> its bracketed single-character symbol sequence. The split
+    points are positions that are neither start nor end (the ``(?=.)``
+    guard — Spark's split keeps trailing empties, unlike DuckDB's
+    ``string_split(w, '')``, and an empty symbol would corrupt merges)."""
+    return F.concat(
+        F.lit(_O),
+        F.array_join(F.split(word, r"(?!^)(?=.)"), _C + _O),
+        F.lit(_C),
+    )
+
+
+def _syms_col(seq: Column) -> Column:
+    """bracket string -> symbol array."""
+    return F.split(
+        F.substring(seq, 2, F.length(seq) - 2), _C + _O  # noqa: E226
+    )
+
+
+def _pair_counts(wf_seq: DataFrame) -> DataFrame:
+    """(left, right, cnt): adjacent-symbol pair counts weighted by word
+    frequency. The symbol array is projected once (no-CSE discipline)
+    before the two slices zip into pairs."""
+    syms = wf_seq.select("c", _syms_col(F.col("seq")).alias("_s"))
+    pairs = syms.where(F.size("_s") > 1).select(
+        "c",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("_s"), F.lit(1), F.size("_s") - 1),
+                F.slice(F.col("_s"), F.lit(2), F.size("_s") - 1),
+                lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+            )
+        ).alias("p"),
+    )
+    return pairs.groupBy(
+        F.col("p.l").alias("left"), F.col("p.r").alias("right")
+    ).agg(F.sum("c").alias("cnt"))
+
+
+def initial_pair_counts(
+    df: DataFrame, text_col: str = "text", lowercase: bool = True
+) -> DataFrame:
+    """(left, right, cnt): round-1 adjacent-character pair counts — the
+    relation the first merge is chosen from, exposed for corpus profiling
+    (character-bigram statistics weighted by word frequency)."""
+    wf = word_frequencies(df, text_col, lowercase).select(
+        "c", _seq_col(F.col("word")).alias("seq")
+    )
+    return _pair_counts(wf)
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 10,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Learn ``n_merges`` BPE merge rules -> (merge_rank, left, right,
+    pair_count), rank 1 = first-learned. Ties in pair count break by
+    (left asc, right asc) — the pinned total order both engines share.
+    Stops early when no adjacent pairs remain (every word fully merged).
+    """
+    if n_merges < 1:
+        raise ValueError("bpe_train needs n_merges >= 1")
+    spark = df.sparkSession
+    wf = cut_lineage(
+        word_frequencies(df, text_col, lowercase).select(
+            "c", _seq_col(F.col("word")).alias("seq")
+        )
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        best = (
+            _pair_counts(wf)
+            .orderBy(F.desc("cnt"), F.asc("left"), F.asc("right"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        left, right, cnt = best[0]["left"], best[0]["right"], best[0]["cnt"]
+        merges.append((rank, left, right, cnt))
+        pat = _O + left + _C + _O + right + _C
+        rep = _O + left + right + _C
+        wf = cut_lineage(
+            wf.select("c", F.replace("seq", F.lit(pat), F.lit(rep)).alias("seq"))
+        )
+    return spark.createDataFrame(
+        merges, schema="merge_rank int, left string, right string, pair_count long"
+    )
+
+
+def bpe_segment_words(
+    words: DataFrame,
+    merges: list[tuple[str, str]],
+    word_col: str = "word",
+) -> DataFrame:
+    """Apply learned merges to a vocab relation -> (word, tokens
+    array<string>): the same bracket-replace chain, one literal replace
+    per rule in learned order. Corpus tokenization is then a (vocab-sized)
+    join of this mapping against exploded corpus words — the segmentation
+    never touches the corpus itself."""
+    seq = _seq_col(F.col(word_col))
+    for left, right in merges:
+        seq = F.replace(
+            seq,
+            F.lit(_O + left + _C + _O + right + _C),
+            F.lit(_O + left + right + _C),
+        )
+    out = words.select(F.col(word_col), seq.alias("_seq"))
+    return out.select(word_col, _syms_col(F.col("_seq")).alias("tokens"))

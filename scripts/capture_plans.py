@@ -190,6 +190,13 @@ CAPTURE = [
      "literal, the distance argmin is a projected column expression — "
      "no join, no corpus shuffle (the per-iteration M-step aggregations "
      "ran at fit time, each one map-side-combined to k x d rows)"),
+    ("t_bpe_pairs", "one corpus-scale aggregation (words), then the pair "
+     "explode + count runs on the vocab-sized relation; top-20 is "
+     "TakeOrderedAndProject and the rank window sorts 20 rows"),
+    ("t_bpe_merges", "the final round's relation reads from the round-6 "
+     "lineage cut (plan depth O(1) in rounds); each round was one "
+     "vocab-relation aggregation + a 1-row TakeOrdered to the driver + "
+     "one literal replace projection"),
 ]
 
 
