@@ -87,6 +87,15 @@ HEADLINE = [
     "t_tfidf_terms",
     "t_kmv_cardinality",
     "kg_bgp_filter",
+    # round-4 (cont.): the rest of the sketch family, bloom-pruned
+    # semi-join, distributed k-means, BPE tokenizer training (the two
+    # iterative ones — s_kmeans, t_bpe_merges — time the full fit loop,
+    # not just the final assignment)
+    "t_cm_heavy_hitters",
+    "t_quantile_sketch",
+    "j6_bloom_prune",
+    "s_kmeans",
+    "t_bpe_merges",
 ]
 
 
