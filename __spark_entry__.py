@@ -1780,7 +1780,7 @@ def _bpe_oracle(n_merges: int = 6) -> str:
               AND word NOT LIKE '%' || chr(2) || '%'
             GROUP BY word
         ), s0 AS (
-            SELECT c, chr(1) || array_to_string(string_split(word, ''),
+            SELECT word, c, chr(1) || array_to_string(string_split(word, ''),
                        chr(2) || chr(1)) || chr(2) AS seq
             FROM wf
         )"""
@@ -1803,7 +1803,7 @@ def _bpe_oracle(n_merges: int = 6) -> str:
             SELECT "left", "right", cnt FROM p{r}
             ORDER BY cnt DESC, "left" ASC, "right" ASC LIMIT 1
         ), s{r} AS (
-            SELECT s.c, replace(s.seq,
+            SELECT s.word, s.c, replace(s.seq,
                 chr(1) || b."left" || chr(2) || chr(1) || b."right"
                     || chr(2),
                 chr(1) || b."left" || b."right" || chr(2)) AS seq
@@ -1816,6 +1816,47 @@ def _bpe_oracle(n_merges: int = 6) -> str:
         for r in range(1, n_merges + 1)
     )
     return head + "".join(rounds) + " " + tail
+
+
+def _t_bpe_token_counts(spark, sf):  # corpus token budget under BPE
+    # train-then-count: the pre-training question "how many tokens is
+    # this corpus under our tokenizer" — segmentation runs on the
+    # distinct-word relation only, per-word SIZE joins back to the
+    # exploded corpus
+    from chunksilo_spark.operators.tokenizer import bpe_token_counts, bpe_train
+
+    docs = _t(spark, sf, "documents")
+    rules = [
+        (r["left"], r["right"])
+        for r in bpe_train(docs, n_merges=6).orderBy("merge_rank").collect()
+    ]
+    return bpe_token_counts(docs, rules)
+
+
+def _bpe_counts_oracle(n_merges: int = 6) -> str:
+    """DuckDB twin of _t_bpe_token_counts: the _bpe_oracle training
+    rounds (word carried through every round), then per-word token
+    counts off the final round's sequences joined back to the exploded
+    corpus."""
+    trained = _bpe_oracle(n_merges)
+    head = trained[: trained.rindex(" SELECT CAST(1 AS INT)")]
+    return (
+        head
+        + """ , segd AS (
+            SELECT word, len(string_split(substr(seq, 2, length(seq) - 2),
+                             chr(2) || chr(1))) AS n
+            FROM s{n}
+        ), docw AS (
+            SELECT doc_id, unnest(list_filter(
+                string_split_regex(trim(lower(text)), '\\s+'),
+                x -> x <> '')) AS word
+            FROM documents
+        )
+        SELECT doc_id, COUNT(*) AS n_words,
+               CAST(SUM(n) AS BIGINT) AS n_tokens
+        FROM docw JOIN segd USING (word)
+        GROUP BY doc_id""".format(n=n_merges)
+    )
 
 
 def _t_tfidf_terms(spark, sf):  # per-doc TF-IDF keyword extraction
@@ -1992,6 +2033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_quantile_sketch": _t_quantile_sketch,
         "t_bpe_pairs": _t_bpe_pairs,
         "t_bpe_merges": _t_bpe_merges,
+        "x_bpe_token_counts": _t_bpe_token_counts,
         "t_tfidf_terms": _t_tfidf_terms,
         # -- previously-green rows that keep their driver window slot --
         "d_contamination": _d_contamination,
@@ -4295,6 +4337,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         # the full 6-round BPE training loop, unrolled round by round
         "t_bpe_merges": _bpe_oracle(n_merges=6),
+        # training rounds + segmentation sizes + corpus join — the whole
+        # train-then-count funnel replayed
+        "x_bpe_token_counts": _bpe_counts_oracle(n_merges=6),
         # the identical histogram-quantile algebra: fixed-width bins off
         # per-group min/max, cumulative over bin order, first bin reaching
         # target = q*n, linear interpolation inside it — every float op in

@@ -40,6 +40,7 @@ from ..functions.textstats import ws_tokens_clean
 __all__ = [
     "bpe_train",
     "bpe_segment_words",
+    "bpe_token_counts",
     "word_frequencies",
     "initial_pair_counts",
 ]
@@ -175,3 +176,39 @@ def bpe_segment_words(
         )
     out = words.select(F.col(word_col), seq.alias("_seq"))
     return out.select(word_col, _syms_col(F.col("_seq")).alias("tokens"))
+
+
+def bpe_token_counts(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lowercase: bool = True,
+) -> DataFrame:
+    """(id, n_words, n_tokens): per-document token accounting under a
+    learned merge table — THE pre-training budget question ("how many
+    tokens is this corpus under our tokenizer") answered without ever
+    tokenizing the corpus directly.
+
+    Plan shape: the corpus explodes to (doc, word) once; the
+    segmentation runs on the DISTINCT-WORD relation only (vocab-sized —
+    at web scale ~10^8 rows vs 10^12 corpus words) and its per-word
+    token COUNT (one int, not the token array) joins back on the word
+    key; the per-doc rollup is one map-side-combinable aggregation.
+    Words containing the reserved bracket bytes are excluded (the same
+    guard as training, so counts and trainer see the same vocab)."""
+    txt = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    doc_words = df.select(
+        F.col(id_col), F.explode(ws_tokens_clean(txt)).alias("word")
+    ).where(~F.col("word").contains(_O) & ~F.col("word").contains(_C))
+    sizes = bpe_segment_words(
+        doc_words.select("word").distinct(), merges
+    ).select("word", F.size("tokens").alias("_n"))
+    return (
+        doc_words.join(sizes, "word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("_n").alias("n_tokens"),
+        )
+    )

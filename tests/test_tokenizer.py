@@ -100,3 +100,31 @@ class TestBpeTrain:
         df = spark.createDataFrame([("a",)], "text string")
         with pytest.raises(ValueError):
             bpe_train(df, n_merges=0)
+
+
+class TestBpeTokenCounts:
+    def test_counts_match_textbook_segmentation(self, spark):
+        from chunksilo_spark.operators.tokenizer import bpe_token_counts
+
+        n = 8
+        merges, vocab = _python_bpe(_wc(CORPUS), n)
+        rules = [(l, r) for _, l, r, _ in merges]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(CORPUS)], "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: (r["n_words"], r["n_tokens"])
+            for r in bpe_token_counts(df, rules).collect()
+        }
+        exp = {}
+        for i, t in enumerate(CORPUS):
+            ws = t.lower().split()
+            exp[i] = (len(ws), sum(len(vocab[w]) for w in ws))
+        assert got == exp
+
+    def test_no_merges_counts_characters(self, spark):
+        from chunksilo_spark.operators.tokenizer import bpe_token_counts
+
+        df = spark.createDataFrame([(1, "ab cde")], "doc_id long, text string")
+        got = bpe_token_counts(df, []).collect()[0]
+        assert (got["n_words"], got["n_tokens"]) == (2, 5)
