@@ -31,7 +31,13 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["kmv_distinct", "cm_heavy_hitters", "histogram_quantiles"]
+__all__ = [
+    "kmv_distinct",
+    "cm_heavy_hitters",
+    "cm_build",
+    "cm_estimate",
+    "histogram_quantiles",
+]
 
 # first 15 md5 hex chars -> uniform integer in [0, 2^60)
 _HASH_SPACE = float(1 << 60)
@@ -128,47 +134,59 @@ def cm_heavy_hitters(
     """
     if depth < 1 or width < 2:
         raise ValueError("cm sketch needs depth >= 1 and width >= 2")
+    sketch = cm_build(df, value_col, width=width, depth=depth)
+    cand = df.select(F.col(value_col).cast("string").alias("value")).distinct()
+    return cm_estimate(sketch, cand, k=k, width=width, depth=depth)
+
+
+def _cm_bucket(col: Column, width: int) -> Column:
+    return F.pmod(
+        F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long"),
+        F.lit(width),
+    )
+
+
+def cm_build(
+    df: DataFrame, value_col: str, width: int = 256, depth: int = 3
+) -> DataFrame:
+    """(salt, b, c): the Count-Min counter table for ``df[value_col]`` —
+    a bounded-size synopsis, MERGEABLE by bucket-wise addition (sum the
+    ``c`` of matching (salt, b) rows), which is what lets per-shard /
+    per-micro-batch sketches roll up into a corpus sketch without
+    touching the corpus again (see streaming.sketches)."""
     salts = F.array(*[F.lit(f"cm{i}:") for i in range(depth)])
     pairs = df.select(
         F.col(value_col).cast("string").alias("_v"),
-        F.explode(salts).alias("_salt"),
+        F.explode(salts).alias("salt"),
     ).select(
-        "_salt",
-        F.pmod(
-            F.conv(
-                F.substring(F.md5(F.concat(F.col("_salt"), F.col("_v"))), 1, 15),
-                16,
-                10,
-            ).cast("long"),
-            F.lit(width),
-        ).alias("_b"),
+        "salt", _cm_bucket(F.concat(F.col("salt"), F.col("_v")), width).alias("b")
     )
-    sketch = pairs.groupBy("_salt", "_b").agg(
-        F.count(F.lit(1)).alias("_c")
-    )
-    cand = (
-        df.select(F.col(value_col).cast("string").alias("value"))
-        .distinct()
-        .select("value", F.explode(salts).alias("_salt"))
-        .select(
-            "value",
-            "_salt",
-            F.pmod(
-                F.conv(
-                    F.substring(
-                        F.md5(F.concat(F.col("_salt"), F.col("value"))), 1, 15
-                    ),
-                    16,
-                    10,
-                ).cast("long"),
-                F.lit(width),
-            ).alias("_b"),
-        )
+    return pairs.groupBy("salt", "b").agg(F.count(F.lit(1)).alias("c"))
+
+
+def cm_estimate(
+    sketch: DataFrame,
+    candidates: DataFrame,
+    k: int = 20,
+    width: int = 256,
+    depth: int = 3,
+) -> DataFrame:
+    """Top-``k`` heavy hitters among ``candidates.value`` per a prebuilt
+    (salt, b, c) counter table (``cm_build`` output or a merged union of
+    them). The sketch side joins BROADCAST — it is bounded by
+    depth x width regardless of what corpus built it."""
+    salts = F.array(*[F.lit(f"cm{i}:") for i in range(depth)])
+    cand = candidates.select(
+        "value", F.explode(salts).alias("salt")
+    ).select(
+        "value",
+        "salt",
+        _cm_bucket(F.concat(F.col("salt"), F.col("value")), width).alias("b"),
     )
     est = (
-        cand.join(F.broadcast(sketch), ["_salt", "_b"])
+        cand.join(F.broadcast(sketch), ["salt", "b"])
         .groupBy("value")
-        .agg(F.min("_c").alias("est_count"))
+        .agg(F.min("c").alias("est_count"))
     )
     # top-k FIRST via orderBy+limit (TakeOrderedAndProject: per-partition
     # heads + driver merge, never a global sort), then rank the k
