@@ -1571,6 +1571,53 @@ def _t_dsir_weights(spark, sf):  # hashed-bigram importance log-ratios
     )
 
 
+def _x_dsir_sample(spark, sf):  # importance RESAMPLING off DSIR weights
+    # the composition the DSIR paper prescribes: weights -> Bernoulli
+    # acceptance proportional to exp(w) — here with the deterministic
+    # hash coin so the sampled subcorpus itself is oracle-checkable
+    return cu.importance_sample(
+        _t_dsir_weights(spark, sf), "dsir_logratio",
+        temperature=2.0, scale=0.5,
+    )
+
+
+def _t_bottomk_sample(spark, sf):  # deterministic per-group k-sample
+    from chunksilo_spark.operators.sketches import bottomk_sample
+
+    return bottomk_sample(
+        _t(spark, sf, "events"), ["event_type"], "event_id", k=5
+    )
+
+
+# DSIR oracle body, shared by t_dsir_weights and x_dsir_sample
+_DSIR_SQL = """
+            WITH t AS (
+                SELECT doc_id, lang,
+                       list_filter(string_split_regex(trim(text), '\\s+'),
+                                   x -> x <> '') AS toks
+                FROM documents
+            ), b AS (
+                SELECT doc_id, lang,
+                       (('0x' || substr(md5(toks[i] || ' ' || toks[i + 1]),
+                                        1, 15))::UBIGINT % 256)::BIGINT AS f
+                FROM t, unnest(range(1, len(toks))) AS r(i)
+            ), stats AS (
+                SELECT f, COUNT(*)::DOUBLE AS cr,
+                       COUNT(*) FILTER (WHERE lang = 'en')::DOUBLE AS ct
+                FROM b GROUP BY f
+            ), tot AS (
+                SELECT SUM(cr) AS tr, SUM(ct) AS tt FROM stats
+            )
+            SELECT b.doc_id, COUNT(*) AS n_feats,
+                   round(SUM(ln(
+                       ((stats.ct + 1.0) / ((SELECT tt FROM tot) + 256))
+                       / ((stats.cr + 1.0) / ((SELECT tr FROM tot) + 256))
+                   )), 6) AS dsir_logratio
+            FROM b JOIN stats USING (f)
+            GROUP BY b.doc_id
+        """
+
+
 def _t_unigram_lm(spark, sf):  # LM quality proxy from corpus statistics
     # vocab_size=30 << corpus vocab so the OOV floor path is exercised
     return cu.unigram_logprob(
@@ -2034,6 +2081,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_bpe_pairs": _t_bpe_pairs,
         "t_bpe_merges": _t_bpe_merges,
         "x_bpe_token_counts": _t_bpe_token_counts,
+        "x_dsir_sample": _x_dsir_sample,
+        "t_bottomk_sample": _t_bottomk_sample,
         "t_tfidf_terms": _t_tfidf_terms,
         # -- previously-green rows that keep their driver window slot --
         "d_contamination": _d_contamination,
@@ -3960,32 +4009,22 @@ def oracle_sql() -> dict[str, str]:
         # 256, the exact _md5_bucket algebra) target-vs-raw smoothed
         # log-ratio summed per doc; the bigram STRING is space-joined
         # before hashing, matching _word_grams' array_join
-        "t_dsir_weights": """
-            WITH t AS (
-                SELECT doc_id, lang,
-                       list_filter(string_split_regex(trim(text), '\\s+'),
-                                   x -> x <> '') AS toks
-                FROM documents
-            ), b AS (
-                SELECT doc_id, lang,
-                       (('0x' || substr(md5(toks[i] || ' ' || toks[i + 1]),
-                                        1, 15))::UBIGINT % 256)::BIGINT AS f
-                FROM t, unnest(range(1, len(toks))) AS r(i)
-            ), stats AS (
-                SELECT f, COUNT(*)::DOUBLE AS cr,
-                       COUNT(*) FILTER (WHERE lang = 'en')::DOUBLE AS ct
-                FROM b GROUP BY f
-            ), tot AS (
-                SELECT SUM(cr) AS tr, SUM(ct) AS tt FROM stats
-            )
-            SELECT b.doc_id, COUNT(*) AS n_feats,
-                   round(SUM(ln(
-                       ((stats.ct + 1.0) / ((SELECT tt FROM tot) + 256))
-                       / ((stats.cr + 1.0) / ((SELECT tr FROM tot) + 256))
-                   )), 6) AS dsir_logratio
-            FROM b JOIN stats USING (f)
-            GROUP BY b.doc_id
-        """,
+        "t_dsir_weights": _DSIR_SQL,
+        # the DSIR weights relation (same SQL), then the identical
+        # deterministic acceptance algebra: u(id) = md5-60bit / 2^60,
+        # keep iff u < min(1, 0.5 * exp(w / 2)) — the weights are rounded
+        # to 6dp in BOTH engines before exp, so the coin flip compares
+        # identical doubles
+        "x_dsir_sample": """
+            WITH base AS ({dsir})
+            SELECT doc_id, n_feats, dsir_logratio,
+                   round(least(1.0, 0.5 * exp(dsir_logratio / 2.0)), 6)
+                       AS accept_p
+            FROM base
+            WHERE (('0x' || substr(md5(doc_id::VARCHAR), 1, 15))
+                   ::UBIGINT)::DOUBLE / 1152921504606846976.0
+                  < least(1.0, 0.5 * exp(dsir_logratio / 2.0))
+        """.format(dsir=_DSIR_SQL),
         # bigram JM-interpolated fluency: same clean-token pin as the
         # unigram oracle; bigram relation built positionally via
         # range(1, len) lateral unnest; float op order lam*(c12/c1) then
@@ -4304,6 +4343,19 @@ def oracle_sql() -> dict[str, str]:
             FROM est
             ORDER BY est_count DESC, value ASC
             LIMIT 10
+        """,
+        # the identical bottom-k algebra: 60-bit md5 of the id, per-group
+        # row_number over (hash, id), keep pos <= 5
+        "t_bottomk_sample": """
+            SELECT event_type, event_id, pos FROM (
+                SELECT event_type, event_id,
+                       row_number() OVER (
+                           PARTITION BY event_type
+                           ORDER BY (('0x' || substr(md5(event_id::VARCHAR),
+                                                     1, 15))::UBIGINT)::BIGINT
+                                    ASC, event_id ASC) AS pos
+                FROM events
+            ) WHERE pos <= 5
         """,
         # character-bigram statistics: same word-frequency + bracket-
         # sequence derivation as the trainer, pairs via 1-based indexing

@@ -753,3 +753,44 @@ def tfidf_top_terms(
     return scored.withColumn(
         "rank", F.row_number().over(w).cast("long")
     ).where(F.col("rank") <= k)
+
+
+def importance_sample(
+    scored: DataFrame,
+    weight_col: str,
+    id_col: str = "doc_id",
+    temperature: float = 1.0,
+    scale: float = 1.0,
+) -> DataFrame:
+    """DSIR-style importance RESAMPLING, deterministic: keep a row iff
+    ``u(id) < min(1, scale * exp(weight / temperature))`` where
+    ``u(id)`` is the row's md5-60bit hash mapped to [0, 1) — i.e.,
+    Bernoulli acceptance proportional to exp(weight), the published
+    importance-resampling step that turns `dsir_logratio` weights into
+    a target-distributed subcorpus, with the coin replaced by the
+    repo-wide hash algebra so the SAMPLE ITSELF is reproducible and
+    SQL-checkable (a seeded-random sample never is).
+
+    ``temperature`` flattens (>1) or sharpens (<1) the weighting;
+    ``scale`` sets overall acceptance mass. Adds ``accept_p`` (rounded
+    6dp). One map-side filter — no shuffle, no sort, no driver state;
+    composes with any upstream weight (DSIR, quality model, LM score).
+    """
+    if temperature <= 0 or scale <= 0:
+        raise ValueError("temperature and scale must be > 0")
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+        ).cast("long")
+        .cast("double")
+        / F.lit(float(1 << 60))
+    )
+    p = F.least(
+        F.lit(1.0),
+        F.lit(float(scale))
+        * F.exp(F.col(weight_col) / F.lit(float(temperature))),
+    )
+    return (
+        scored.withColumn("accept_p", F.round(p, 6))
+        .where(u < p)
+    )

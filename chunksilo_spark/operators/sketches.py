@@ -37,6 +37,7 @@ __all__ = [
     "cm_build",
     "cm_estimate",
     "histogram_quantiles",
+    "bottomk_sample",
 ]
 
 # first 15 md5 hex chars -> uniform integer in [0, 2^60)
@@ -299,4 +300,34 @@ def histogram_quantiles(
             ),
             6,
         ).alias("est_q"),
+    )
+
+
+def bottomk_sample(
+    df: DataFrame,
+    group_cols: list[str],
+    id_col: str,
+    k: int = 32,
+) -> DataFrame:
+    """Deterministic per-group k-sample -> (group_cols..., id, pos): the
+    rows whose md5-hashed ids are the ``k`` smallest in their group —
+    the bottom-k / KMV construction used as a SAMPLER. Uniform (the hash
+    is uniform on ids), EXACTLY k per group (vs the rate-based
+    ``curation.stratified_sample``, which is binomial), stable under
+    reruns and data order, and coordinated: the same ids win across
+    tables/snapshots, so bottom-k samples of two relations join (the
+    correlated-sampling property hash sampling is chosen for).
+
+    ``pos`` = 1-based rank by (hash, id). Same per-group-window shape as
+    ``kmv_distinct`` — rows never leave their group's partition, the
+    production form is a bounded-heap UDAF, the algebra is the contract.
+    """
+    if k < 1:
+        raise ValueError("bottomk needs k >= 1")
+    h = _h60(F.col(id_col))
+    w = Window.partitionBy(*group_cols).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.select(*group_cols, F.col(id_col))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .where(F.col("pos") <= k)
     )

@@ -648,3 +648,56 @@ class TestTfidfTopTerms:
         assert sorted((r["doc_id"], r["term"], r["tfidf"]) for r in rows) == [
             (1, "same", 0.0), (2, "same", 0.0),
         ]
+
+
+class TestImportanceSample:
+    def _df(self, spark):
+        import math
+
+        rows = [(i, round(math.sin(i) * 2, 3)) for i in range(400)]
+        return (
+            spark.createDataFrame(rows, "doc_id long, w double"),
+            dict(rows),
+        )
+
+    def test_matches_python_formula(self, spark):
+        import hashlib
+        import math
+
+        from chunksilo_spark.operators.curation import importance_sample
+
+        df, weights = self._df(spark)
+        got = {
+            r["doc_id"]: r["accept_p"]
+            for r in importance_sample(
+                df, "w", temperature=2.0, scale=0.5
+            ).collect()
+        }
+        exp = {}
+        for i, w in weights.items():
+            u = int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) / float(
+                1 << 60
+            )
+            p = min(1.0, 0.5 * math.exp(w / 2.0))
+            if u < p:
+                exp[i] = round(p, 6)
+        assert got == exp
+        # the weighting must actually thin: some accepted, some rejected
+        assert 0 < len(got) < 400
+
+    def test_higher_weight_never_hurts_acceptance(self, spark):
+        from chunksilo_spark.operators.curation import importance_sample
+
+        df, _ = self._df(spark)
+        lo = {r["doc_id"] for r in importance_sample(df, "w", scale=0.2).collect()}
+        hi = {r["doc_id"] for r in importance_sample(df, "w", scale=0.8).collect()}
+        assert lo <= hi  # raising scale only adds rows (same u per id)
+
+    def test_bad_params_raise(self, spark):
+        from chunksilo_spark.operators.curation import importance_sample
+
+        df = spark.createDataFrame([(1, 0.0)], "doc_id long, w double")
+        with pytest.raises(ValueError):
+            importance_sample(df, "w", temperature=0)
+        with pytest.raises(ValueError):
+            importance_sample(df, "w", scale=-1)

@@ -205,3 +205,46 @@ class TestHistogramQuantiles:
             histogram_quantiles(df, ["g"], "v", [0.5], n_bins=0)
         with pytest.raises(ValueError):
             histogram_quantiles(df, ["g"], "v", [1.5])
+
+
+class TestBottomkSample:
+    def _run(self, spark, rows, k):
+        from chunksilo_spark.operators.sketches import bottomk_sample
+
+        df = spark.createDataFrame(rows, "g string, id long")
+        got = bottomk_sample(df, ["g"], "id", k=k)
+        return sorted((r["g"], r["id"], r["pos"]) for r in got.collect())
+
+    def test_matches_python_formula(self, spark):
+        rows = [(f"g{i % 3}", i) for i in range(100)]
+        exp = []
+        for g in ("g0", "g1", "g2"):
+            ids = [i for gg, i in rows if gg == g]
+            ranked = sorted(ids, key=lambda i: (_h60(i), i))[:7]
+            exp += [(g, i, p + 1) for p, i in enumerate(ranked)]
+        assert self._run(spark, rows, 7) == sorted(exp)
+
+    def test_exactly_k_per_group_and_rerun_stable(self, spark):
+        rows = [(f"g{i % 4}", i) for i in range(200)]
+        got1 = self._run(spark, rows, 5)
+        assert len(got1) == 20
+        # shuffled input order -> identical sample
+        got2 = self._run(spark, rows[::-1], 5)
+        assert got1 == got2
+
+    def test_small_group_returns_all(self, spark):
+        got = self._run(spark, [("g", 1), ("g", 2)], 10)
+        assert len(got) == 2
+
+    def test_coordinated_across_relations(self, spark):
+        # the same ids win in two different tables sharing the id space
+        a = [("x", i) for i in range(50)]
+        b = [("x", i) for i in range(50)]
+        assert self._run(spark, a, 6) == self._run(spark, b, 6)
+
+    def test_bad_k_raises(self, spark):
+        from chunksilo_spark.operators.sketches import bottomk_sample
+
+        df = spark.createDataFrame([("g", 1)], "g string, id long")
+        with pytest.raises(ValueError):
+            bottomk_sample(df, ["g"], "id", k=0)
