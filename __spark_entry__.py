@@ -597,6 +597,20 @@ def _d_semdedup(spark, sf):  # SemDeDup: cluster + within-cluster cosine prune
     return dd.semdedup(_t(spark, sf, "embeddings"), threshold=0.25)
 
 
+def _d_semdedup_kmeans(spark, sf):  # SemDeDup over the k-means assignment
+    # the SemDeDup paper's actual recipe (k-means clusters, not sign
+    # buckets) through the cluster_col seam; the oracle replays the full
+    # Lloyd's fit as CTEs and the within-cluster prune on its labels
+    from chunksilo_spark.operators.clustering import kmeans_assign
+
+    emb = _t(spark, sf, "embeddings")
+    clustered = emb.join(
+        kmeans_assign(emb, k=4, iters=2).select("vec_id", "cluster_id"),
+        "vec_id",
+    )
+    return dd.semdedup(clustered, threshold=0.25, cluster_col="cluster_id")
+
+
 def _t_quality_model(spark, sf):  # fastText-style hashed linear classifier
     # md5-seeded pseudo-weights (a trained vector drops in as a plan
     # literal with the same shape); one scan, zero shuffle; the oracle
@@ -2097,6 +2111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_stratified_sample": _t_stratified_sample,
         "d_dup_spans": _d_dup_spans,
         "d_semdedup": _d_semdedup,
+        "d_semdedup_kmeans": _d_semdedup_kmeans,
         "t_quality_model": _t_quality_model,
         "t_url_filter": _t_url_filter,
         "s_knn_bruteforce": _s_knn_bruteforce,
@@ -2949,6 +2964,26 @@ def oracle_sql() -> dict[str, str]:
                    p.dup_of IS NULL AS keep
             FROM c LEFT JOIN p USING (vec_id)
         """,
+        # the k-means fit replayed as a CTE (the s_kmeans oracle verbatim),
+        # then the identical within-cluster min-id cosine prune
+        "d_semdedup_kmeans": """
+            WITH base AS ({km}
+            ), v AS (
+                SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+            ), c AS (
+                SELECT v.vec_id, v.e, base.cluster_id
+                FROM v JOIN base USING (vec_id)
+            ), p AS (
+                SELECT b.vec_id AS vec_id, min(a.vec_id) AS dup_of
+                FROM c a JOIN c b
+                  ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+                WHERE list_cosine_similarity(a.e, b.e) >= 0.25
+                GROUP BY b.vec_id
+            )
+            SELECT c.vec_id, c.cluster_id, p.dup_of,
+                   p.dup_of IS NULL AS keep
+            FROM c LEFT JOIN p USING (vec_id)
+        """.format(km=_kmeans_oracle(k=4, iters=2)),
         # URL curation verdicts: construction mirrored, verdicts derived
         # independently (LIKE-suffix disjunction vs suffix-explode)
         "t_url_filter": """
