@@ -1595,6 +1595,16 @@ def _x_dsir_sample(spark, sf):  # importance RESAMPLING off DSIR weights
     )
 
 
+def _x_domain_mix(spark, sf):  # target-mixture domain rebalancing
+    # en is over-represented in the corpus; the 50/25/25 targets make a
+    # minority language the binding domain (p == 1) and thin the rest
+    return cu.mix_to_target(
+        _t(spark, sf, "documents"),
+        "lang",
+        {"en": 0.5, "de": 0.25, "fr": 0.25},
+    ).select("doc_id", "lang", "accept_p")
+
+
 def _t_bottomk_sample(spark, sf):  # deterministic per-group k-sample
     from chunksilo_spark.operators.sketches import bottomk_sample
 
@@ -2096,6 +2106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_bpe_merges": _t_bpe_merges,
         "x_bpe_token_counts": _t_bpe_token_counts,
         "x_dsir_sample": _x_dsir_sample,
+        "x_domain_mix": _x_domain_mix,
         "t_bottomk_sample": _t_bottomk_sample,
         "t_tfidf_terms": _t_tfidf_terms,
         # -- previously-green rows that keep their driver window slot --
@@ -4378,6 +4389,33 @@ def oracle_sql() -> dict[str, str]:
             FROM est
             ORDER BY est_count DESC, value ASC
             LIMIT 10
+        """,
+        # the identical mixture math: T = min(count/target) over target
+        # domains, p = target * T / count, keep iff u(id) < p — float op
+        # order pinned term by term
+        "x_domain_mix": """
+            WITH tgt AS (
+                SELECT * FROM (VALUES
+                    ('en', CAST(0.5 AS DOUBLE)),
+                    ('de', CAST(0.25 AS DOUBLE)),
+                    ('fr', CAST(0.25 AS DOUBLE))) AS v(lang, tfrac)
+            ), counts AS (
+                SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+            ), r AS (
+                SELECT c.lang, c.n, tgt.tfrac
+                FROM counts c JOIN tgt USING (lang)
+            ), tt AS (
+                SELECT MIN(CAST(n AS DOUBLE) / tfrac) AS tot FROM r
+            ), p AS (
+                SELECT r.lang,
+                       r.tfrac * (SELECT tot FROM tt) / CAST(r.n AS DOUBLE)
+                           AS p
+                FROM r
+            )
+            SELECT d.doc_id, d.lang, round(p.p, 6) AS accept_p
+            FROM documents d JOIN p USING (lang)
+            WHERE (('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))
+                   ::UBIGINT)::DOUBLE / 1152921504606846976.0 < p.p
         """,
         # the identical bottom-k algebra: 60-bit md5 of the id, per-group
         # row_number over (hash, id), keep pos <= 5

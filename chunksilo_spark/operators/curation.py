@@ -794,3 +794,66 @@ def importance_sample(
         scored.withColumn("accept_p", F.round(p, 6))
         .where(u < p)
     )
+
+
+def mix_to_target(
+    docs: DataFrame,
+    domain_col: str,
+    targets: dict[str, float],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reweight the corpus to a TARGET DOMAIN MIXTURE by deterministic
+    down-sampling — the data-mixing step between curation and export
+    (e.g. "the training set should be 50% en / 25% de / 25% fr
+    regardless of what the crawl happened to fetch").
+
+    Feasibility math (pinned, both engines): the binding domain is the
+    one with the least data relative to its target; total output size
+    ``T = min_d(count_d / target_d)`` over target domains present in the
+    corpus, and each domain keeps rows with probability
+    ``p_d = (target_d * T) / count_d`` (== 1 for the binding domain —
+    down-sampling only, nothing is upweighted or duplicated). Domains
+    not in ``targets`` are dropped. The coin is the repo-wide md5 hash
+    of the id, so the mixture — like every sample here — is reproducible
+    and SQL-checkable; adds ``accept_p`` (rounded 6dp).
+
+    100 TB shape: one combinable count aggregation (domain-cardinality
+    rows), a 1-row scalar min cross-joined back (the dangling-mass
+    pattern), and a BROADCAST rates join + map-side filter over the
+    corpus — the corpus itself never shuffles.
+    """
+    if not targets or any(t <= 0 for t in targets.values()):
+        raise ValueError("targets must be a non-empty dict of positive fracs")
+    spark = docs.sparkSession
+    tdf = spark.createDataFrame(
+        sorted(targets.items()), f"{domain_col} string, _t double"
+    )
+    counts = docs.groupBy(domain_col).agg(F.count(F.lit(1)).alias("_n"))
+    rates = counts.join(F.broadcast(tdf), domain_col)
+    t_row = rates.agg(
+        F.min(F.col("_n").cast("double") / F.col("_t")).alias("_T")
+    )
+    # t_row derives from rates, so qualify the self-referential crossJoin
+    rates = (
+        rates.alias("l")
+        .crossJoin(F.broadcast(t_row.alias("r")))
+        .select(
+            F.col(f"l.{domain_col}"),
+            (
+                F.col("l._t") * F.col("r._T") / F.col("l._n").cast("double")
+            ).alias("_p"),
+        )
+    )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+        ).cast("long")
+        .cast("double")
+        / F.lit(float(1 << 60))
+    )
+    return (
+        docs.join(F.broadcast(rates), domain_col)
+        .withColumn("accept_p", F.round(F.col("_p"), 6))
+        .where(u < F.col("_p"))
+        .drop("_p")
+    )

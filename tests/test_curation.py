@@ -701,3 +701,68 @@ class TestImportanceSample:
             importance_sample(df, "w", temperature=0)
         with pytest.raises(ValueError):
             importance_sample(df, "w", scale=-1)
+
+
+class TestMixToTarget:
+    def _docs(self, spark):
+        rows = [(i, ["en", "en", "en", "en", "de", "fr"][i % 6]) for i in range(600)]
+        return spark.createDataFrame(rows, "doc_id long, lang string"), rows
+
+    def test_matches_python_formula(self, spark):
+        import hashlib
+
+        from chunksilo_spark.operators.curation import mix_to_target
+
+        df, rows = self._docs(spark)
+        targets = {"en": 0.5, "de": 0.25, "fr": 0.25}
+        counts = {}
+        for _, g in rows:
+            counts[g] = counts.get(g, 0) + 1
+        T = min(counts[d] / t for d, t in targets.items())
+        exp = {}
+        for i, g in rows:
+            if g not in targets:
+                continue
+            p = targets[g] * T / counts[g]
+            u = int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) / float(
+                1 << 60
+            )
+            if u < p:
+                exp[i] = (g, round(p, 6))
+        got = {
+            r["doc_id"]: (r["lang"], r["accept_p"])
+            for r in mix_to_target(df, "lang", targets).collect()
+        }
+        assert got == exp
+
+    def test_binding_domain_fully_kept_and_mixture_near_target(self, spark):
+        from chunksilo_spark.operators.curation import mix_to_target
+
+        df, rows = self._docs(spark)
+        # de and fr are 100 rows each vs en 400; targets make de binding
+        out = mix_to_target(df, "lang", {"en": 0.5, "de": 0.25, "fr": 0.25})
+        by = {r[0]: r[1] for r in out.groupBy("lang").count().collect()}
+        assert by["de"] == 100  # binding domain: p == 1, nothing dropped
+        # en target is 2x de's: expected 200 of 400 (binomial, wide margin)
+        assert 150 <= by["en"] <= 250
+        assert 75 <= by["fr"] <= 100
+
+    def test_unlisted_domains_dropped(self, spark):
+        from chunksilo_spark.operators.curation import mix_to_target
+
+        df, _ = self._docs(spark)
+        out = mix_to_target(df, "lang", {"en": 1.0})
+        assert {r["lang"] for r in out.select("lang").distinct().collect()} == {
+            "en"
+        }
+
+    def test_bad_targets_raise(self, spark):
+        import pytest as _pytest
+
+        from chunksilo_spark.operators.curation import mix_to_target
+
+        df, _ = self._docs(spark)
+        with _pytest.raises(ValueError):
+            mix_to_target(df, "lang", {})
+        with _pytest.raises(ValueError):
+            mix_to_target(df, "lang", {"en": 0.0})
