@@ -96,6 +96,11 @@ HEADLINE = [
     "j6_bloom_prune",
     "s_kmeans",
     "t_bpe_merges",
+    # round-4 (cont.): the composed funnels — train-then-count token
+    # budget, SemDeDup over the k-means assignment, target domain mixing
+    "x_bpe_token_counts",
+    "d_semdedup_kmeans",
+    "x_domain_mix",
 ]
 
 

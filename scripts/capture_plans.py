@@ -197,6 +197,13 @@ CAPTURE = [
      "lineage cut (plan depth O(1) in rounds); each round was one "
      "vocab-relation aggregation + a 1-row TakeOrdered to the driver + "
      "one literal replace projection"),
+    ("x_dsir_sample", "the acceptance test is a map-side Filter over the "
+     "scored relation — exp/compare in codegen, no shuffle added to the "
+     "DSIR plan"),
+    ("x_domain_mix", "domain rates join back as a BroadcastHashJoin "
+     "(domain-cardinality relation); the corpus side is scan -> "
+     "broadcast-join -> filter, zero corpus shuffle; the scalar T rides "
+     "a 1-row broadcast cross-join (the dangling-mass pattern)"),
 ]
 
 
