@@ -69,7 +69,14 @@ def _seq_col(word: Column) -> Column:
     """word -> its bracketed single-character symbol sequence. The split
     points are positions that are neither start nor end (the ``(?=.)``
     guard — Spark's split keeps trailing empties, unlike DuckDB's
-    ``string_split(w, '')``, and an empty symbol would corrupt merges)."""
+    ``string_split(w, '')``, and an empty symbol would corrupt merges).
+
+    Character boundary pin: Java regex positions are UTF-16 code units,
+    so astral-plane characters (emoji etc.) split into surrogate halves
+    here while DuckDB splits by codepoint. BMP text (tested incl.
+    accented latin) is identical in both; byte-level BPE over
+    ``encode('utf-8')`` is the production answer if astral input
+    matters, and slots into the same bracket algebra."""
     return F.concat(
         F.lit(_O),
         F.array_join(F.split(word, r"(?!^)(?=.)"), _C + _O),
