@@ -659,14 +659,27 @@ def semdedup(
             F.col(vec_col).cast("array<double>").alias("_v"),
             F.col(cluster_col).alias("cluster_id"),
         )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v
+        )
+    )
+    # norms precomputed per ROW, not per pair: the interpreted fold runs
+    # n times instead of 3x per pair (the fold value is identical either
+    # way, so the cosine — and the oracle — is bit-for-bit unchanged;
+    # measured 12.2 -> 5.1 s warm on the k=4 kmeans clustering at sf0.1,
+    # of which ~2.3 s is the Lloyd's fit itself)
+    clustered = clustered.withColumn("_n", norm(F.col("_v")))
     a = clustered.select(
         F.col(id_col).alias("_ida"),
         F.col("_v").alias("_va"),
+        F.col("_n").alias("_na"),
         F.col("cluster_id"),
     )
     b = clustered.select(
         F.col(id_col).alias("_idb"),
         F.col("_v").alias("_vb"),
+        F.col("_n").alias("_nb"),
         F.col("cluster_id"),
     )
     dot = F.aggregate(
@@ -674,18 +687,11 @@ def semdedup(
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(
-            F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v
-        )
-    )
     # threshold compares the UNROUNDED cosine: both engines do sequential
     # double folds, so they disagree only within ~1 ulp of the threshold —
     # rounding first would widen that flip window to every value near a
     # rounding boundary
-    cos = dot / F.greatest(
-        norm(F.col("_va")) * norm(F.col("_vb")), F.lit(1e-12)
-    )
+    cos = dot / F.greatest(F.col("_na") * F.col("_nb"), F.lit(1e-12))
     dups = (
         a.join(b, "cluster_id")
         .where(F.col("_ida") < F.col("_idb"))
