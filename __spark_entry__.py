@@ -1516,6 +1516,24 @@ def _g_bfs_depth(spark, sf):  # min-hop BFS from a seed set
     return gr.bfs_depths(halving.union(side), seeds, max_depth=6)
 
 
+def _g_closeness(spark, sf):  # Eppstein-Wang approximate closeness
+    # same bounded-branching halving graph as g_bfs_depth; 4 hash-minimum
+    # seeds, per-seed BFS to depth 6 — the oracle re-enumerates all paths
+    # per seed with a recursive CTE + min(depth) and applies the same
+    # inverse-mean-distance formula
+    docs = _t(spark, sf, "documents").select("doc_id")
+    d = F.col("doc_id")
+    halving = docs.where(d > 0).select(
+        d.alias("src"), (d / 2).cast("long").alias("dst")
+    )
+    side = docs.where((d % 7 == 3) & (d > 0)).select(
+        d.alias("src"), (d - 1).cast("long").alias("dst")
+    )
+    return gr.approx_closeness(
+        halving.union(side), n_seeds=4, max_depth=6
+    )
+
+
 def _g_random_walks(spark, sf):  # deterministic hash-random walk corpus
     # same bounded-branching graph as g_bfs_depth; each step's choice is
     # argmax md5(walk_id|step|dst) so DuckDB re-derives every step with
@@ -2083,6 +2101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_pagerank_weighted": _g_pagerank_weighted,
         "g_ppr": _g_ppr,
         "g_bfs_depth": _g_bfs_depth,
+        "g_closeness": _g_closeness,
         "g_random_walks": _g_random_walks,
         "t_bigram_lm": _t_bigram_lm,
         "t_dsir_weights": _t_dsir_weights,
@@ -4000,6 +4019,47 @@ def oracle_sql() -> dict[str, str]:
         # depth-bounded all-paths recursive CTE + min(depth): independent
         # derivation of BFS min-hop distance (the Spark side never
         # enumerates paths — it prunes via the visited set)
+        # per-seed all-paths recursive enumeration + min(depth), then the
+        # identical inverse-mean-distance formula; seeds by the same
+        # md5-minimum ordered take
+        "g_closeness": """
+            WITH RECURSIVE e AS (
+                SELECT doc_id AS src, doc_id // 2 AS dst
+                FROM documents WHERE doc_id > 0
+                UNION ALL
+                SELECT doc_id, doc_id - 1
+                FROM documents WHERE doc_id % 7 = 3 AND doc_id > 0
+            ), nodes AS (
+                -- explicit DISTINCT: inside WITH RECURSIVE, DuckDB
+                -- parses a bare UNION as the recursive union operator
+                -- and does NOT dedup a non-recursive CTE's branches
+                SELECT DISTINCT node FROM (
+                    SELECT src AS node FROM e
+                    UNION ALL SELECT dst FROM e
+                )
+            ), seeds AS (
+                SELECT node AS seed FROM nodes
+                ORDER BY (('0x' || substr(md5(node::VARCHAR), 1, 15))
+                          ::UBIGINT)::BIGINT ASC, node ASC
+                LIMIT 4
+            ), bfs AS (
+                SELECT seed, seed AS node, 0 AS depth FROM seeds
+                UNION ALL
+                SELECT bfs.seed, e.dst, bfs.depth + 1
+                FROM bfs JOIN e ON bfs.node = e.src
+                WHERE bfs.depth < 6
+            ), md AS (
+                SELECT seed, node, min(depth) AS depth
+                FROM bfs GROUP BY seed, node
+            )
+            SELECT node, COUNT(*) AS reached,
+                   CAST(SUM(depth) AS BIGINT) AS sum_depth,
+                   CASE WHEN SUM(depth) > 0
+                        THEN round(CAST(COUNT(*) AS DOUBLE)
+                                   / CAST(SUM(depth) AS DOUBLE), 6)
+                   END AS inv_avg_dist
+            FROM md GROUP BY node
+        """,
         "g_bfs_depth": """
             WITH RECURSIVE e AS (
                 SELECT doc_id AS src, doc_id // 2 AS dst

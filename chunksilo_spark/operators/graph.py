@@ -1640,3 +1640,90 @@ def condensation(
         .distinct()
     )
     return labeled
+
+
+def approx_closeness(
+    edges: DataFrame,
+    n_seeds: int = 8,
+    max_depth: int = 10,
+) -> DataFrame:
+    """Approximate closeness centrality (Eppstein & Wang 2004) ->
+    (node, reached, sum_depth, inv_avg_dist): BFS distances from a
+    SAMPLE of seed nodes stand in for all-pairs distances — the only way
+    closeness exists at web scale, where exact all-pairs BFS is O(nm).
+
+    Pinned algebra: seeds = the ``n_seeds`` nodes with the smallest
+    md5-60bit hashes (the bottom-k construction — an ordered take, never
+    a partition-order-dependent limit, and the SAME sample every run /
+    engine); per-seed min-hop depths by level-synchronous BFS on
+    (seed, node) state; per node, ``reached`` = seeds that reach it,
+    ``sum_depth`` = their distance total, and
+    ``inv_avg_dist = round(reached / sum_depth, 6)`` (NULL when
+    sum_depth = 0, i.e. the node is only reached by itself as a seed) —
+    the inverse mean seed distance, a monotone stand-in for closeness
+    that needs no global n and handles disconnection honestly (only
+    reached pairs count, the web-graph reality Eppstein-Wang's
+    connected-graph formula ignores).
+
+    100 TB shape: identical to :func:`bfs_depths` with the frontier
+    carrying (seed, node) — per level one equi-join keyed on the hop
+    node (AQE splits hubs) and one anti-join on (seed, node); state is
+    at most n_seeds x reachable-nodes, the deliberate EW trade. Seed
+    selection is a TakeOrderedAndProject heap merge, not a sort. Lineage
+    cut per level.
+    """
+    if n_seeds < 1 or max_depth < 1:
+        raise ValueError("approx_closeness needs n_seeds, max_depth >= 1")
+    h = F.conv(
+        F.substring(F.md5(F.col("node").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    seeds = (
+        nodes.orderBy(h.asc(), F.col("node").asc())
+        .limit(n_seeds)
+        .select(F.col("node").alias("seed"))
+    )
+    visited = cut_lineage(
+        seeds.select(
+            "seed",
+            F.col("seed").alias("node"),
+            F.lit(0).cast("long").alias("depth"),
+        )
+    )
+    frontier = visited
+    e = edges.select("src", "dst")
+    for d in range(1, max_depth + 1):
+        nxt = cut_lineage(
+            frontier.join(e, frontier["node"] == e["src"])
+            .select("seed", F.col("dst").alias("node"))
+            .distinct()
+            .join(
+                visited.select("seed", "node"), ["seed", "node"], "left_anti"
+            )
+            .withColumn("depth", F.lit(d).cast("long"))
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        visited = cut_lineage(visited.unionByName(nxt))
+        frontier = nxt
+    agg = visited.groupBy("node").agg(
+        F.count(F.lit(1)).alias("reached"),
+        F.sum("depth").alias("sum_depth"),
+    )
+    return agg.select(
+        "node",
+        "reached",
+        "sum_depth",
+        F.when(
+            F.col("sum_depth") > 0,
+            F.round(
+                F.col("reached").cast("double")
+                / F.col("sum_depth").cast("double"),
+                6,
+            ),
+        ).alias("inv_avg_dist"),
+    )

@@ -1852,3 +1852,82 @@ class TestSccHubSkew:
         assert got == _tarjan_scc(edges)
         giant = {v for v, c in got.items() if c == 0}
         assert giant == {0} | {i for i in range(1, n) if i % 3 == 0}
+
+
+def _python_closeness(edges, n_seeds, max_depth):
+    import hashlib
+
+    adj = {}
+    nodes = set()
+    for s, d in edges:
+        adj.setdefault(s, []).append(d)
+        nodes.update((s, d))
+
+    def h(v):
+        return int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+
+    seeds = sorted(nodes, key=lambda v: (h(v), v))[:n_seeds]
+    dist = {}
+    for seed in seeds:
+        depth = {seed: 0}
+        frontier = [seed]
+        for d in range(1, max_depth + 1):
+            nxt = []
+            for u in frontier:
+                for v in adj.get(u, []):
+                    if v not in depth:
+                        depth[v] = d
+                        nxt.append(v)
+            if not nxt:
+                break
+            frontier = nxt
+        for v, d in depth.items():
+            r, s = dist.get(v, (0, 0))
+            dist[v] = (r + 1, s + d)
+    return {
+        v: (r, s, round(r / s, 6) if s > 0 else None)
+        for v, (r, s) in dist.items()
+    }
+
+
+class TestApproxCloseness:
+    def _run(self, spark, edges, n_seeds, max_depth=10):
+        e = spark.createDataFrame(edges, "src long, dst long").repartition(4)
+        got = G.approx_closeness(e, n_seeds=n_seeds, max_depth=max_depth)
+        return {
+            r["node"]: (r["reached"], r["sum_depth"], r["inv_avg_dist"])
+            for r in got.collect()
+        }
+
+    def test_matches_python_bfs_oracle(self, spark):
+        # halving graph + side edges: multi-path minima, merging frontiers
+        edges = [(i, i // 2) for i in range(1, 120)] + [
+            (i, i - 1) for i in range(3, 120, 7)
+        ]
+        for n_seeds in (2, 5):
+            assert self._run(spark, edges, n_seeds) == _python_closeness(
+                edges, n_seeds, 10
+            ), n_seeds
+
+    def test_star_center_is_most_central(self, spark):
+        # every spoke points at the hub: the hub is 1 hop from every seed
+        edges = [(i, 0) for i in range(1, 40)]
+        got = self._run(spark, edges, n_seeds=6)
+        hub = got[0]
+        assert hub[0] == 6  # reached by all seeds (itself if sampled)
+        best = max(
+            (v for v in got.values() if v[2] is not None), key=lambda v: v[2]
+        )
+        assert hub[2] == best[2]
+
+    def test_depth_cap_bounds_reach(self, spark):
+        edges = [(i, i + 1) for i in range(30)]  # a path
+        got = self._run(spark, edges, n_seeds=1, max_depth=3)
+        assert max(s for _, s, _ in got.values()) <= 3
+
+    def test_bad_params_raise(self, spark):
+        import pytest as _pytest
+
+        e = spark.createDataFrame([(1, 2)], "src long, dst long")
+        with _pytest.raises(ValueError):
+            G.approx_closeness(e, n_seeds=0)
