@@ -1810,6 +1810,44 @@ def _t_kmv_cardinality(spark, sf):  # KMV distinct sketch, exact-SQL algebra
     return kmv_distinct(ev, ["event_type"], "cents", k=32)
 
 
+def _t_kmv_merge(spark, sf):  # mergeable KMV: sharded states roll up
+    # the corpus split into two overlapping-value shards; merging their
+    # bounded states must land EXACTLY on the global sketch (the
+    # bottom-k composability identity) — the oracle is the global KMV
+    # SQL verbatim
+    from chunksilo_spark.operators.sketches import kmv_merge, kmv_state
+
+    ev = _t(spark, sf, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        "event_id",
+    )
+    shards = [ev.where(F.col("event_id") % 2 == i) for i in (0, 1)]
+    return kmv_merge(
+        [kmv_state(s, ["event_type"], "cents", k=32) for s in shards],
+        ["event_type"],
+        k=32,
+    )
+
+
+def _c_frontier_schedule(spark, sf):  # politeness-interleaved fetch order
+    # synthetic frontier off documents: 7 hosts, priority = n_chars;
+    # first scheduling wave of 60
+    from chunksilo_spark.operators.frontier import schedule_frontier
+
+    d = F.col("doc_id")
+    frontier = _t(spark, sf, "documents").select(
+        F.concat(F.lit("h"), (d % 7).cast("string"), F.lit(".example"))
+        .alias("host"),
+        F.concat(
+            F.lit("https://h"), (d % 7).cast("string"),
+            F.lit(".example/p"), d.cast("string"),
+        ).alias("url"),
+        F.col("n_chars").cast("double").alias("priority"),
+    )
+    return schedule_frontier(frontier, limit=60)
+
+
 def _t_cm_heavy_hitters(spark, sf):  # Count-Min frequency sketch top-k
     # width 64 << the ~150 distinct users at sf0.01, so collisions are
     # REAL and the min-over-depth estimate differs from exact counts —
@@ -2119,6 +2157,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_bowtie": _g_bowtie,
         "g_clustering": _g_clustering,
         "t_kmv_cardinality": _t_kmv_cardinality,
+        "t_kmv_merge": _t_kmv_merge,
+        "c_frontier_schedule": _c_frontier_schedule,
         "t_cm_heavy_hitters": _t_cm_heavy_hitters,
         "t_quantile_sketch": _t_quantile_sketch,
         "t_bpe_pairs": _t_bpe_pairs,
@@ -2259,7 +2299,7 @@ _GRAPH_EDGES_SQL = """
 """
 
 
-def oracle_sql() -> dict[str, str]:
+def _oracle_sql_body() -> dict[str, str]:
     sw = _sw_list("en")
     q_tokens = "['spark', 'join', 'window', 'table', 'scan']"
     return {
@@ -4416,6 +4456,31 @@ def oracle_sql() -> dict[str, str]:
                        AS est_distinct
             FROM pg
         """,
+        # the identical interleave algebra: per-host row_number by
+        # (priority desc, url), global order (pos, priority desc, url),
+        # first wave of 60
+        "c_frontier_schedule": """
+            WITH f AS (
+                SELECT 'h' || (doc_id % 7)::VARCHAR || '.example' AS host,
+                       'https://h' || (doc_id % 7)::VARCHAR
+                           || '.example/p' || doc_id::VARCHAR AS url,
+                       CAST(n_chars AS DOUBLE) AS priority
+                FROM documents
+            ), ranked AS (
+                SELECT host, url, priority,
+                       CAST(row_number() OVER (PARTITION BY host
+                            ORDER BY priority DESC, url ASC) AS BIGINT)
+                           AS pos
+                FROM f
+            )
+            SELECT host, url, priority, pos,
+                   CAST(row_number() OVER (
+                       ORDER BY pos ASC, priority DESC, url ASC) AS BIGINT)
+                       AS sched_rank
+            FROM ranked
+            ORDER BY pos ASC, priority DESC, url ASC
+            LIMIT 60
+        """,
         # the identical Count-Min algebra: per-salt md5 bucket, counter =
         # rows per (salt, bucket), estimate = min over the 3 salted rows,
         # top-10 on (est_count desc, value asc)
@@ -4706,3 +4771,11 @@ def oracle_sql() -> dict[str, str]:
             WHERE ls.component <> ld.component
         """,
     }
+
+
+def oracle_sql() -> dict[str, str]:
+    out = _oracle_sql_body()
+    # merge-of-shard-states == the global sketch is the algebraic
+    # identity t_kmv_merge tests, so its oracle IS the global KMV SQL
+    out["t_kmv_merge"] = out["t_kmv_cardinality"]
+    return out

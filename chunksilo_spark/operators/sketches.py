@@ -38,6 +38,8 @@ __all__ = [
     "cm_estimate",
     "histogram_quantiles",
     "bottomk_sample",
+    "kmv_state",
+    "kmv_merge",
 ]
 
 # first 15 md5 hex chars -> uniform integer in [0, 2^60)
@@ -330,4 +332,67 @@ def bottomk_sample(
         df.select(*group_cols, F.col(id_col))
         .withColumn("pos", F.row_number().over(w).cast("long"))
         .where(F.col("pos") <= k)
+    )
+
+
+def kmv_state(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 32,
+) -> DataFrame:
+    """(group_cols..., h): the per-group KMV synopsis — the k smallest
+    distinct 60-bit hashes. THE mergeable form: bottom-k sketches
+    compose exactly (bottom-k of a union of bottom-ks == bottom-k of
+    the union), so per-shard / per-snapshot states roll up to the
+    corpus estimate without rescanning anything —
+    ``kmv_merge(kmv_state(shard1), kmv_state(shard2)) ==
+    kmv_distinct(shard1 ∪ shard2)`` bit-for-bit (pinned by test)."""
+    if k < 2:
+        raise ValueError("kmv k must be >= 2")
+    dv = (
+        df.select(*group_cols, F.col(value_col).alias("_v"))
+        .distinct()
+        .select(*group_cols, _h60(F.col("_v")).alias("h"))
+    )
+    w = Window.partitionBy(*group_cols).orderBy(F.asc("h"))
+    return (
+        dv.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def kmv_merge(
+    states: list[DataFrame],
+    group_cols: list[str],
+    k: int = 32,
+) -> DataFrame:
+    """Merge per-shard KMV states -> the same (group_cols..., n_kept,
+    est_distinct) relation ``kmv_distinct`` computes over the union of
+    the shards. Cost: the union of the (bounded, shards x k per group)
+    state relations — never the shards' rows."""
+    if not states:
+        raise ValueError("kmv_merge needs at least one state")
+    u = states[0]
+    for s in states[1:]:
+        u = u.unionByName(s)
+    dv = u.select(*group_cols, "h").distinct()
+    w = Window.partitionBy(*group_cols).orderBy(F.asc("h"))
+    ranked = dv.select(*group_cols, "h", F.row_number().over(w).alias("_rn"))
+    per_group = ranked.where(F.col("_rn") <= k).groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.min(F.when(F.col("_rn") == k, F.col("h"))).alias("_hk"),
+    )
+    full = F.col("_n") >= k
+    return per_group.select(
+        *group_cols,
+        F.when(full, F.lit(k)).otherwise(F.col("_n")).alias("n_kept"),
+        F.round(
+            F.when(
+                full,
+                F.lit(float(k - 1)) * F.lit(_HASH_SPACE) / F.col("_hk"),
+            ).otherwise(F.col("_n").cast("double")),
+            4,
+        ).alias("est_distinct"),
     )

@@ -1,0 +1,68 @@
+"""Frontier scheduler: python parity, host interleaving, wave limit."""
+
+from __future__ import annotations
+
+from chunksilo_spark.operators.frontier import schedule_frontier
+
+
+def _python_schedule(rows, limit=None):
+    by_host = {}
+    for h, u, p in rows:
+        by_host.setdefault(h, []).append((u, p))
+    ranked = []
+    for h, items in by_host.items():
+        for pos, (u, p) in enumerate(
+            sorted(items, key=lambda x: (-x[1], x[0])), start=1
+        ):
+            ranked.append((h, u, p, pos))
+    ranked.sort(key=lambda r: (r[3], -r[2], r[1]))
+    if limit is not None:
+        ranked = ranked[:limit]
+    return [
+        (h, u, p, pos, i + 1) for i, (h, u, p, pos) in enumerate(ranked)
+    ]
+
+
+ROWS = [
+    (f"h{i % 5}.example", f"https://h{i % 5}.example/p{i}", float((i * 13) % 37))
+    for i in range(120)
+]
+
+
+class TestScheduleFrontier:
+    def _run(self, spark, rows, limit=None):
+        df = spark.createDataFrame(
+            rows, "host string, url string, priority double"
+        )
+        got = schedule_frontier(df, limit=limit)
+        return sorted(
+            (r["host"], r["url"], r["priority"], r["pos"], r["sched_rank"])
+            for r in got.collect()
+        )
+
+    def test_matches_python_formula(self, spark):
+        assert self._run(spark, ROWS) == sorted(_python_schedule(ROWS))
+
+    def test_wave_limit_is_the_schedule_prefix(self, spark):
+        assert self._run(spark, ROWS, limit=17) == sorted(
+            _python_schedule(ROWS, limit=17)
+        )
+
+    def test_hosts_interleave_no_host_twice_before_all_have_a_turn(
+        self, spark
+    ):
+        got = self._run(spark, ROWS)
+        order = [h for h, *_ in sorted(got, key=lambda r: r[4])]
+        hosts = set(order)
+        # within the first |hosts| slots every host appears exactly once
+        assert set(order[: len(hosts)]) == hosts
+
+    def test_priority_respected_within_host(self, spark):
+        got = self._run(spark, ROWS)
+        per_host = {}
+        for h, u, p, pos, _ in got:
+            per_host.setdefault(h, []).append((pos, p))
+        for h, items in per_host.items():
+            items.sort()
+            prios = [p for _, p in items]
+            assert prios == sorted(prios, reverse=True), h

@@ -248,3 +248,55 @@ class TestBottomkSample:
         df = spark.createDataFrame([("g", 1)], "g string, id long")
         with pytest.raises(ValueError):
             bottomk_sample(df, ["g"], "id", k=0)
+
+
+class TestKmvMerge:
+    def test_sharded_merge_equals_global_sketch(self, spark):
+        from chunksilo_spark.operators.sketches import (
+            kmv_distinct,
+            kmv_merge,
+            kmv_state,
+        )
+
+        rows = [(f"g{i % 3}", i * 7 % 450) for i in range(900)]
+        df = spark.createDataFrame(rows, "g string, v long")
+        # row-interleaved shards so the same VALUE appears in several
+        # shards — the merge must dedup across states, not just rank
+        shards = [
+            spark.createDataFrame(rows[i::3], "g string, v long")
+            for i in range(3)
+        ]
+        merged = kmv_merge(
+            [kmv_state(s, ["g"], "v", k=16) for s in shards], ["g"], k=16
+        )
+        got = sorted(
+            (r["g"], r["n_kept"], r["est_distinct"]) for r in merged.collect()
+        )
+        want = sorted(
+            (r["g"], r["n_kept"], r["est_distinct"])
+            for r in kmv_distinct(df, ["g"], "v", k=16).collect()
+        )
+        assert got == want
+
+    def test_single_state_roundtrip(self, spark):
+        from chunksilo_spark.operators.sketches import (
+            kmv_distinct,
+            kmv_merge,
+            kmv_state,
+        )
+
+        df = spark.createDataFrame(
+            [("g", i) for i in range(10)], "g string, v long"
+        )
+        got = kmv_merge([kmv_state(df, ["g"], "v", k=32)], ["g"], k=32)
+        assert got.collect()[0]["est_distinct"] == 10.0
+        assert (
+            kmv_distinct(df, ["g"], "v", k=32).collect()[0]["est_distinct"]
+            == 10.0
+        )
+
+    def test_empty_states_raise(self, spark):
+        from chunksilo_spark.operators.sketches import kmv_merge
+
+        with pytest.raises(ValueError):
+            kmv_merge([], ["g"])
