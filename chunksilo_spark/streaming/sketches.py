@@ -27,7 +27,13 @@ from pyspark.sql import functions as F
 
 from ..operators.sketches import cm_build, cm_estimate
 
-__all__ = ["start_cm_maintenance", "merged_sketch", "merged_heavy_hitters"]
+__all__ = [
+    "start_cm_maintenance",
+    "merged_sketch",
+    "merged_heavy_hitters",
+    "start_kmv_maintenance",
+    "merged_kmv",
+]
 
 
 def start_cm_maintenance(
@@ -90,4 +96,62 @@ def merged_heavy_hitters(
     alone (the stream's rows are never re-read)."""
     return cm_estimate(
         merged_sketch(spark, out_dir), candidates, k=k, width=width, depth=depth
+    )
+
+
+def start_kmv_maintenance(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    group_col: str,
+    value_col: str,
+    schema: str,
+    k: int = 32,
+    available_now: bool = True,
+):
+    """Maintain per-group KMV distinct-count states over a growing
+    parquet directory — the distinct-cardinality twin of
+    :func:`start_cm_maintenance`. Per micro-batch, the batch's bounded
+    (group, h) bottom-k state (``sketches.kmv_state``) lands in a
+    ``batch_id=N`` partition (overwrite-idempotent); readers merge with
+    ``sketches.kmv_merge``, which lands EXACTLY on the batch sketch of
+    everything delivered (bottom-k composability)."""
+    from ..operators.sketches import kmv_state
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(src_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        state = kmv_state(batch_df, [group_col], value_col, k=k)
+        (
+            state.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(f"{out_dir}/kmv_state")
+        )
+
+    writer = stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def merged_kmv(
+    spark: SparkSession, out_dir: str, group_col: str, k: int = 32
+) -> DataFrame:
+    """(group, n_kept, est_distinct): all batch states merged — the
+    corpus distinct-count estimate as of the last delivered batch."""
+    from ..operators.sketches import kmv_merge
+
+    return kmv_merge(
+        [spark.read.parquet(f"{out_dir}/kmv_state").drop("batch_id")],
+        [group_col],
+        k=k,
     )

@@ -86,3 +86,38 @@ class TestStreamingSketches:
         q.awaitTermination(120)
         total2 = merged_sketch(spark, out).agg(F.sum("c")).collect()[0][0]
         assert total1 == total2 == 200 * 3  # rows x depth, counted once
+
+
+class TestStreamingKmv:
+    def test_streamed_kmv_equals_batch_sketch(self, spark, tmp_path):
+        from chunksilo_spark.operators.sketches import kmv_distinct
+        from chunksilo_spark.streaming.sketches import (
+            merged_kmv,
+            start_kmv_maintenance,
+        )
+
+        src = str(tmp_path / "src")
+        out = str(tmp_path / "out")
+        rows = spark.createDataFrame(
+            [(i, f"g{i % 2}", i * 3 % 200) for i in range(600)],
+            "id long, g string, v long",
+        )
+        # two appends -> multiple micro-batches with overlapping values
+        rows.where("id < 300").coalesce(2).write.mode("append").parquet(src)
+        rows.where("id >= 300").coalesce(2).write.mode("append").parquet(src)
+
+        q = start_kmv_maintenance(
+            spark, src, out, str(tmp_path / "c1"), "g", "v",
+            "id long, g string, v long", k=16,
+        )
+        q.awaitTermination(120)
+
+        got = sorted(
+            (r["g"], r["n_kept"], r["est_distinct"])
+            for r in merged_kmv(spark, out, "g", k=16).collect()
+        )
+        want = sorted(
+            (r["g"], r["n_kept"], r["est_distinct"])
+            for r in kmv_distinct(rows, ["g"], "v", k=16).collect()
+        )
+        assert got == want
