@@ -1960,6 +1960,50 @@ def _t_bpe_token_counts(spark, sf):  # corpus token budget under BPE
     return bpe_token_counts(docs, rules)
 
 
+def _x_bpe_vocab(spark, sf):  # token-id table from the trained merges
+    from chunksilo_spark.operators.tokenizer import bpe_train, bpe_vocab
+
+    docs = _t(spark, sf, "documents")
+    rules = [
+        (r["left"], r["right"])
+        for r in bpe_train(docs, n_merges=6).orderBy("merge_rank").collect()
+    ]
+    return bpe_vocab(docs, rules)
+
+
+def _bpe_vocab_oracle(n_merges: int = 6) -> str:
+    """DuckDB twin of _x_bpe_vocab: the training rounds, then ids —
+    binary-sorted base characters 0..C-1, merged symbols C+rank-1,
+    duplicates keep the smallest id."""
+    trained = _bpe_oracle(n_merges)
+    head = trained[: trained.rindex(" SELECT CAST(1 AS INT)")]
+    merged = " UNION ALL ".join(
+        'SELECT "left" || "right" AS token, '
+        "(SELECT n FROM nc) + {i} AS token_id FROM b{r}".format(i=r - 1, r=r)
+        for r in range(1, n_merges + 1)
+    )
+    return (
+        head
+        + """ , chars AS (
+            SELECT DISTINCT unnest(string_split(word, '')) AS token FROM wf
+        ), cid AS (
+            SELECT token,
+                   CAST(row_number() OVER (ORDER BY token) - 1 AS BIGINT)
+                       AS token_id
+            FROM chars
+        ), nc AS (
+            SELECT COUNT(*) AS n FROM chars
+        ), allv AS (
+            SELECT token, token_id FROM cid
+            UNION ALL """
+        + merged
+        + """
+        )
+        SELECT token, CAST(MIN(token_id) AS BIGINT) AS token_id
+        FROM allv GROUP BY token"""
+    )
+
+
 def _bpe_counts_oracle(n_merges: int = 6) -> str:
     """DuckDB twin of _t_bpe_token_counts: the _bpe_oracle training
     rounds (word carried through every round), then per-word token
@@ -2164,6 +2208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_bpe_pairs": _t_bpe_pairs,
         "t_bpe_merges": _t_bpe_merges,
         "x_bpe_token_counts": _t_bpe_token_counts,
+        "x_bpe_vocab": _x_bpe_vocab,
         "x_dsir_sample": _x_dsir_sample,
         "x_domain_mix": _x_domain_mix,
         "t_bottomk_sample": _t_bottomk_sample,
@@ -4590,6 +4635,9 @@ def _oracle_sql_body() -> dict[str, str]:
         # training rounds + segmentation sizes + corpus join — the whole
         # train-then-count funnel replayed
         "x_bpe_token_counts": _bpe_counts_oracle(n_merges=6),
+        # training rounds + the id algebra (binary-sorted chars, merges
+        # by rank, min-id dedup)
+        "x_bpe_vocab": _bpe_vocab_oracle(n_merges=6),
         # the identical histogram-quantile algebra: fixed-width bins off
         # per-group min/max, cumulative over bin order, first bin reaching
         # target = q*n, linear interpolation inside it — every float op in

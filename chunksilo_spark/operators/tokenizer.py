@@ -33,6 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..checkpointing import cut_lineage
 from ..functions.textstats import ws_tokens_clean
@@ -41,6 +42,8 @@ __all__ = [
     "bpe_train",
     "bpe_segment_words",
     "bpe_token_counts",
+    "bpe_vocab",
+    "bpe_encode_words",
     "word_frequencies",
     "initial_pair_counts",
 ]
@@ -218,4 +221,62 @@ def bpe_token_counts(
             F.count(F.lit(1)).alias("n_words"),
             F.sum("_n").alias("n_tokens"),
         )
+    )
+
+
+def bpe_vocab(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    lowercase: bool = True,
+) -> DataFrame:
+    """(token, token_id): the id table a trained tokenizer ships with —
+    base characters first (binary-sorted, ids 0..C-1; both engines
+    compare strings as UTF-8 bytes, so the order is a cross-engine pin),
+    then merged symbols in learned order (ids C + rank - 1). Two merges
+    can in principle produce the same string ("a"+"bc" == "ab"+"c");
+    duplicates keep the SMALLEST id, pinned via a min-groupBy.
+
+    The char relation is alphabet-sized and the merge table is
+    n_merges-sized, so the ranking window's single partition holds a few
+    hundred rows — bounded, not a scale concern."""
+    wf = word_frequencies(df, text_col, lowercase)
+    chars = wf.select(
+        F.explode(F.split(F.col("word"), r"(?!^)(?=.)")).alias("token")
+    ).distinct()
+    w = Window.orderBy(F.asc("token"))
+    cid = chars.withColumn(
+        "token_id", (F.row_number().over(w) - 1).cast("long")
+    )
+    n_chars = cid.count()
+    mrows = [(left + right, n_chars + i) for i, (left, right) in enumerate(merges)]
+    if mrows:
+        mdf = df.sparkSession.createDataFrame(
+            mrows, "token string, token_id long"
+        )
+        cid = cid.unionByName(mdf)
+    return cid.groupBy("token").agg(F.min("token_id").alias("token_id"))
+
+
+def bpe_encode_words(
+    words: DataFrame,
+    merges: list[tuple[str, str]],
+    vocab: dict[str, int],
+    word_col: str = "word",
+) -> DataFrame:
+    """(word, token_ids): segment with the merge table, then map symbols
+    through the (driver-bounded: alphabet + n_merges entries) vocab as a
+    map literal — the lookup is a codegen'd expression, no join. Symbols
+    absent from the vocab (characters unseen at train time) encode as
+    NULL; the caller's UNK policy applies."""
+    seg = bpe_segment_words(words, merges, word_col)
+    m = F.create_map(
+        *[
+            x
+            for t, i in sorted(vocab.items())
+            for x in (F.lit(t), F.lit(i))
+        ]
+    )
+    return seg.select(
+        word_col, F.transform("tokens", lambda t: m[t]).alias("token_ids")
     )

@@ -128,3 +128,61 @@ class TestBpeTokenCounts:
         df = spark.createDataFrame([(1, "ab cde")], "doc_id long, text string")
         got = bpe_token_counts(df, []).collect()[0]
         assert (got["n_words"], got["n_tokens"]) == (2, 5)
+
+
+class TestBpeVocabAndEncode:
+    def test_vocab_ids_chars_then_merges(self, spark):
+        from chunksilo_spark.operators.tokenizer import bpe_vocab
+
+        n = 6
+        merges, _ = _python_bpe(_wc(CORPUS), n)
+        rules = [(l, r) for _, l, r, _ in merges]
+        df = spark.createDataFrame([(t,) for t in CORPUS], "text string")
+        got = {
+            r["token"]: r["token_id"] for r in bpe_vocab(df, rules).collect()
+        }
+        chars = sorted({ch for t in CORPUS for ch in t.lower() if ch != " "})
+        exp = {ch: i for i, ch in enumerate(chars)}
+        for i, (l, r) in enumerate(rules):
+            exp.setdefault(l + r, len(chars) + i)
+        assert got == exp
+
+    def test_duplicate_merge_string_keeps_smallest_id(self, spark):
+        from chunksilo_spark.operators.tokenizer import bpe_vocab
+
+        df = spark.createDataFrame([("abc abc",)], "text string")
+        # contrive rules where ("a","bc") and ("ab","c") both yield "abc"
+        rules = [("b", "c"), ("a", "bc"), ("a", "b"), ("ab", "c")]
+        got = {
+            r["token"]: r["token_id"] for r in bpe_vocab(df, rules).collect()
+        }
+        assert got["abc"] == 3 + 1  # 3 chars, then rank-2 rule (index 1)
+
+    def test_encode_matches_segmentation_through_vocab(self, spark):
+        from chunksilo_spark.operators.tokenizer import (
+            bpe_encode_words,
+            bpe_vocab,
+            word_frequencies,
+        )
+
+        n = 8
+        merges, vocab_py = _python_bpe(_wc(CORPUS), n)
+        rules = [(l, r) for _, l, r, _ in merges]
+        df = spark.createDataFrame([(t,) for t in CORPUS], "text string")
+        vocab = {
+            r["token"]: r["token_id"] for r in bpe_vocab(df, rules).collect()
+        }
+        enc = bpe_encode_words(
+            word_frequencies(df).select("word"), rules, vocab
+        )
+        got = {r["word"]: list(r["token_ids"]) for r in enc.collect()}
+        exp = {w: [vocab[t] for t in toks] for w, toks in vocab_py.items()}
+        assert got == exp
+        assert all(None not in ids for ids in got.values())
+
+    def test_unseen_char_encodes_null(self, spark):
+        from chunksilo_spark.operators.tokenizer import bpe_encode_words
+
+        words = spark.createDataFrame([("zq",)], "word string")
+        got = bpe_encode_words(words, [], {"z": 0}).collect()[0]
+        assert list(got["token_ids"]) == [0, None]
