@@ -778,13 +778,9 @@ def importance_sample(
     """
     if temperature <= 0 or scale <= 0:
         raise ValueError("temperature and scale must be > 0")
-    u = (
-        F.conv(
-            F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
-        ).cast("long")
-        .cast("double")
-        / F.lit(float(1 << 60))
-    )
+    from .sketches import u01
+
+    u = u01(F.col(id_col))
     p = F.least(
         F.lit(1.0),
         F.lit(float(scale))
@@ -844,13 +840,9 @@ def mix_to_target(
             ).alias("_p"),
         )
     )
-    u = (
-        F.conv(
-            F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
-        ).cast("long")
-        .cast("double")
-        / F.lit(float(1 << 60))
-    )
+    from .sketches import u01
+
+    u = u01(F.col(id_col))
     return (
         docs.join(F.broadcast(rates), domain_col)
         .withColumn("accept_p", F.round(F.col("_p"), 6))

@@ -48,17 +48,8 @@ def schedule_frontier(
     ranked = frontier.select(
         host_col, url_col, priority_col
     ).withColumn("pos", F.row_number().over(wh).cast("long"))
-    total = [
-        F.asc("pos"),
-        F.desc(priority_col),
-        F.asc(url_col),
-    ]
-    out = ranked.orderBy(*total)
+    total = [F.asc("pos"), F.desc(priority_col), F.asc(url_col)]
     if limit is not None:
-        out = out.limit(limit)
-        wg = Window.orderBy(*total)
-        return out.withColumn(
-            "sched_rank", F.row_number().over(wg).cast("long")
-        )
+        ranked = ranked.orderBy(*total).limit(limit)
     wg = Window.orderBy(*total)
     return ranked.withColumn("sched_rank", F.row_number().over(wg).cast("long"))

@@ -1674,9 +1674,9 @@ def approx_closeness(
     """
     if n_seeds < 1 or max_depth < 1:
         raise ValueError("approx_closeness needs n_seeds, max_depth >= 1")
-    h = F.conv(
-        F.substring(F.md5(F.col("node").cast("string")), 1, 15), 16, 10
-    ).cast("long")
+    from .sketches import _h60
+
+    h = _h60(F.col("node"))
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))

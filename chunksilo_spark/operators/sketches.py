@@ -40,6 +40,7 @@ __all__ = [
     "bottomk_sample",
     "kmv_state",
     "kmv_merge",
+    "u01",
 ]
 
 # first 15 md5 hex chars -> uniform integer in [0, 2^60)
@@ -53,6 +54,15 @@ def _h60(col: Column) -> Column:
     return F.conv(
         F.substring(F.md5(col.cast("string")), 1, 15), 16, 10
     ).cast("long")
+
+
+def u01(col: Column) -> Column:
+    """The repo-wide deterministic coin: the 60-bit md5 hash mapped to
+    [0, 1) in IEEE double — ONE definition site for every hash-Bernoulli
+    acceptance test (importance_sample, mix_to_target). DuckDB twin:
+    ``(('0x' || substr(md5(x::VARCHAR), 1, 15))::UBIGINT)::DOUBLE
+    / 1152921504606846976.0``."""
+    return _h60(col).cast("double") / F.lit(_HASH_SPACE)
 
 
 def kmv_distinct(
@@ -186,10 +196,14 @@ def cm_estimate(
         "salt",
         _cm_bucket(F.concat(F.col("salt"), F.col("value")), width).alias("b"),
     )
+    # LEFT join + coalesce-to-0: a candidate bucket with NO counter row
+    # is an empty counter (count 0), and CM's estimate is the min over
+    # ALL depth rows — an inner join would silently skip empty buckets
+    # and over-estimate candidates absent from the corpus
     est = (
-        cand.join(F.broadcast(sketch), ["salt", "b"])
+        cand.join(F.broadcast(sketch), ["salt", "b"], "left")
         .groupBy("value")
-        .agg(F.min("c").alias("est_count"))
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est_count"))
     )
     # top-k FIRST via orderBy+limit (TakeOrderedAndProject: per-partition
     # heads + driver merge, never a global sort), then rank the k

@@ -76,7 +76,7 @@ def build_profile(
                 value_col,
                 quantiles=[0.5, 0.9, 0.99],
                 n_bins=64,
-            ).collect()
+            ).orderBy("quantile").collect()
         ]
     if text_col:
         profile["mean_text_chars"] = round(

@@ -19,13 +19,13 @@ def _load():
 
 
 class TestProfileCorpus:
-    def test_profile_deterministic_and_sane(self, spark):
+    def test_profile_deterministic_and_sane(self, spark, sf_dir):
         mod = _load()
-        df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        df = spark.read.parquet(f"{sf_dir}/documents.parquet")
         p1 = mod.build_profile(df, "doc_id", "text", "lang", "n_chars")
         p2 = mod.build_profile(df, "doc_id", "text", "lang", "n_chars")
         assert p1 == p2  # every sketch is deterministic, so the profile is
-        assert p1["n_rows"] == 500
+        assert p1["n_rows"] == df.count()
         exact = {
             r["lang"]: r["n"]
             for r in df.groupBy("lang").count().withColumnRenamed("count", "n").collect()

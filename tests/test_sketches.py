@@ -300,3 +300,25 @@ class TestKmvMerge:
 
         with pytest.raises(ValueError):
             kmv_merge([], ["g"])
+
+
+class TestCmEstimateExternalCandidates:
+    def test_absent_candidate_estimates_zero_not_collision(self, spark):
+        # a candidate NOT in the corpus whose buckets are mostly empty:
+        # canonical CM takes min over ALL depth rows (empty counter = 0),
+        # so the estimate must be 0 — an inner join against the sketch
+        # would skip the empty buckets and report the colliding bucket's
+        # count instead
+        from chunksilo_spark.operators.sketches import cm_build, cm_estimate
+
+        df = spark.createDataFrame([("hot",)] * 50, "v string")
+        sketch = cm_build(df, "v", width=64, depth=3)
+        cand = spark.createDataFrame(
+            [("hot",), ("never-seen-value",)], "value string"
+        )
+        got = {
+            r["value"]: r["est_count"]
+            for r in cm_estimate(sketch, cand, k=10, width=64).collect()
+        }
+        assert got["hot"] == 50
+        assert got["never-seen-value"] == 0  # reported, and as zero
