@@ -1534,6 +1534,20 @@ def _g_closeness(spark, sf):  # Eppstein-Wang approximate closeness
     )
 
 
+def _g_assortativity(spark, sf):  # degree-degree Pearson correlation
+    # same halving graph; exact integer moment sums make the correlation
+    # hash-checkable — the oracle evaluates the identical term order
+    docs = _t(spark, sf, "documents").select("doc_id")
+    d = F.col("doc_id")
+    halving = docs.where(d > 0).select(
+        d.alias("src"), (d / 2).cast("long").alias("dst")
+    )
+    side = docs.where((d % 7 == 3) & (d > 0)).select(
+        d.alias("src"), (d - 1).cast("long").alias("dst")
+    )
+    return gr.degree_assortativity(halving.union(side))
+
+
 def _g_random_walks(spark, sf):  # deterministic hash-random walk corpus
     # same bounded-branching graph as g_bfs_depth; each step's choice is
     # argmax md5(walk_id|step|dst) so DuckDB re-derives every step with
@@ -2184,6 +2198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_ppr": _g_ppr,
         "g_bfs_depth": _g_bfs_depth,
         "g_closeness": _g_closeness,
+        "g_assortativity": _g_assortativity,
         "g_random_walks": _g_random_walks,
         "t_bigram_lm": _t_bigram_lm,
         "t_dsir_weights": _t_dsir_weights,
@@ -4104,6 +4119,48 @@ def _oracle_sql_body() -> dict[str, str]:
         # depth-bounded all-paths recursive CTE + min(depth): independent
         # derivation of BFS min-hop distance (the Spark side never
         # enumerates paths — it prunes via the visited set)
+        # exact integer moments over the same edge relation; the Pearson
+        # formula evaluated in the identical double term order
+        "g_assortativity": """
+            WITH e AS (
+                SELECT doc_id AS src, doc_id // 2 AS dst
+                FROM documents WHERE doc_id > 0
+                UNION ALL
+                SELECT doc_id, doc_id - 1
+                FROM documents WHERE doc_id % 7 = 3 AND doc_id > 0
+            ), deg AS (
+                SELECT node, COUNT(*) AS deg FROM (
+                    SELECT src AS node FROM e UNION ALL SELECT dst FROM e
+                ) GROUP BY node
+            ), p AS (
+                SELECT dx.deg AS x, dy.deg AS y
+                FROM e
+                JOIN deg dx ON dx.node = e.src
+                JOIN deg dy ON dy.node = e.dst
+            ), m AS (
+                SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                       SUM(x * y) AS sxy, SUM(x * x) AS sxx,
+                       SUM(y * y) AS syy
+                FROM p
+            )
+            SELECT CAST(n AS BIGINT) AS n_edges,
+                   CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+                         AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+                        THEN round(
+                            (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                            / sqrt(
+                                (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                                * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                   - CAST(sy AS DOUBLE)
+                                     * CAST(sy AS DOUBLE))),
+                            6)
+                   END AS assortativity
+            FROM m
+        """,
         # per-seed all-paths recursive enumeration + min(depth), then the
         # identical inverse-mean-distance formula; seeds by the same
         # md5-minimum ordered take

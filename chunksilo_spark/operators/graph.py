@@ -1727,3 +1727,62 @@ def approx_closeness(
             ),
         ).alias("inv_avg_dist"),
     )
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """One-row (n_edges, assortativity): the Pearson correlation between
+    the total degrees of edge endpoints (Newman 2002) — the crawl-audit
+    scalar that separates social-network-like graphs (hubs link hubs,
+    r > 0) from web-like graphs (hubs link leaves, r < 0); a sudden sign
+    drift between crawl snapshots is a structural red flag.
+
+    Pinned algebra: degree = in + out per node; per directed edge the
+    pair (x, y) = (deg(src), deg(dst)); r = the textbook moment formula
+    (n·Σxy − Σx·Σy) / sqrt((n·Σx² − (Σx)²) · (n·Σy² − (Σy)²)), every Σ
+    an EXACT integer sum (longs — exact up to 2^63; beyond that scale
+    switch the Σ columns to double and accept last-ulp drift), the
+    formula then evaluated in IEEE double in this exact term order and
+    rounded to 6dp; NULL when either variance is zero. Exact integer
+    moments are what make a CORRELATION hash-checkable across engines —
+    ``F.corr``'s streaming covariance would differ in float order.
+
+    100 TB shape: one degree aggregation (map-side combinable), two
+    broadcast-eligible joins of the edge relation against the
+    node-degree relation (hub endpoints are AQE skew territory), and a
+    single 6-scalar aggregate to the driver."""
+    e = edges.select("src", "dst")
+    deg = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    pairs = (
+        e.join(deg.select(F.col("node").alias("src"), F.col("deg").alias("_x")), "src")
+        .join(deg.select(F.col("node").alias("dst"), F.col("deg").alias("_y")), "dst")
+        .select("_x", "_y")
+    )
+    m = pairs.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        F.sum(F.col("_y") * F.col("_y")).alias("_syy"),
+    )
+    n = F.col("_n").cast("double")
+    num = n * F.col("_sxy").cast("double") - (
+        F.col("_sx").cast("double") * F.col("_sy").cast("double")
+    )
+    vx = n * F.col("_sxx").cast("double") - (
+        F.col("_sx").cast("double") * F.col("_sx").cast("double")
+    )
+    vy = n * F.col("_syy").cast("double") - (
+        F.col("_sy").cast("double") * F.col("_sy").cast("double")
+    )
+    return m.select(
+        F.col("_n").alias("n_edges"),
+        F.when(
+            (vx > 0) & (vy > 0), F.round(num / F.sqrt(vx * vy), 6)
+        ).alias("assortativity"),
+    )

@@ -1931,3 +1931,46 @@ class TestApproxCloseness:
         e = spark.createDataFrame([(1, 2)], "src long, dst long")
         with _pytest.raises(ValueError):
             G.approx_closeness(e, n_seeds=0)
+
+
+class TestDegreeAssortativity:
+    def _run(self, spark, edges):
+        e = spark.createDataFrame(edges, "src long, dst long").repartition(4)
+        r = G.degree_assortativity(e).collect()[0]
+        return r["n_edges"], r["assortativity"]
+
+    @staticmethod
+    def _python(edges):
+        import math
+
+        deg = {}
+        for s, d in edges:
+            deg[s] = deg.get(s, 0) + 1
+            deg[d] = deg.get(d, 0) + 1
+        xs = [deg[s] for s, _ in edges]
+        ys = [deg[d] for _, d in edges]
+        n = len(edges)
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        sxx, syy = sum(x * x for x in xs), sum(y * y for y in ys)
+        vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+        if vx <= 0 or vy <= 0:
+            return n, None
+        return n, round((n * sxy - sx * sy) / math.sqrt(vx * vy), 6)
+
+    def test_matches_python_formula(self, spark):
+        edges = [(i, i // 2) for i in range(1, 90)] + [
+            (i, (i * 3) % 40) for i in range(40)
+        ]
+        assert self._run(spark, edges) == self._python(edges)
+
+    def test_star_graph_is_disassortative(self, spark):
+        edges = [(i, 0) for i in range(1, 30)] + [(1, 2), (3, 4), (5, 6)]
+        n, r = self._run(spark, edges)
+        assert r is not None and r < 0
+        assert (n, r) == self._python(edges)
+
+    def test_regular_graph_zero_variance_is_null(self, spark):
+        # a directed cycle: every node has degree exactly 2 -> NULL
+        edges = [(i, (i + 1) % 12) for i in range(12)]
+        assert self._run(spark, edges) == (12, None)
