@@ -2151,7 +2151,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # oracle gate (scripts/check_oracles.py, run in pytest via
     # tests/test_oracle_gate.py).
     return {
-        # -- round-3 tail: never driver-checked, now first in the window --
+        # -- round-5 window: the 31 queries with no green driver row in
+        #    any of rounds 1-4 (the r4 driver window capped at 50; these
+        #    landed past it) go FIRST, t_domain_profile leading with its
+        #    now-exact integer algebra --
+        "t_domain_profile": _t_domain_profile,
+        "g_scc": _g_scc,
+        "g_shortest_paths": _g_shortest_paths,
+        "kg_bgp_filter": _kg_bgp_filter,
+        "kg_forward_chain": _kg_forward_chain,
+        "kg_chain_incremental": _kg_chain_incremental,
+        "g_condensation": _g_condensation,
+        "kg_bgp_agg": _kg_bgp_agg,
+        "g_bowtie": _g_bowtie,
+        "g_clustering": _g_clustering,
+        "t_kmv_cardinality": _t_kmv_cardinality,
+        "t_kmv_merge": _t_kmv_merge,
+        "c_frontier_schedule": _c_frontier_schedule,
+        "t_cm_heavy_hitters": _t_cm_heavy_hitters,
+        "t_quantile_sketch": _t_quantile_sketch,
+        "t_bpe_pairs": _t_bpe_pairs,
+        "t_bpe_merges": _t_bpe_merges,
+        "x_bpe_token_counts": _t_bpe_token_counts,
+        "x_bpe_vocab": _x_bpe_vocab,
+        "x_dsir_sample": _x_dsir_sample,
+        "x_domain_mix": _x_domain_mix,
+        "t_bottomk_sample": _t_bottomk_sample,
+        "t_tfidf_terms": _t_tfidf_terms,
+        "d_dup_spans": _d_dup_spans,
+        "d_semdedup": _d_semdedup,
+        "d_semdedup_kmeans": _d_semdedup_kmeans,
+        "t_quality_model": _t_quality_model,
+        "t_url_filter": _t_url_filter,
+        "s_kmeans": _s_kmeans,
+        "d_neardup_incremental": _d_neardup_incremental,
+        "d_dedup_clusters": _d_dedup_clusters,
+        # -- new round-5 queries (never driver-checked) --
+        # (inserted here as round 5 adds operators)
+        # -- previously driver-green rows fill the remaining window
+        #    slots, then the three-plus-rounds-green tail; every query
+        #    stays covered by the full local oracle gate every pytest --
         "kg_pipeline_mini": _kg_pipeline_mini,
         "kg_vector_search": _kg_vector_search,
         "incr_apply": _incr_apply,
@@ -2164,7 +2203,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_cooccur_pmi": _kg_cooccur_pmi,
         "t_boilerplate": _t_boilerplate,
         "t_canonical_urls": _t_canonical_urls,
-        "t_domain_profile": _t_domain_profile,
         "j5_asof_latest_order": _j5_asof_latest_order,
         "j6_bloom_prune": _j6_bloom_prune,
         "g_components": _g_components,
@@ -2202,33 +2240,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_random_walks": _g_random_walks,
         "t_bigram_lm": _t_bigram_lm,
         "t_dsir_weights": _t_dsir_weights,
-        # -- round-4 additions: SCC / SSSP / VALUES-BGP take the window
-        #    slots freed by rotating three-rounds-green anchors to the
-        #    tail; the rest of the round-4 set queues just past the
-        #    window boundary and is covered by the local oracle gate --
-        "g_scc": _g_scc,
-        "g_shortest_paths": _g_shortest_paths,
-        "kg_bgp_filter": _kg_bgp_filter,
-        "kg_forward_chain": _kg_forward_chain,
-        "kg_chain_incremental": _kg_chain_incremental,
-        "g_condensation": _g_condensation,
-        "kg_bgp_agg": _kg_bgp_agg,
-        "g_bowtie": _g_bowtie,
-        "g_clustering": _g_clustering,
-        "t_kmv_cardinality": _t_kmv_cardinality,
-        "t_kmv_merge": _t_kmv_merge,
-        "c_frontier_schedule": _c_frontier_schedule,
-        "t_cm_heavy_hitters": _t_cm_heavy_hitters,
-        "t_quantile_sketch": _t_quantile_sketch,
-        "t_bpe_pairs": _t_bpe_pairs,
-        "t_bpe_merges": _t_bpe_merges,
-        "x_bpe_token_counts": _t_bpe_token_counts,
-        "x_bpe_vocab": _x_bpe_vocab,
-        "x_dsir_sample": _x_dsir_sample,
-        "x_domain_mix": _x_domain_mix,
-        "t_bottomk_sample": _t_bottomk_sample,
-        "t_tfidf_terms": _t_tfidf_terms,
-        # -- previously-green rows that keep their driver window slot --
         "d_contamination": _d_contamination,
         "a1_rollup": _a1_rollup,
         "u5_bm25": _u5_bm25,
@@ -2239,28 +2250,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_minhash_lsh": _d_minhash_lsh,
         "d_neardup_verified": _d_neardup_verified,
         "t_stratified_sample": _t_stratified_sample,
-        "d_dup_spans": _d_dup_spans,
-        "d_semdedup": _d_semdedup,
-        "d_semdedup_kmeans": _d_semdedup_kmeans,
-        "t_quality_model": _t_quality_model,
-        "t_url_filter": _t_url_filter,
         "s_knn_bruteforce": _s_knn_bruteforce,
         "s_knn_lsh": _s_knn_lsh,
         "s_knn_ivf": _s_knn_ivf,
-        "s_kmeans": _s_kmeans,
         "m_binary_meta": _m_binary_meta,
-        # -- rotated to the tail: three-plus-rounds driver-green scalar /
-        #    simple-filter rows whose family keeps another in-window
-        #    representative; still verified every run by the full local
-        #    oracle gate (scripts/check_oracles.py via pytest) --
         "j1_new_keys": _j1_new_keys,
         "incr_change_detect": _incr_change_detect,
         "t_repetition": _t_repetition,
         "q1_pricing_summary": _q1_pricing_summary,
-        "d_neardup_incremental": _d_neardup_incremental,
         "w1_topk_per_type": _w1_topk_per_type,
         "q5_local_supplier": _q5_local_supplier,
-        "d_dedup_clusters": _d_dedup_clusters,
         "t_pii_scrub": _t_pii_scrub,
         "t_winnow": _t_winnow,
         "d_simhash": _d_simhash,
@@ -3512,9 +3511,11 @@ def _oracle_sql_body() -> dict[str, str]:
                             THEN 1 ELSE 0 END AS dup
                 FROM rws
             )
-            SELECT host, COUNT(*) AS n_docs, SUM(dup) AS n_dup_docs,
-                   round(SUM(dup) / COUNT(*), 6) AS dup_frac,
-                   round(AVG(len), 2) AS avg_chars,
+            SELECT host, COUNT(*) AS n_docs,
+                   CAST(SUM(dup) AS BIGINT) AS n_dup_docs,
+                   CAST((SUM(dup) * 1000000) // COUNT(*) AS BIGINT)
+                       AS dup_ppm,
+                   CAST(SUM(len) AS BIGINT) AS sum_chars,
                    COUNT(DISTINCT lang) AS n_langs
             FROM flagged GROUP BY host
         """,

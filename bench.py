@@ -33,6 +33,8 @@ import sys
 import tempfile
 import time
 
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
@@ -556,7 +558,51 @@ def main() -> None:
             },
         }
 
-    print(json.dumps(result))
+    # The driver captures only the LAST ~2000 chars of stdout and parses
+    # the final JSON line; round 4's full result outgrew that and the
+    # round recorded parsed:null. So: the FULL record (per-query map,
+    # pipeline/link-graph details, raw scaling pairs) goes to a file under
+    # BENCH/, and the final printed line is a compact summary guaranteed
+    # to fit the capture.
+    os.makedirs(os.path.join(_REPO_DIR, "BENCH"), exist_ok=True)
+    detail_path = os.path.join(
+        _REPO_DIR, "BENCH", "bench_last_full.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(result, f, indent=1)
+
+    compact = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": "sec",
+        "sf": sf_label,
+        "cores": cores,
+        "n_queries": len(qtimes),
+        "queries": {
+            "headline_total": result["value"],
+            "kg_pipeline": qtimes.get("kg_pipeline"),
+            "web_link_graph": qtimes.get("web_link_graph"),
+        },
+        "pipeline": {
+            k: pipe.get(k)
+            for k in ("docs_per_sec", "triples_per_sec", "wall_s")
+        },
+        "detail_file": "BENCH/bench_last_full.json",
+    }
+    for key in ("kg_pipeline_paired_compare", "link_graph_paired_compare"):
+        if key in result:
+            compact[key] = result[key].get("current_over_commit")
+    if "scaling" in result:
+        sc = result["scaling"]
+        compact["scaling"] = {
+            "efficiency": sc["efficiency"],
+            "low_docs_per_sec": sc["low"].get("docs_per_sec"),
+            "high_docs_per_sec": sc["high"].get("docs_per_sec"),
+            "pairs_raw": sc["pair_efficiencies_raw"],
+        }
+    line = json.dumps(compact)
+    assert len(line) <= 1500, f"compact bench line too long: {len(line)}"
+    print(line)
     # staged pages stay cached in /tmp (path is size-keyed) for reruns
 
 

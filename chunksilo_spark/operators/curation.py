@@ -641,17 +641,23 @@ def domain_profile(
     text_col: str = "text",
     lang_col: str = "lang",
 ) -> DataFrame:
-    """Per-host corpus profile -> (host, n_docs, n_dup_docs, dup_frac,
-    avg_chars, n_langs) — the curation dashboard a crawl pipeline slices
+    """Per-host corpus profile -> (host, n_docs, n_dup_docs, dup_ppm,
+    sum_chars, n_langs) — the curation dashboard a crawl pipeline slices
     by domain: which hosts are boilerplate farms (high corpus-wide exact-
-    dup fraction), which are thin (low avg_chars), which are multilingual.
+    dup fraction), which are thin (low sum_chars/n_docs), which are
+    multilingual.
 
     Pinned semantics: host = lowercased hostname (port excluded — the
     url_quality_filter convention) of an http(s) url (rows
     with no extractable host are excluded); a doc counts as duplicated
     when its exact text (md5) appears MORE THAN ONCE corpus-wide —
-    including within the same host; dup_frac = n_dup_docs / n_docs
-    rounded 6; avg_chars = avg(length(text)) rounded 2.
+    including within the same host; dup_ppm = (1000000 * n_dup_docs)
+    DIV n_docs (exact bigint — the dup fraction in parts-per-million);
+    sum_chars = sum(length(text)) as bigint. All five measures are exact
+    integer algebra: no float aggregation, so the profile hashes
+    identically across engines and partition orders (a round()'d
+    avg/ratio double can land on a different neighboring double per
+    engine — the one correctness red of round 4).
 
     100 TB shape: ONE scan; corpus-wide dup flags come from a count-window
     partitioned by the 16-byte text hash (the dup_spans lesson: one
@@ -684,8 +690,8 @@ def domain_profile(
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("_dup").alias("n_dup_docs"),
-            F.round(F.sum("_dup") / F.count(F.lit(1)), 6).alias("dup_frac"),
-            F.round(F.avg("_len"), 2).alias("avg_chars"),
+            F.expr("(sum(_dup) * 1000000L) div count(1)").alias("dup_ppm"),
+            F.sum("_len").cast("long").alias("sum_chars"),
             F.countDistinct("_lang").alias("n_langs"),
         )
     )

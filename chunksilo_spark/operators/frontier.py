@@ -39,9 +39,20 @@ def schedule_frontier(
     limit: int | None = None,
 ) -> DataFrame:
     """(host, url, priority, pos, sched_rank): the politeness-interleaved
-    fetch order. ``limit`` keeps only the first N of the total order
-    (the current scheduling wave) via orderBy+limit — at scale, always
-    pass it."""
+    fetch order. ``limit`` keeps only the first N of the total order (the
+    current scheduling wave) via orderBy+limit (TakeOrderedAndProject —
+    never a full sort), then numbers only those N rows.
+
+    With ``limit=None`` the full frontier is still never globally
+    sorted: sched_rank comes from per-``pos``-band row_numbers plus a
+    broadcast cumulative band-size offset — identical output to a global
+    row_number over (pos, priority desc, url), because the total order
+    sorts on pos first. The only single-partition window runs over the
+    band-count relation (one row per distinct pos, i.e. bounded by the
+    deepest host queue — a count-sized relation, not the frontier),
+    the same shape as export.train_order's shard offsets. Round-4 review
+    flagged the previous unbounded default as the repo's one reachable
+    global row_number; this removes it from every code path."""
     wh = Window.partitionBy(host_col).orderBy(
         F.desc(priority_col), F.asc(url_col)
     )
@@ -51,5 +62,36 @@ def schedule_frontier(
     total = [F.asc("pos"), F.desc(priority_col), F.asc(url_col)]
     if limit is not None:
         ranked = ranked.orderBy(*total).limit(limit)
-    wg = Window.orderBy(*total)
-    return ranked.withColumn("sched_rank", F.row_number().over(wg).cast("long"))
+        wg = Window.orderBy(*total)
+        return ranked.withColumn(
+            "sched_rank", F.row_number().over(wg).cast("long")
+        )
+    wb = Window.partitionBy("pos").orderBy(
+        F.desc(priority_col), F.asc(url_col)
+    )
+    in_band = ranked.withColumn(
+        "_band_rank", F.row_number().over(wb).cast("long")
+    )
+    wcum = Window.orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        ranked.groupBy("pos")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn(
+            "_offset", F.coalesce(F.sum("_n").over(wcum), F.lit(0))
+        )
+        .select("pos", "_offset")
+    )
+    return (
+        in_band.join(F.broadcast(offsets), "pos")
+        .select(
+            host_col,
+            url_col,
+            priority_col,
+            "pos",
+            (F.col("_offset") + F.col("_band_rank"))
+            .cast("long")
+            .alias("sched_rank"),
+        )
+    )

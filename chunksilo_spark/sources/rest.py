@@ -58,6 +58,8 @@ def fetch_pages(
     updated_since: dt.datetime | None = None,
     source_format: str = "rest",
     max_rounds_per_unit: int = 100_000,
+    unit_retries: int = 2,
+    quarantine_errors: bool = True,
 ) -> DataFrame:
     """Drain every unit's paginated feed -> canonical pages DataFrame.
 
@@ -67,10 +69,23 @@ def fetch_pages(
 
     Termination guards (a real HTTP client with a pagination bug — an
     unchanged or cycling cursor — must not spin an executor task forever):
-    the loop raises if the client returns the same cursor twice in a row,
-    and ``max_rounds_per_unit`` hard-caps the rounds per unit (default
-    100k rounds ≈ 10M rows/unit at the default page size — raise it for
-    genuinely larger units).
+    an unchanged cursor and a round count past ``max_rounds_per_unit``
+    (default 100k rounds ≈ 10M rows/unit at the default page size — raise
+    it for genuinely larger units) both terminate the unit.
+
+    Convert-or-skip policy (the stage-1 discipline applied to the
+    connector): a ``c.fetch`` call that raises is retried in place — same
+    cursor, so already-emitted pages never duplicate — up to
+    ``unit_retries`` times; a unit whose fetches keep raising, or that
+    trips a termination guard, ends as ONE quarantine row
+    (``url = rest-quarantine://<source_format>/<unit>``, empty html,
+    ``extras`` carrying ``quarantined='1'``, the error, the failing
+    cursor and the round count) instead of failing the whole Spark task —
+    on a 10k-unit nightly sync one misconfigured space must cost one
+    quarantine row, not the job. Pages fetched before the failure are
+    kept (the quarantine row marks the unit INCOMPLETE; the incremental
+    version-ledger re-fetches it next run). ``quarantine_errors=False``
+    restores fail-fast raising for debugging a client.
 
     ``html`` may come back as str or bytes from the client; both are
     accepted (bytes pass through, str is utf-8 encoded).
@@ -81,24 +96,90 @@ def fetch_pages(
         [(u,) for u in units], "unit string"
     ).repartition(max(1, min(len(units), 32)))
 
+    def page_df(unit, rows: list) -> "pd.DataFrame":
+        return pd.DataFrame(
+            {
+                "url": [r["url"] for r in rows],
+                "warc_ts": [r["warc_ts"] for r in rows],
+                "html": [
+                    r["html"]
+                    if isinstance(r["html"], bytes)
+                    else r["html"].encode("utf-8")
+                    for r in rows
+                ],
+                "text": [None] * len(rows),
+                "lang": [r.get("lang") for r in rows],
+                "extras": [
+                    {
+                        "source_format": source_format,
+                        "unit": unit,
+                        "remote_id": str(r["remote_id"]),
+                        "version": str(r["version"]),
+                    }
+                    for r in rows
+                ],
+            }
+        )
+
+    def quarantine_df(unit, err: str, cursor, rounds: int) -> "pd.DataFrame":
+        return pd.DataFrame(
+            {
+                "url": [f"rest-quarantine://{source_format}/{unit}"],
+                "warc_ts": [None],
+                "html": [b""],
+                "text": [None],
+                "lang": [None],
+                "extras": [
+                    {
+                        "source_format": source_format,
+                        "unit": unit,
+                        "quarantined": "1",
+                        "error": err[:500],
+                        "cursor": repr(cursor),
+                        "rounds": str(rounds),
+                    }
+                ],
+            }
+        )
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         c = client.resolve()  # once per worker process (models._PROCESS_CACHE)
         for pdf in batches:
             for unit in pdf["unit"]:
                 cursor = None
                 rounds = 0
+                failures = 0
+                quarantine_err = None
                 while True:
                     prev_cursor = cursor
-                    rows, cursor = c.fetch(
-                        unit, cursor, page_size, updated_since
-                    )
+                    try:
+                        rows, cursor = c.fetch(
+                            unit, cursor, page_size, updated_since
+                        )
+                    except Exception as e:  # noqa: BLE001 — client fault
+                        if not quarantine_errors:
+                            raise
+                        failures += 1
+                        if failures > unit_retries:
+                            quarantine_err = (
+                                f"fetch raised {failures}x at cursor "
+                                f"{prev_cursor!r}: {type(e).__name__}: {e}"
+                            )
+                            break
+                        cursor = prev_cursor  # retry the SAME page
+                        continue
+                    failures = 0  # a clean page resets the retry budget
                     rounds += 1
                     if cursor is not None and cursor == prev_cursor:
-                        raise RuntimeError(
-                            f"rest connector: client returned an unchanged "
-                            f"cursor {cursor!r} for unit {unit!r} — "
-                            f"pagination is not progressing"
+                        msg = (
+                            f"client returned an unchanged cursor "
+                            f"{cursor!r} for unit {unit!r} — pagination "
+                            f"is not progressing"
                         )
+                        if not quarantine_errors:
+                            raise RuntimeError(f"rest connector: {msg}")
+                        quarantine_err = msg
+                        break
                     # the cap applies only to CONTINUING pagination: a unit
                     # whose final page lands exactly on the cap (cursor is
                     # None) has legitimately finished — its rows must be
@@ -107,40 +188,32 @@ def fetch_pages(
                     # ([], None) sentinel gets its full max_rounds of data
                     # pages (the cap fires on round max+1 at the earliest)
                     if cursor is not None and rounds > max_rounds_per_unit:
-                        raise RuntimeError(
-                            f"rest connector: unit {unit!r} exceeded "
-                            f"{max_rounds_per_unit} pagination rounds — "
-                            f"cycling cursor or unit too large "
-                            f"(raise max_rounds_per_unit)"
+                        msg = (
+                            f"unit {unit!r} exceeded {max_rounds_per_unit} "
+                            f"pagination rounds — cycling cursor or unit "
+                            f"too large (raise max_rounds_per_unit)"
                         )
+                        if not quarantine_errors:
+                            raise RuntimeError(f"rest connector: {msg}")
+                        quarantine_err = msg
+                        break
                     if rows:
-                        yield pd.DataFrame(
-                            {
-                                "url": [r["url"] for r in rows],
-                                "warc_ts": [r["warc_ts"] for r in rows],
-                                "html": [
-                                    r["html"]
-                                    if isinstance(r["html"], bytes)
-                                    else r["html"].encode("utf-8")
-                                    for r in rows
-                                ],
-                                "text": [None] * len(rows),
-                                "lang": [r.get("lang") for r in rows],
-                                "extras": [
-                                    {
-                                        "source_format": source_format,
-                                        "unit": unit,
-                                        "remote_id": str(r["remote_id"]),
-                                        "version": str(r["version"]),
-                                    }
-                                    for r in rows
-                                ],
-                            }
-                        )
+                        yield page_df(unit, rows)
                     if cursor is None:
                         break
+                if quarantine_err is not None:
+                    yield quarantine_df(
+                        unit, quarantine_err, prev_cursor, rounds
+                    )
 
     return unit_df.mapInPandas(run, schema=PAGES_REST_SCHEMA)
+
+
+def split_quarantined(pages: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(clean_pages, quarantine_rows) — route connector quarantine rows
+    out of the pipeline input and into the stage-1 quarantine table."""
+    flag = F.element_at("extras", "quarantined") == "1"
+    return pages.where(~F.coalesce(flag, F.lit(False))), pages.where(flag)
 
 
 def incremental_frontier(

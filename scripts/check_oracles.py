@@ -22,7 +22,12 @@ TABLES = (
 ).split()
 
 
-def canon_rows(cols, rows):
+def canon_rows(cols, rows, exact=False):
+    """exact=True reproduces the DRIVER's comparison: floats hash at full
+    precision (repr), no 6dp re-round. The default 6dp round is looser
+    than the driver — a last-ulp round() divergence passes here and fails
+    there (round 4's t_domain_profile red). Run --exact before trusting a
+    float-emitting oracle in the driver window."""
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
     for row in rows:
@@ -32,6 +37,8 @@ def canon_rows(cols, rows):
             if isinstance(v, float):
                 if math.isnan(v):
                     v = "NaN"
+                elif exact:
+                    v = repr(v)
                 else:
                     v = round(v, 6)
             elif isinstance(v, (list, tuple)):
@@ -44,7 +51,7 @@ def canon_rows(cols, rows):
     return [cols[i] for i in order], out
 
 
-def run_gate(spark, sf_dir: str, only=None) -> list[str]:
+def run_gate(spark, sf_dir: str, only=None, exact=False) -> list[str]:
     """Run the driver-equivalent oracle gate on an existing SparkSession.
 
     Returns the list of failing query names (empty == all consistent).
@@ -98,8 +105,8 @@ def run_gate(spark, sf_dir: str, only=None) -> list[str]:
             print(f"FAIL  {name}: rows spark={len(srows)} duck={len(drows)}")
             ok = False
         else:
-            _, sc = canon_rows(scols, srows)
-            _, dc = canon_rows(dcols, drows)
+            _, sc = canon_rows(scols, srows, exact=exact)
+            _, dc = canon_rows(dcols, drows, exact=exact)
             if sc != dc:
                 diff = [
                     (a, b) for a, b in zip(sc, dc) if a != b
@@ -115,13 +122,15 @@ def run_gate(spark, sf_dir: str, only=None) -> list[str]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--exact"]
+    exact = "--exact" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+    only = set(argv[1:])
 
     from chunksilo_spark.session import get_spark
 
     spark = get_spark("oracle_check", cores=8)
-    failures = run_gate(spark, sf_dir, only)
+    failures = run_gate(spark, sf_dir, only, exact=exact)
     spark.stop()
     if failures:
         print("FAILURES:", failures)

@@ -415,15 +415,13 @@ class TestDomainProfile:
         assert set(got) == {"a.example", "b.example"}
         a = got["a.example"]
         assert (a["n_docs"], a["n_dup_docs"], a["n_langs"]) == (3, 2, 2)
-        assert a["dup_frac"] == pytest.approx(round(2 / 3, 6))
+        assert a["dup_ppm"] == (2 * 1000000) // 3
         b = got["b.example"]
         # p4 dups a.example's text; p5's text dups an EXCLUDED ftp row —
         # the corpus-wide window flags both even though only http rows
         # are profiled
         assert (b["n_docs"], b["n_dup_docs"], b["n_langs"]) == (2, 2, 1)
-        assert a["avg_chars"] == pytest.approx(
-            round((len("same text") * 2 + len("unique here")) / 3, 2)
-        )
+        assert a["sum_chars"] == len("same text") * 2 + len("unique here")
 
     def test_empty(self, spark):
         from chunksilo_spark.operators.curation import domain_profile

@@ -57,6 +57,35 @@ class TestScheduleFrontier:
         # within the first |hosts| slots every host appears exactly once
         assert set(order[: len(hosts)]) == hosts
 
+    def test_plan_never_globally_sorts_the_frontier(self, spark):
+        """The round-4 verdict's one API footgun: with limit=None the old
+        code ran a single-partition row_number over the WHOLE frontier.
+        Now the frontier-sized windows are partitioned (host, then pos);
+        the only SinglePartition exchange feeds the per-pos band-count
+        relation (post-aggregation, one row per distinct pos)."""
+        df = spark.createDataFrame(
+            ROWS, "host string, url string, priority double"
+        )
+        plan = schedule_frontier(df)._jdf.queryExecution().executedPlan().toString()
+        # frontier-sized windows are hash-partitioned, not global
+        assert "hashpartitioning(pos" in plan
+        # the single-partition exchange exists only above an aggregate
+        # (band counts), never directly above the scan
+        for frag in plan.split("Exchange SinglePartition")[1:]:
+            assert "HashAggregate" in frag.split("Scan")[0]
+
+    def test_wave_limit_plan_is_take_ordered(self, spark):
+        df = spark.createDataFrame(
+            ROWS, "host string, url string, priority double"
+        )
+        plan = (
+            schedule_frontier(df, limit=17)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "TakeOrderedAndProject" in plan
+
     def test_priority_respected_within_host(self, spark):
         got = self._run(spark, ROWS)
         per_host = {}

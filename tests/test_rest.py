@@ -121,14 +121,91 @@ class BytesHtmlClient(FakeClient):
         return r
 
 
+class PoisonClient(FakeClient):
+    """Every fetch for unit 'beta' raises; other units are healthy."""
+
+    def fetch(self, unit, cursor, page_size, updated_since):
+        if unit == "beta":
+            raise ConnectionError(f"boom for {unit} at {cursor!r}")
+        return super().fetch(unit, cursor, page_size, updated_since)
+
+
+class FlakyClient(FakeClient):
+    """First TWO fetches of each (unit, cursor) raise, then succeed —
+    the transient-HTTP-error shape the in-place retry must absorb.
+    Per-process attempt state is fine: the client instance is cached per
+    worker and each unit is drained by exactly one task."""
+
+    def __init__(self, rows_base: int = 23):
+        super().__init__(rows_base)
+        self.attempts = {}
+
+    def fetch(self, unit, cursor, page_size, updated_since):
+        k = (unit, cursor)
+        self.attempts[k] = self.attempts.get(k, 0) + 1
+        if self.attempts[k] <= 2:
+            raise TimeoutError(f"transient for {k}")
+        return super().fetch(unit, cursor, page_size, updated_since)
+
+
 class TestTerminationGuards:
-    def test_unchanged_cursor_raises(self, spark):
+    def test_unchanged_cursor_raises_in_strict_mode(self, spark):
         import pytest as _pytest
 
         spec = ModelSpec(StuckCursorClient)
         with _pytest.raises(Exception) as ei:  # PySpark wraps the RuntimeError
-            rest.fetch_pages(spark, ["alpha"], spec, page_size=5).collect()
+            rest.fetch_pages(
+                spark, ["alpha"], spec, page_size=5, quarantine_errors=False
+            ).collect()
         assert "pagination is not progressing" in str(ei.value)
+
+    def test_unchanged_cursor_quarantines_by_default(self, spark):
+        got = rest.fetch_pages(
+            spark, ["alpha"], ModelSpec(StuckCursorClient), page_size=5
+        ).collect()
+        q = [r for r in got if r["extras"].get("quarantined") == "1"]
+        assert len(q) == 1
+        assert q[0]["url"] == "rest-quarantine://rest/alpha"
+        assert "not progressing" in q[0]["extras"]["error"]
+
+    def test_poison_unit_quarantined_job_completes(self, spark):
+        """The round-4 ADVICE-class edge: a unit whose every fetch raises
+        must cost one quarantine row, never the job."""
+        got = rest.fetch_pages(
+            spark, UNITS, ModelSpec(PoisonClient), page_size=7
+        ).collect()
+        q = [r for r in got if r["extras"].get("quarantined") == "1"]
+        data = [r for r in got if r["extras"].get("quarantined") != "1"]
+        assert [r["url"] for r in q] == ["rest-quarantine://rest/beta"]
+        assert "fetch raised 3x" in q[0]["extras"]["error"]
+        c = FakeClient()
+        expect = {
+            c.row(u, i)["url"]
+            for u in ("alpha", "gamma")
+            for i in range(c.n_rows(u))
+        }
+        assert {r["url"] for r in data} == expect
+
+    def test_transient_errors_retried_in_place_no_duplicates(self, spark):
+        got = rest.fetch_pages(
+            spark, ["alpha"], ModelSpec(FlakyClient), page_size=7
+        ).collect()
+        assert all(r["extras"].get("quarantined") != "1" for r in got)
+        urls = [r["url"] for r in got]
+        c = FakeClient()
+        assert sorted(urls) == sorted(
+            c.row("alpha", i)["url"] for i in range(c.n_rows("alpha"))
+        )
+
+    def test_split_quarantined(self, spark):
+        pages = rest.fetch_pages(
+            spark, UNITS, ModelSpec(PoisonClient), page_size=7
+        )
+        clean, quarantined = rest.split_quarantined(pages)
+        assert quarantined.count() == 1
+        assert clean.count() == sum(
+            FakeClient().n_rows(u) for u in ("alpha", "gamma")
+        )
 
     def test_bytes_html_accepted(self, spark):
         got = rest.fetch_pages(
