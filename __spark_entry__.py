@@ -1824,6 +1824,61 @@ def _t_kmv_cardinality(spark, sf):  # KMV distinct sketch, exact-SQL algebra
     return kmv_distinct(ev, ["event_type"], "cents", k=32)
 
 
+def _t_kmv_partial(spark, sf):  # PRODUCTION KMV path: bounded-heap partials
+    # same estimator, same oracle as t_kmv_cardinality — but computed via
+    # the per-Arrow-batch heap + sketch-sized shuffle (method='partial').
+    # A green driver row proves the production plan against DuckDB, not
+    # just against the window path's parity test.
+    from chunksilo_spark.operators.sketches import kmv_distinct
+
+    ev = _t(spark, sf, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    return kmv_distinct(ev, ["event_type"], "cents", k=32, method="partial")
+
+
+def _t_bottomk_partial(spark, sf):  # production bottom-k sampler path
+    from chunksilo_spark.operators.sketches import bottomk_sample
+
+    return bottomk_sample(
+        _t(spark, sf, "events"), ["event_type"], "event_id", k=5,
+        method="partial",
+    )
+
+
+def _t_weighted_sample(spark, sf):  # A-ES weighted per-group sample
+    # weight = abs(cents)/100 + 1 > 0; the hash coin makes the "random"
+    # keys deterministic, so the weighted sample is oracle-checkable
+    from chunksilo_spark.operators.sketches import weighted_sample
+
+    ev = _t(spark, sf, "events").select(
+        "event_type",
+        "event_id",
+        (F.abs(F.col("value")) + F.lit(1.0)).alias("w"),
+    )  # weight = abs(value) + 1 > 0
+    return weighted_sample(ev, ["event_type"], "event_id", "w", k=8)
+
+
+def _t_kmv_overlap(spark, sf):  # snapshot overlap from mergeable states
+    # two overlapping value shards sketched independently; the overlap
+    # estimator then runs on sketch-sized state only — the oracle
+    # re-derives both states AND the estimator in SQL
+    from chunksilo_spark.operators.sketches import kmv_overlap, kmv_state
+
+    ev = _t(spark, sf, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    a = kmv_state(
+        ev.where(F.col("cents") % 3 != 0), ["event_type"], "cents", k=32
+    )
+    b = kmv_state(
+        ev.where(F.col("cents") % 2 == 0), ["event_type"], "cents", k=32
+    )
+    return kmv_overlap(a, b, ["event_type"], k=32)
+
+
 def _t_kmv_merge(spark, sf):  # mergeable KMV: sharded states roll up
     # the corpus split into two overlapping-value shards; merging their
     # bounded states must land EXACTLY on the global sketch (the
@@ -2187,7 +2242,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_neardup_incremental": _d_neardup_incremental,
         "d_dedup_clusters": _d_dedup_clusters,
         # -- new round-5 queries (never driver-checked) --
-        # (inserted here as round 5 adds operators)
+        "t_kmv_partial": _t_kmv_partial,
+        "t_bottomk_partial": _t_bottomk_partial,
+        "t_weighted_sample": _t_weighted_sample,
+        "t_kmv_overlap": _t_kmv_overlap,
         # -- previously driver-green rows fill the remaining window
         #    slots, then the three-plus-rounds-green tail; every query
         #    stays covered by the full local oracle gate every pytest --
@@ -4559,6 +4617,92 @@ def _oracle_sql_body() -> dict[str, str]:
                        AS est_distinct
             FROM pg
         """,
+        # A-ES weighted sampling: u = (h60 + 1)/2^60 in (0,1], rank
+        # ASC on -ln(u)/w (== rank DESC on the A-ES key u^(1/w)), ties
+        # by id — the full hash/score derivation replayed in SQL
+        "t_weighted_sample": """
+            WITH ev AS (
+                SELECT event_type, event_id,
+                       abs(value) + 1.0 AS w
+                FROM events
+            ), scored AS (
+                SELECT event_type, event_id, w,
+                       -ln(((('0x' || substr(md5(event_id::VARCHAR), 1, 15))
+                             ::UBIGINT)::DOUBLE + 1.0)
+                           / 1152921504606846976.0) / w AS ns
+                FROM ev
+            )
+            SELECT event_type, event_id, w AS weight,
+                   CAST(rn AS BIGINT) AS pos
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY event_type ORDER BY ns ASC, event_id ASC
+                ) AS rn FROM scored
+            ) WHERE rn <= 8
+        """,
+        # KMV set-overlap: re-derive BOTH shard states, merge to the
+        # bottom-32 of the union, exact-integer jaccard_ppm + the
+        # estimator's double algebra nested exactly as Spark computes it
+        "t_kmv_overlap": """
+            WITH dv AS (
+                SELECT DISTINCT event_type,
+                       CAST(round(value * 100) AS BIGINT) AS cents
+                FROM events
+            ), hashed AS (
+                SELECT event_type, cents,
+                       (('0x' || substr(md5(cents::VARCHAR), 1, 15))
+                        ::UBIGINT)::BIGINT AS h
+                FROM dv
+            ), sa AS (
+                SELECT event_type, h FROM (
+                    SELECT event_type, h, row_number() OVER (
+                        PARTITION BY event_type ORDER BY h ASC) AS rn
+                    FROM hashed WHERE cents % 3 <> 0
+                ) WHERE rn <= 32
+            ), sb AS (
+                SELECT event_type, h FROM (
+                    SELECT event_type, h, row_number() OVER (
+                        PARTITION BY event_type ORDER BY h ASC) AS rn
+                    FROM hashed WHERE cents % 2 = 0
+                ) WHERE rn <= 32
+            ), j AS (
+                SELECT coalesce(sa.event_type, sb.event_type)
+                           AS event_type,
+                       coalesce(sa.h, sb.h) AS h,
+                       CASE WHEN sa.h IS NULL THEN 0 ELSE 1 END AS a,
+                       CASE WHEN sb.h IS NULL THEN 0 ELSE 1 END AS b
+                FROM sa FULL JOIN sb
+                  ON sa.event_type = sb.event_type AND sa.h = sb.h
+            ), s AS (
+                SELECT * FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY event_type ORDER BY h ASC) AS rn
+                    FROM j
+                ) WHERE rn <= 32
+            ), agg AS (
+                SELECT event_type,
+                       COUNT(*) AS n_union_sketch,
+                       CAST(SUM(a * b) AS BIGINT) AS n_common,
+                       min(CASE WHEN rn = 32 THEN h END) AS hk
+                FROM s GROUP BY event_type
+            ), est AS (
+                SELECT event_type, n_common, n_union_sketch,
+                       round(CASE WHEN n_union_sketch >= 32
+                                  THEN 31.0 * 1152921504606846976.0 / hk
+                                  ELSE CAST(n_union_sketch AS DOUBLE)
+                             END, 4) AS est_union
+                FROM agg
+            )
+            SELECT event_type, n_common,
+                   CAST(n_union_sketch AS BIGINT) AS n_union_sketch,
+                   CAST((n_common * 1000000) // n_union_sketch AS BIGINT)
+                       AS jaccard_ppm,
+                   est_union,
+                   round(est_union * CAST(n_common AS DOUBLE)
+                         / CAST(n_union_sketch AS DOUBLE), 4)
+                       AS est_intersection
+            FROM est
+        """,
         # the identical interleave algebra: per-host row_number by
         # (priority desc, url), global order (pos, priority desc, url),
         # first wave of 60
@@ -4884,4 +5028,10 @@ def oracle_sql() -> dict[str, str]:
     # merge-of-shard-states == the global sketch is the algebraic
     # identity t_kmv_merge tests, so its oracle IS the global KMV SQL
     out["t_kmv_merge"] = out["t_kmv_cardinality"]
+    # the partial (bounded-heap, production-plan) paths are output-
+    # identical to the window paths by construction, so they share the
+    # same independent DuckDB derivations — a green driver row then
+    # value-checks the mapInPandas partial-aggregate plan itself
+    out["t_kmv_partial"] = out["t_kmv_cardinality"]
+    out["t_bottomk_partial"] = out["t_bottomk_sample"]
     return out

@@ -38,8 +38,10 @@ __all__ = [
     "cm_estimate",
     "histogram_quantiles",
     "bottomk_sample",
+    "weighted_sample",
     "kmv_state",
     "kmv_merge",
+    "kmv_overlap",
     "u01",
 ]
 
@@ -65,11 +67,43 @@ def u01(col: Column) -> Column:
     return _h60(col).cast("double") / F.lit(_HASH_SPACE)
 
 
+def _batch_bottomk(
+    hashed: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    k: int,
+    dedup: bool = True,
+) -> DataFrame:
+    """The partial-aggregation half of a bottom-k sketch: per Arrow
+    batch, keep only each group's k smallest rows by ``order_cols``
+    (duplicates dropped — bottom-k-of-distinct composes across batches).
+    Output schema == input schema; output size is bounded by
+    k x groups-present-per-batch, so the ONE shuffle that follows moves
+    sketch-sized state, not the value universe — the plan shape a JVM
+    sketch UDAF's partial/merge split would produce, expressed as an
+    Arrow-vectorized pandas pass (pandas sort + groupby.head, no Python
+    per-row loop)."""
+    cols = list(hashed.columns)
+
+    def fn(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            d = pdf
+            if dedup:
+                d = d.drop_duplicates(subset=group_cols + order_cols)
+            d = d.sort_values(group_cols + order_cols, kind="mergesort")
+            yield d.groupby(group_cols, sort=False).head(k)[cols]
+
+    return hashed.mapInPandas(fn, schema=hashed.schema)
+
+
 def kmv_distinct(
     df: DataFrame,
     group_cols: list[str],
     value_col: str,
     k: int = 32,
+    method: str = "window",
 ) -> DataFrame:
     """Per-group distinct-count estimate -> (group_cols..., n_kept,
     est_distinct): KMV over ``value_col`` with sketch size ``k``.
@@ -86,18 +120,44 @@ def kmv_distinct(
         ``est_distinct = round((k-1) * 2^60 / h_k, 4)`` with the
         division done in IEEE double (one multiply, one divide, one
         round — same float-order pin both engines).
+
+    ``method``: "window" (default) is the SQL-rederivable oracle path —
+    one distinct pass, per-group window rank. "partial" is the
+    PRODUCTION path: a per-Arrow-batch bounded heap (``_batch_bottomk``)
+    shrinks every input partition to <= k rows per group BEFORE the
+    shuffle, so the exchange moves sketch-sized state instead of the
+    distinct-value universe — at 10^12 rows the window path's
+    distinct+sort shuffle is strictly more data. Identical output
+    (pinned by parity test); the hash and the formula are the contract.
     """
     if k < 2:
         raise ValueError("kmv k must be >= 2")
-    dv = (
-        df.select(*group_cols, F.col(value_col).alias("_v"))
-        .distinct()
-        .select(*group_cols, _h60(F.col("_v")).alias("_h"))
-    )
+    if method == "partial":
+        hashed = df.select(
+            *group_cols, _h60(F.col(value_col)).alias("_h")
+        )
+        dv = _batch_bottomk(hashed, group_cols, ["_h"], k)
+    elif method == "window":
+        dv = (
+            df.select(*group_cols, F.col(value_col).alias("_v"))
+            .distinct()
+            .select(*group_cols, _h60(F.col("_v")).alias("_h"))
+        )
+    else:
+        raise ValueError(f"unknown kmv method {method!r}")
+    return _kmv_finalize(dv, group_cols, k)
+
+
+def _kmv_finalize(dv: DataFrame, group_cols: list[str], k: int) -> DataFrame:
+    """(groups, _h) relation of candidate hashes (>= the true bottom-k
+    per group, duplicates allowed across partial states) -> the pinned
+    (n_kept, est_distinct) output. Shared by the window path, the
+    partial path, and kmv_merge — ONE definition of the estimator."""
+    dv = dv.distinct()
     w = Window.partitionBy(*group_cols).orderBy(F.asc("_h"))
     ranked = dv.select(
         *group_cols, "_h", F.row_number().over(w).alias("_rn")
-    )
+    ).where(F.col("_rn") <= k)
     per_group = ranked.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("_n"),
         F.min(F.when(F.col("_rn") == k, F.col("_h"))).alias("_hk"),
@@ -324,6 +384,7 @@ def bottomk_sample(
     group_cols: list[str],
     id_col: str,
     k: int = 32,
+    method: str = "window",
 ) -> DataFrame:
     """Deterministic per-group k-sample -> (group_cols..., id, pos): the
     rows whose md5-hashed ids are the ``k`` smallest in their group —
@@ -335,17 +396,31 @@ def bottomk_sample(
     correlated-sampling property hash sampling is chosen for).
 
     ``pos`` = 1-based rank by (hash, id). Same per-group-window shape as
-    ``kmv_distinct`` — rows never leave their group's partition, the
-    production form is a bounded-heap UDAF, the algebra is the contract.
-    """
+    ``kmv_distinct`` — rows never leave their group's partition; the
+    algebra is the contract. ``method="partial"`` is the bounded-heap
+    production form: each input partition keeps only its own k smallest
+    (hash, id) per group before the shuffle, then the window ranks the
+    <= k x partitions survivors — identical output, sketch-sized
+    exchange (parity-pinned)."""
     if k < 1:
         raise ValueError("bottomk needs k >= 1")
     h = _h60(F.col(id_col))
+    rows = df.select(*group_cols, F.col(id_col))
+    if method == "partial":
+        # dedup=False: duplicate ids each occupy a slot in the window
+        # path, so the partial path must keep them too (multiset parity)
+        rows = _batch_bottomk(
+            rows.withColumn("_h", h), group_cols, ["_h", id_col], k,
+            dedup=False,
+        )
+        h = F.col("_h")
+    elif method != "window":
+        raise ValueError(f"unknown bottomk method {method!r}")
     w = Window.partitionBy(*group_cols).orderBy(h.asc(), F.col(id_col).asc())
     return (
-        df.select(*group_cols, F.col(id_col))
-        .withColumn("pos", F.row_number().over(w).cast("long"))
+        rows.withColumn("pos", F.row_number().over(w).cast("long"))
         .where(F.col("pos") <= k)
+        .select(*group_cols, id_col, "pos")
     )
 
 
@@ -354,6 +429,7 @@ def kmv_state(
     group_cols: list[str],
     value_col: str,
     k: int = 32,
+    method: str = "window",
 ) -> DataFrame:
     """(group_cols..., h): the per-group KMV synopsis — the k smallest
     distinct 60-bit hashes. THE mergeable form: bottom-k sketches
@@ -361,14 +437,24 @@ def kmv_state(
     the union), so per-shard / per-snapshot states roll up to the
     corpus estimate without rescanning anything —
     ``kmv_merge(kmv_state(shard1), kmv_state(shard2)) ==
-    kmv_distinct(shard1 ∪ shard2)`` bit-for-bit (pinned by test)."""
+    kmv_distinct(shard1 ∪ shard2)`` bit-for-bit (pinned by test).
+
+    ``method="partial"`` shrinks each input partition to <= k candidate
+    hashes per group before the one shuffle (see :func:`kmv_distinct`).
+    """
     if k < 2:
         raise ValueError("kmv k must be >= 2")
-    dv = (
-        df.select(*group_cols, F.col(value_col).alias("_v"))
-        .distinct()
-        .select(*group_cols, _h60(F.col("_v")).alias("h"))
-    )
+    if method == "partial":
+        hashed = df.select(*group_cols, _h60(F.col(value_col)).alias("h"))
+        dv = _batch_bottomk(hashed, group_cols, ["h"], k).distinct()
+    elif method == "window":
+        dv = (
+            df.select(*group_cols, F.col(value_col).alias("_v"))
+            .distinct()
+            .select(*group_cols, _h60(F.col("_v")).alias("h"))
+        )
+    else:
+        raise ValueError(f"unknown kmv method {method!r}")
     w = Window.partitionBy(*group_cols).orderBy(F.asc("h"))
     return (
         dv.withColumn("_rn", F.row_number().over(w))
@@ -391,22 +477,137 @@ def kmv_merge(
     u = states[0]
     for s in states[1:]:
         u = u.unionByName(s)
-    dv = u.select(*group_cols, "h").distinct()
+    return _kmv_finalize(
+        u.select(*group_cols, F.col("h").alias("_h")), group_cols, k
+    )
+
+
+def weighted_sample(
+    df: DataFrame,
+    group_cols: list[str],
+    id_col: str,
+    weight_col: str,
+    k: int = 32,
+    method: str = "window",
+) -> DataFrame:
+    """Deterministic per-group weighted k-sample (Efraimidis & Spirakis
+    2006) -> (group_cols..., id, weight, pos): each row wins a slot with
+    probability proportional to its weight — the sampler a curation
+    pipeline uses when "sample 1k docs per domain" should favor
+    high-quality / high-score docs without becoming a hard top-k.
+
+    A-ES with the repo's hash coin instead of a PRNG: every row draws
+    u = (h60(id) + 1) / 2^60 in (0, 1] (the +1 dodges ln(0); u = 1 maps
+    to score 0, the maximum) and scores ln(u) / weight; the k LARGEST
+    scores per group win — equivalent to ranking u^(1/w), the A-ES key.
+    Deterministic, rerun-stable, and coordinated across relations like
+    :func:`bottomk_sample` (same ids win wherever their weights agree).
+    ``pos`` = 1-based rank by (score desc, id asc); weights must be > 0
+    (raises inside the plan via an ANSI-mode-safe filter is NOT done —
+    caller contract, matching the reference samplers).
+
+    100 TB shape: a pure projection (md5 + ln in codegen) plus the same
+    bounded per-group state as every sketch here — ``method="window"``
+    sorts within group partitions (the SQL-twin oracle path);
+    ``method="partial"`` pre-shrinks each partition to k rows per group
+    in an Arrow heap pass so the one shuffle moves sample-sized state.
+    """
+    if k < 1:
+        raise ValueError("weighted_sample needs k >= 1")
+    u = (_h60(F.col(id_col)).cast("double") + F.lit(1.0)) / F.lit(_HASH_SPACE)
+    # rank ASCENDING on the NEGATED score: -ln(u)/w >= 0, smaller = better
+    negscore = -F.log(u) / F.col(weight_col).cast("double")
+    rows = df.select(
+        *group_cols,
+        F.col(id_col),
+        F.col(weight_col).alias("weight"),
+        negscore.alias("_ns"),
+    )
+    if method == "partial":
+        rows = _batch_bottomk(
+            rows, group_cols, ["_ns", id_col], k, dedup=False
+        )
+    elif method != "window":
+        raise ValueError(f"unknown weighted_sample method {method!r}")
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.asc("_ns"), F.asc(id_col)
+    )
+    return (
+        rows.withColumn("pos", F.row_number().over(w).cast("long"))
+        .where(F.col("pos") <= k)
+        .select(*group_cols, id_col, "weight", "pos")
+    )
+
+
+def kmv_overlap(
+    state_a: DataFrame,
+    state_b: DataFrame,
+    group_cols: list[str],
+    k: int = 32,
+) -> DataFrame:
+    """Per-group set-overlap estimate from two KMV states ->
+    (group_cols..., n_common, n_union_sketch, jaccard_ppm,
+    est_union, est_intersection): the classic KMV Jaccard estimator
+    (Beyer et al. 2007) — how much do two crawl snapshots / two hosts /
+    two dedup shards share, WITHOUT touching either corpus again.
+
+    Algebra (both engines, bit-for-bit): S = bottom-k of (A ∪ B) hashes;
+    J ≈ |S ∩ A ∩ B| / |S|, emitted as exact-integer
+    ``jaccard_ppm = (1000000 * n_common) DIV n_union_sketch`` (the
+    pinned-integer discipline — no round()'d double enters the hash);
+    ``est_union`` is the merged sketch's KMV estimate and
+    ``est_intersection = round(est_union * n_common / n_union_sketch,
+    4)`` (one multiply, one divide, one round).
+
+    Cost: unions and joins of sketch-sized relations only (<= 2k rows
+    per group) — the mergeable-synopsis payoff: pairwise corpus overlap
+    becomes an O(groups x k) problem.
+    """
+    a = state_a.select(*group_cols, F.col("h")).withColumn(
+        "_in_a", F.lit(1)
+    )
+    b = state_b.select(*group_cols, F.col("h")).withColumn(
+        "_in_b", F.lit(1)
+    )
+    both = (
+        a.join(b, [*group_cols, "h"], "full")
+        .select(
+            *group_cols,
+            "h",
+            F.coalesce("_in_a", F.lit(0)).alias("_a"),
+            F.coalesce("_in_b", F.lit(0)).alias("_b"),
+        )
+    )
     w = Window.partitionBy(*group_cols).orderBy(F.asc("h"))
-    ranked = dv.select(*group_cols, "h", F.row_number().over(w).alias("_rn"))
-    per_group = ranked.where(F.col("_rn") <= k).groupBy(*group_cols).agg(
-        F.count(F.lit(1)).alias("_n"),
+    s = both.withColumn("_rn", F.row_number().over(w)).where(
+        F.col("_rn") <= k
+    )
+    agg = s.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_union_sketch"),
+        F.sum(
+            (F.col("_a") * F.col("_b")).cast("long")
+        ).alias("n_common"),
         F.min(F.when(F.col("_rn") == k, F.col("h"))).alias("_hk"),
     )
-    full = F.col("_n") >= k
-    return per_group.select(
+    full = F.col("n_union_sketch") >= k
+    est_union = F.round(
+        F.when(
+            full, F.lit(float(k - 1)) * F.lit(_HASH_SPACE) / F.col("_hk")
+        ).otherwise(F.col("n_union_sketch").cast("double")),
+        4,
+    )
+    return agg.select(
         *group_cols,
-        F.when(full, F.lit(k)).otherwise(F.col("_n")).alias("n_kept"),
+        "n_common",
+        "n_union_sketch",
+        F.expr(
+            "(n_common * 1000000L) div n_union_sketch"
+        ).alias("jaccard_ppm"),
+        est_union.alias("est_union"),
         F.round(
-            F.when(
-                full,
-                F.lit(float(k - 1)) * F.lit(_HASH_SPACE) / F.col("_hk"),
-            ).otherwise(F.col("_n").cast("double")),
+            est_union
+            * F.col("n_common").cast("double")
+            / F.col("n_union_sketch").cast("double"),
             4,
-        ).alias("est_distinct"),
+        ).alias("est_intersection"),
     )

@@ -204,6 +204,95 @@ CAPTURE = [
      "(domain-cardinality relation); the corpus side is scan -> "
      "broadcast-join -> filter, zero corpus shuffle; the scalar T rides "
      "a 1-row broadcast cross-join (the dangling-mass pattern)"),
+    # -- round-5: every remaining driver-window query gets a capture --
+    ("g_scc", "trim + FW-coloring SCC: the final labeling reads from the "
+     "last round's lineage cut (plan depth O(1) in rounds); each round "
+     "was two trim left-semi passes + a forward max-coloring equi-join "
+     "chain + a backward reach join, all node-keyed equi-joins"),
+    ("g_shortest_paths", "Bellman-Ford with a CHANGED-ONLY frontier: "
+     "per hop one frontier-edges equi-join + map-side min-combine; "
+     "dist is exact long arithmetic; final relation reads from the "
+     "last hop's lineage cut"),
+    ("g_condensation", "two node-keyed equi-joins of the edge relation "
+     "against the (node, component) labeling + one distinct — output is "
+     "component-sized; hub components are AQE territory"),
+    ("g_bowtie", "reuses ONE SCC labeling for core pick + IN/OUT "
+     "reachability; per-phase joins are node-keyed; role assignment is "
+     "a coalesce over left joins, no corpus-sized shuffle beyond the "
+     "labeling itself"),
+    ("kg_chain_incremental", "delta-only semi-naive chaining: new rounds "
+     "join the DELTA against the stored closure (never closure x "
+     "closure), so work scales with the blast radius of the new "
+     "triples, not KG size"),
+    ("t_kmv_merge", "shard states union into a (shards x k per group) "
+     "bounded relation; the re-rank window sorts sketch-sized "
+     "partitions; output is group-sized — the shards' rows are never "
+     "rescanned"),
+    ("c_frontier_schedule", "per-host priority window + orderBy+limit "
+     "wave cut (TakeOrderedAndProject — never a full frontier sort); "
+     "the rank window then numbers only the wave's rows. limit=None "
+     "routes through per-pos-band ranks + broadcast offsets instead of "
+     "any global window (test_frontier plan tests pin both)"),
+    ("x_bpe_token_counts", "token counting runs the learned merge list "
+     "as literal bracket replaces over the DISTINCT-words relation "
+     "(vocab-sized), then joins counts back — the corpus is tokenized "
+     "exactly once at word granularity"),
+    ("x_bpe_vocab", "vocab construction replays merge rounds over "
+     "vocab-sized relations; token-id assignment is a window over the "
+     "bounded vocab table, no corpus involvement at all"),
+    ("t_bottomk_sample", "per-group window rank <= k: rows never leave "
+     "their group's partition and the sort is within group partitions; "
+     "method='partial' (parity-pinned) pre-shrinks each partition to k "
+     "rows per group in an Arrow pass before the one shuffle"),
+    ("d_semdedup_kmeans", "SemDeDup over a REAL k-means fit: the E-step "
+     "assignment is a map-only projection off the k x d centroid "
+     "literal; the within-cluster pair pass is a cluster-id equi-join "
+     "with vector norms hoisted OUT of the pair join (computed once per "
+     "row, not per pair)"),
+    ("t_url_filter", "C4/RefinedWeb-style URL gate: config lists are "
+     "literal arrays in codegen; the UT1-scale blocklist path is a "
+     "suffix-explode + broadcast equi-join — the corpus never "
+     "shuffles"),
+    ("kg_pipeline_mini", "the end-to-end DAG at oracle scale: ONE "
+     "MapInPandas carries extract+chunk; mention/link joins hit the "
+     "BROADCAST alias dictionary; canonicalization joins are "
+     "entity-sized — shuffle volume is O(entities), not O(corpus)"),
+    ("kg_vector_search", "the stored-index search path: scan of the "
+     "persisted chunks+embeddings parquet, query vector as a literal, "
+     "cosine as a JVM higher-order fold, top-k via "
+     "TakeOrderedAndProject on the rounded score"),
+    ("incr_apply", "incremental apply: ONE full-outer join classifies "
+     "old vs new state; only the changed frontier re-extracts (the "
+     "MapInPandas input is frontier-sized); row-level merges are "
+     "key-equi-joins against the stored tables"),
+    ("g_degree_topk", "in-degree hubs: one map-side-combinable count "
+     "agg + TakeOrderedAndProject — no rank window over the node "
+     "universe"),
+    ("g_components", "iterative min-label CC: per round one edges-labels "
+     "equi-join + map-side min; the returned labeling reads from the "
+     "final round's lineage cut (plan depth O(1) in iterations)"),
+    ("g_two_hop", "2-hop reach: two edge equi-joins through the mid "
+     "node with an early DISTINCT between hops (multi-path collapse "
+     "BEFORE the second fan-out); per-source counts aggregate "
+     "map-side"),
+    ("f6_issue_keys", "issue-key normalization is pure codegen'd "
+     "regexp_extract/upper over a single pruned scan — no Exchange, no "
+     "Python"),
+    ("t_kmv_partial", "the PRODUCTION sketch plan: MapInPandas (per-batch "
+     "bounded heaps) sits BELOW every hash exchange — the shuffle moves "
+     "<= k rows per group per partition, not the distinct-value "
+     "universe; the finalize window gets WindowGroupLimit pushdown"),
+    ("t_bottomk_partial", "same partial-aggregate shape for the sampler: "
+     "Arrow heap pass before the one shuffle, window ranks only the "
+     "<= k x partitions survivors"),
+    ("t_weighted_sample", "A-ES weighted sampling: md5 + ln score is a "
+     "pure codegen projection; per-group top-k window — rows never "
+     "leave their group's partition, no extra shuffle beyond the one "
+     "group exchange"),
+    ("t_kmv_overlap", "sketch-algebra overlap: every relation after the "
+     "two state builds is sketch-sized (<= 2k rows per group); the "
+     "full-outer state join and re-rank window run on synopsis rows, "
+     "the corpus is scanned only by the state builds"),
 ]
 
 

@@ -322,3 +322,265 @@ class TestCmEstimateExternalCandidates:
         }
         assert got["hot"] == 50
         assert got["never-seen-value"] == 0  # reported, and as zero
+
+
+class TestPartialAggregateParity:
+    """The production bounded-heap path (method='partial': per-Arrow-batch
+    pandas heaps shrink each partition to <= k rows per group BEFORE the
+    shuffle) must reproduce the window path bit-for-bit. Fixtures
+    repartition to many partitions so the cross-batch merge is really
+    exercised."""
+
+    PAIRS = [(f"g{i % 5}", (i * 13) % 900) for i in range(3000)]
+
+    def test_kmv_distinct_parity(self, spark):
+        from chunksilo_spark.operators.sketches import kmv_distinct
+
+        df = spark.createDataFrame(self.PAIRS, "grp string, v long").repartition(8)
+        for k in (2, 16, 64):
+            win = sorted(map(tuple, kmv_distinct(df, ["grp"], "v", k=k).collect()))
+            par = sorted(
+                map(
+                    tuple,
+                    kmv_distinct(df, ["grp"], "v", k=k, method="partial").collect(),
+                )
+            )
+            assert win == par, k
+
+    def test_kmv_state_parity(self, spark):
+        from chunksilo_spark.operators.sketches import kmv_state
+
+        df = spark.createDataFrame(self.PAIRS, "grp string, v long").repartition(8)
+        win = sorted(map(tuple, kmv_state(df, ["grp"], "v", k=16).collect()))
+        par = sorted(
+            map(tuple, kmv_state(df, ["grp"], "v", k=16, method="partial").collect())
+        )
+        assert win == par
+
+    def test_partial_state_merges_with_window_state(self, spark):
+        """Mixed-provenance rollup: a shard sketched via the partial path
+        merges with a shard sketched via the window path, matching the
+        global window sketch — the mergeable-state contract is
+        path-independent."""
+        from chunksilo_spark.operators.sketches import (
+            kmv_distinct,
+            kmv_merge,
+            kmv_state,
+        )
+
+        df = spark.createDataFrame(self.PAIRS, "grp string, v long")
+        s1 = df.where("v % 2 = 0")
+        s2 = df.where("v % 2 = 1")
+        merged = kmv_merge(
+            [
+                kmv_state(s1, ["grp"], "v", k=16, method="partial"),
+                kmv_state(s2, ["grp"], "v", k=16),
+            ],
+            ["grp"],
+            k=16,
+        )
+        want = sorted(map(tuple, kmv_distinct(df, ["grp"], "v", k=16).collect()))
+        assert sorted(map(tuple, merged.collect())) == want
+
+    def test_bottomk_sample_parity(self, spark):
+        from chunksilo_spark.operators.sketches import bottomk_sample
+
+        rows = [(f"g{i % 4}", f"id{i}") for i in range(500)]
+        df = spark.createDataFrame(rows, "grp string, id string").repartition(8)
+        win = sorted(map(tuple, bottomk_sample(df, ["grp"], "id", k=9).collect()))
+        par = sorted(
+            map(
+                tuple,
+                bottomk_sample(df, ["grp"], "id", k=9, method="partial").collect(),
+            )
+        )
+        assert win == par
+
+    def test_bottomk_sample_parity_with_duplicate_ids(self, spark):
+        """Duplicate ids each occupy a sample slot in the window path;
+        the partial path must keep that multiset semantics (dedup=False)."""
+        from chunksilo_spark.operators.sketches import bottomk_sample
+
+        rows = [(f"g{i % 2}", f"id{i % 7}") for i in range(60)]
+        df = spark.createDataFrame(rows, "grp string, id string").repartition(6)
+        win = sorted(
+            (r["grp"], r["id"]) for r in bottomk_sample(df, ["grp"], "id", k=5).collect()
+        )
+        par = sorted(
+            (r["grp"], r["id"])
+            for r in bottomk_sample(
+                df, ["grp"], "id", k=5, method="partial"
+            ).collect()
+        )
+        assert win == par
+
+    def test_unknown_method_raises(self, spark):
+        import pytest as _pytest
+
+        from chunksilo_spark.operators.sketches import bottomk_sample, kmv_distinct
+
+        df = spark.createDataFrame([("a", 1)], "grp string, v long")
+        with _pytest.raises(ValueError):
+            kmv_distinct(df, ["grp"], "v", k=4, method="heap")
+        with _pytest.raises(ValueError):
+            bottomk_sample(df, ["grp"], "v", k=4, method="heap")
+
+    def test_partial_shuffle_is_sketch_sized(self, spark):
+        """The point of the partial path: the exchange input is the
+        mapInPandas output (<= k x partitions x groups rows), never the
+        raw relation — assert the plan runs the Python stage BEFORE the
+        first exchange."""
+        from chunksilo_spark.operators.sketches import kmv_distinct
+
+        df = spark.createDataFrame(self.PAIRS, "grp string, v long").repartition(8)
+        plan = (
+            kmv_distinct(df, ["grp"], "v", k=16, method="partial")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # the plan string prints top-down, so deeper operators appear
+        # LATER: the pandas heap stage must sit below (after) every
+        # hash-partitioned exchange — i.e. it runs before any shuffle
+        assert "MapInPandas" in plan
+        assert plan.rindex("Exchange hashpartitioning") < plan.index(
+            "MapInPandas"
+        )
+
+
+class TestWeightedSample:
+    """A-ES weighted sampling with the deterministic hash coin."""
+
+    ROWS = [
+        (f"g{i % 3}", f"id{i}", 1.0 + (i * 7) % 13) for i in range(300)
+    ]
+
+    @staticmethod
+    def _python_ws(rows, k):
+        import math
+
+        out = {}
+        by_g = {}
+        for g, i, w in rows:
+            u = (_h60(i) + 1.0) / SPACE
+            by_g.setdefault(g, []).append((-math.log(u) / w, i, w))
+        for g, items in by_g.items():
+            items.sort()
+            for pos, (_, i, w) in enumerate(items[:k], start=1):
+                out[(g, i)] = (w, pos)
+        return out
+
+    def _run(self, spark, k, method="window"):
+        from chunksilo_spark.operators.sketches import weighted_sample
+
+        df = spark.createDataFrame(
+            self.ROWS, "grp string, id string, w double"
+        ).repartition(8)
+        got = weighted_sample(df, ["grp"], "id", "w", k=k, method=method)
+        return {
+            (r["grp"], r["id"]): (r["weight"], r["pos"])
+            for r in got.collect()
+        }
+
+    def test_matches_python_formula(self, spark):
+        for k in (1, 5, 20):
+            assert self._run(spark, k) == self._python_ws(self.ROWS, k), k
+
+    def test_partial_parity(self, spark):
+        assert self._run(spark, 9, "partial") == self._run(spark, 9)
+
+    def test_heavier_weights_win_more_slots(self, spark):
+        """Statistical sanity: doubling an item set's weights ~doubles
+        its inclusion odds. 200 ids, half weight 1, half weight 10 —
+        the heavy half must take well over half of a k=40 sample."""
+        from chunksilo_spark.operators.sketches import weighted_sample
+
+        rows = [
+            ("g", f"id{i}", 10.0 if i % 2 == 0 else 1.0)
+            for i in range(200)
+        ]
+        df = spark.createDataFrame(rows, "grp string, id string, w double")
+        got = weighted_sample(df, ["grp"], "id", "w", k=40).collect()
+        heavy = sum(1 for r in got if r["weight"] == 10.0)
+        assert heavy > 28  # E[heavy] ~ 36 of 40; deterministic, no flake
+
+    def test_rerun_stable_and_k_bounds(self, spark):
+        import pytest as _pytest
+
+        from chunksilo_spark.operators.sketches import weighted_sample
+
+        df = spark.createDataFrame(
+            self.ROWS, "grp string, id string, w double"
+        )
+        a = sorted(map(tuple, weighted_sample(df, ["grp"], "id", "w", k=5).collect()))
+        b = sorted(map(tuple, weighted_sample(df, ["grp"], "id", "w", k=5).collect()))
+        assert a == b
+        with _pytest.raises(ValueError):
+            weighted_sample(df, ["grp"], "id", "w", k=0)
+        with _pytest.raises(ValueError):
+            weighted_sample(df, ["grp"], "id", "w", k=5, method="heap")
+
+
+class TestKmvOverlap:
+    @staticmethod
+    def _python_overlap(vals_a, vals_b, k):
+        ha = sorted({_h60(v) for v in vals_a})[:k]
+        hb = sorted({_h60(v) for v in vals_b})[:k]
+        union = sorted(set(ha) | set(hb))[:k]
+        n_u = len(union)
+        n_c = sum(1 for h in union if h in set(ha) and h in set(hb))
+        if n_u >= k:
+            est_union = round((k - 1) * SPACE / union[k - 1], 4)
+        else:
+            est_union = round(float(n_u), 4)
+        return (
+            n_c,
+            n_u,
+            (n_c * 1000000) // n_u,
+            est_union,
+            round(est_union * n_c / n_u, 4),
+        )
+
+    def _run(self, spark, vals_a, vals_b, k):
+        from chunksilo_spark.operators.sketches import kmv_overlap, kmv_state
+
+        da = spark.createDataFrame([("g", v) for v in vals_a], "grp string, v long")
+        db = spark.createDataFrame([("g", v) for v in vals_b], "grp string, v long")
+        sa = kmv_state(da, ["grp"], "v", k=k)
+        sb = kmv_state(db, ["grp"], "v", k=k)
+        (r,) = kmv_overlap(sa, sb, ["grp"], k=k).collect()
+        return (
+            r["n_common"],
+            r["n_union_sketch"],
+            r["jaccard_ppm"],
+            r["est_union"],
+            r["est_intersection"],
+        )
+
+    def test_matches_python_formula(self, spark):
+        a = [v for v in range(500) if v % 3 != 0]
+        b = [v for v in range(500) if v % 2 == 0]
+        for k in (8, 32, 64):
+            assert self._run(spark, a, b, k) == self._python_overlap(a, b, k), k
+
+    def test_identical_states_are_fully_overlapping(self, spark):
+        vals = list(range(100))
+        n_c, n_u, ppm, eu, ei = self._run(spark, vals, vals, 16)
+        assert (n_c, n_u, ppm) == (16, 16, 1000000)
+        assert eu == ei
+
+    def test_disjoint_states_share_nothing(self, spark):
+        n_c, _, ppm, _, ei = self._run(
+            spark, list(range(100)), list(range(1000, 1100)), 16
+        )
+        assert (n_c, ppm, ei) == (0, 0, 0.0)
+
+    def test_jaccard_estimate_near_truth(self, spark):
+        # true J of {v%3!=0} vs {v%2==0} over 3000 values: residue
+        # classes mod 6 -> |A∩B| = 1000 ({2,4}), |A∪B| = 2500
+        # ({0,1,2,4,5}), J = 0.4; k=256 -> sd ~ sqrt(J(1-J)/k) ~ 0.031,
+        # deterministic hashes land at 0.3555 (no flake)
+        a = [v for v in range(3000) if v % 3 != 0]
+        b = [v for v in range(3000) if v % 2 == 0]
+        _, _, ppm, _, _ = self._run(spark, a, b, 256)
+        assert abs(ppm / 1e6 - 0.4) < 0.08
