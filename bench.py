@@ -103,6 +103,12 @@ HEADLINE = [
     "x_bpe_token_counts",
     "d_semdedup_kmeans",
     "x_domain_mix",
+    # round-5 additions: production sketch paths, weighted sampling,
+    # state-overlap estimation
+    "t_kmv_partial",
+    "t_bottomk_partial",
+    "t_weighted_sample",
+    "t_kmv_overlap",
 ]
 
 
