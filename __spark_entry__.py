@@ -1899,6 +1899,138 @@ def _t_kmv_merge(spark, sf):  # mergeable KMV: sharded states roll up
     )
 
 
+def _t_hll_cardinality(spark, sf):  # HyperLogLog distinct sketch
+    # same hash-integer-cents domain as t_kmv_cardinality; the oracle
+    # re-derives bucket/rank/register/estimate in SQL (bitlength via
+    # length(bin(w)) — exact integers, no float log2)
+    from chunksilo_spark.operators.sketches import hll_cardinality
+
+    ev = _t(spark, sf, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    return hll_cardinality(ev, ["event_type"], "cents", b=8)
+
+
+def _t_hll_merge(spark, sf):  # mergeable HLL: register-wise max rollup
+    # two event-id shards sketched independently; merging the register
+    # states must land EXACTLY on the global sketch (register-wise max
+    # IS union) — the oracle is the global HLL SQL verbatim
+    from chunksilo_spark.operators.sketches import hll_merge, hll_state
+
+    ev = _t(spark, sf, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        "event_id",
+    )
+    shards = [ev.where(F.col("event_id") % 2 == i) for i in (0, 1)]
+    return hll_merge(
+        [hll_state(s, ["event_type"], "cents", b=8) for s in shards],
+        ["event_type"],
+        b=8,
+    )
+
+
+def _g_components_starstar(spark, sf):  # O(log n)-round CC (Kiveris et al.)
+    # chain-heavy graph (the regime min-label is worst at): blocks of 32
+    # consecutive ids chained, a bridge at every multiple of 640 merging
+    # two adjacent blocks. The oracle is the ANALYTIC component id.
+    docs = _t(spark, sf, "documents").select("doc_id")
+    d = F.col("doc_id")
+    chain = docs.where(d % 32 != 0).select(
+        d.alias("src"), (d - 1).cast("long").alias("dst")
+    )
+    bridge = docs.where((d % 640 == 0) & (d > 0)).select(
+        d.alias("src"), (d - 1).cast("long").alias("dst")
+    )
+    comp = gr.components_starstar(chain.union(bridge))
+    return comp.select("node", "component")
+
+
+def _w_warc_roundtrip(spark, sf):  # WARC parse, end-to-end hash-checked
+    # synthesize REAL WARC/1.0 bytes in-plan from the documents table
+    # (HTTP envelopes; every 5th record chunked-transfer-framed; every
+    # 7th a 404 the status gate must drop; every 11th preceded by a
+    # request record the type filter must skip), parse them back through
+    # the production mapInPandas path, and emit a full-body fingerprint —
+    # the oracle derives the expected records DIRECTLY from documents,
+    # so a green row hash-checks the parser itself.
+    from chunksilo_spark.sources.readers import warc_pages_from_blobs
+
+    d = F.col("doc_id")
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    url = F.concat(
+        F.lit("https://h"), (d % 40).cast("string"),
+        F.lit(".example/p/"), d.cast("string"),
+    )
+    html = F.concat(
+        F.lit("<html><body><p>"), F.col("text"), F.lit("</p></body></html>")
+    )
+    status_line = F.when(
+        d % 7 == 3, F.lit("HTTP/1.1 404 Not Found")
+    ).otherwise(F.lit("HTTP/1.1 200 OK"))
+    chunked = d % 5 == 0
+    body = F.when(
+        chunked,
+        F.concat(
+            F.hex(F.octet_length(html)), F.lit("\r\n"), html,
+            F.lit("\r\n0\r\n\r\n"),
+        ),
+    ).otherwise(html)
+    payload = F.concat(
+        status_line,
+        F.lit("\r\nContent-Type: text/html\r\n"),
+        F.when(chunked, F.lit("Transfer-Encoding: chunked\r\n")).otherwise(
+            F.lit("")
+        ),
+        F.lit("\r\n"),
+        body,
+    )
+    rec = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "), url,
+        F.lit("\r\nWARC-Date: 2025-06-01T12:00:00Z\r\nWARC-Record-ID: "
+              "<urn:md5:"),
+        F.md5(d.cast("string")),
+        F.lit(">\r\nContent-Length: "),
+        F.octet_length(payload).cast("string"),
+        F.lit("\r\n\r\n"), payload, F.lit("\r\n\r\n"),
+    )
+    req_payload = F.lit("GET / HTTP/1.1\r\nHost: x\r\n\r\n")
+    req = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: request\r\nWARC-Target-URI: "), url,
+        F.lit("\r\nWARC-Date: 2025-06-01T12:00:00Z\r\nContent-Length: "),
+        F.octet_length(req_payload).cast("string"),
+        F.lit("\r\n\r\n"), req_payload, F.lit("\r\n\r\n"),
+    )
+    unit = F.when(d % 11 == 0, F.concat(req, rec)).otherwise(rec)
+    blobs = (
+        docs.select(
+            (d % 16).alias("blob"),
+            F.struct(d.alias("doc_id"), unit.alias("rec")).alias("s"),
+        )
+        .groupBy("blob")
+        .agg(F.array_sort(F.collect_list("s")).alias("arr"))
+        .select(
+            F.concat(
+                F.lit("mem://blob-"), F.col("blob").cast("string"),
+                F.lit(".warc"),
+            ).alias("path"),
+            F.encode(
+                F.expr("array_join(transform(arr, x -> x.rec), '')"),
+                "utf-8",
+            ).alias("content"),
+        )
+    )
+    pages = warc_pages_from_blobs(blobs)
+    return pages.select(
+        "url",
+        F.element_at("extras", "http_status").alias("status"),
+        F.length(F.col("html")).cast("long").alias("n_bytes"),
+        F.unix_timestamp(F.col("warc_ts")).cast("long").alias("ts_epoch"),
+        F.md5(F.col("html")).alias("html_md5"),
+    )
+
+
 def _c_frontier_schedule(spark, sf):  # politeness-interleaved fetch order
     # synthetic frontier off documents: 7 hosts, priority = n_chars;
     # first scheduling wave of 60
@@ -2246,6 +2378,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_bottomk_partial": _t_bottomk_partial,
         "t_weighted_sample": _t_weighted_sample,
         "t_kmv_overlap": _t_kmv_overlap,
+        "t_hll_cardinality": _t_hll_cardinality,
+        "t_hll_merge": _t_hll_merge,
+        "g_components_starstar": _g_components_starstar,
+        "w_warc_roundtrip": _w_warc_roundtrip,
         # -- previously driver-green rows fill the remaining window
         #    slots, then the three-plus-rounds-green tail; every query
         #    stays covered by the full local oracle gate every pytest --
@@ -4588,6 +4724,86 @@ def _oracle_sql_body() -> dict[str, str]:
         # the identical KMV algebra: md5-15-hex 60-bit hash over distinct
         # integer-cent values, row_number window for the k-th minimum,
         # (k-1) * 2^60 / h_k in IEEE double
+        # HyperLogLog, full re-derivation: 60-bit md5 hash -> bucket
+        # j = h % 256 / suffix w = h // 256; rank = 52 - bitlength(w) + 1
+        # (53 for w = 0) with bitlength via length(bin(w)) — exact
+        # integers in both engines; registers = max rank per bucket;
+        # sum_scaled = sum(2^(53 - r)) over all 256 registers as BIGINT
+        # (empty register contributes 2^53). The only floats: the raw
+        # estimate alpha*m^2*2^53 / sum_scaled (one literal division;
+        # the numerator is the same python-repr'd literal in both
+        # engines) and the small-range linear-counting branch
+        # m * ln(m / n_zero), each rounded once to 4dp.
+        "t_hll_cardinality": """
+            WITH dv AS (
+                SELECT DISTINCT event_type,
+                       CAST(round(value * 100) AS BIGINT) AS cents
+                FROM events
+            ), h AS (
+                SELECT event_type,
+                       (('0x' || substr(md5(cents::VARCHAR), 1, 15))
+                        ::UBIGINT)::BIGINT AS h
+                FROM dv
+            ), r AS (
+                SELECT event_type, (h % 256)::BIGINT AS j,
+                       CASE WHEN (h // 256) = 0 THEN 53
+                            ELSE 52 - length(bin(h // 256)) + 1
+                       END AS rho
+                FROM h
+            ), regs AS (
+                SELECT event_type, j, max(rho) AS r
+                FROM r GROUP BY event_type, j
+            ), agg AS (
+                SELECT event_type, count(*) AS n_present,
+                       sum((1::BIGINT << (53 - r))::BIGINT)::BIGINT
+                           AS s_present
+                FROM regs GROUP BY event_type
+            ), stats AS (
+                SELECT event_type, 256::BIGINT AS m,
+                       (256 - n_present)::BIGINT AS n_zero,
+                       (s_present
+                        + (256 - n_present) * (1::BIGINT << 53))::BIGINT
+                           AS sum_scaled
+                FROM agg
+            )
+            SELECT event_type, m, n_zero, sum_scaled,
+                   round(CASE WHEN (4.2399330249068963e+20
+                                    / sum_scaled::DOUBLE) <= 640.0
+                                   AND n_zero > 0
+                              THEN 256.0 * ln(256.0 / n_zero::DOUBLE)
+                              ELSE 4.2399330249068963e+20
+                                   / sum_scaled::DOUBLE
+                         END, 4) AS est_distinct
+            FROM stats
+        """,
+        # analytic component ids for the 32-chain + 640-bridge graph
+        # (the chain-heavy shape star-star CC exists for)
+        "g_components_starstar": """
+            SELECT doc_id AS node,
+                   CASE WHEN (doc_id - doc_id % 32) % 640 = 0
+                             AND (doc_id - doc_id % 32) > 0
+                        THEN doc_id - doc_id % 32 - 32
+                        ELSE doc_id - doc_id % 32
+                   END AS component
+            FROM documents
+        """,
+        # the WARC round-trip expectation, derived DIRECTLY from
+        # documents (no parse): 404s (doc_id % 7 = 3) are dropped by the
+        # status gate; chunked framing and request-record noise must be
+        # invisible in the output; md5 fingerprints the FULL body
+        "w_warc_roundtrip": """
+            SELECT 'https://h' || (doc_id % 40)::VARCHAR
+                       || '.example/p/' || doc_id::VARCHAR AS url,
+                   '200' AS status,
+                   octet_length(encode('<html><body><p>' || text
+                       || '</p></body></html>'))::BIGINT AS n_bytes,
+                   epoch('2025-06-01 12:00:00'::TIMESTAMP)::BIGINT
+                       AS ts_epoch,
+                   md5('<html><body><p>' || text
+                       || '</p></body></html>') AS html_md5
+            FROM documents
+            WHERE doc_id % 7 != 3
+        """,
         "t_kmv_cardinality": """
             WITH dv AS (
                 SELECT DISTINCT event_type,
@@ -5034,4 +5250,7 @@ def oracle_sql() -> dict[str, str]:
     # value-checks the mapInPandas partial-aggregate plan itself
     out["t_kmv_partial"] = out["t_kmv_cardinality"]
     out["t_bottomk_partial"] = out["t_bottomk_sample"]
+    # merge identity: shard-state rollup must land exactly on the global
+    # sketch, so the merged query's oracle IS the global HLL SQL
+    out["t_hll_merge"] = out["t_hll_cardinality"]
     return out

@@ -820,6 +820,122 @@ def weak_components(
     ).select(F.col("nid").alias("node"), "component")
 
 
+def components_starstar(
+    edges: DataFrame,
+    max_iter: int = 16,
+    partitions: int = 32,
+    strict: bool = True,
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    rounds (Kiveris, Lattanzi, Mirrokni, Rastogi & Vassilvitskii,
+    "Connected Components in MapReduce and Beyond", SoCC 2014) ->
+    (node, component) with component = min member id — the same output
+    contract as :func:`weak_components`, pinned by parity test.
+
+    WHY a second CC implementation: min-label propagation converges in
+    O(diameter) rounds — fine for the star-shaped alias clusters it was
+    built for, but a web graph's giant component has diameter in the
+    dozens, and each round is a corpus-sized shuffle. Star-star
+    contracts components in O(log n) rounds REGARDLESS of diameter
+    (each large-star halves the height of every tree), so at 10^12
+    edges it replaces ~diameter shuffles with ~log n of them. This is
+    the CC the canonicalization stage should route to when dedup-chain
+    graphs (diameter ~ chain length) dominate.
+
+    Round algebra, operating on a canonically-oriented pair set
+    (a > b, a != b):
+
+      * large-star: for every center u over its FULL neighborhood
+        (both orientations), m = min(N(u) ∪ {u}); emit (v, m) for
+        each neighbor v > u. Every emitted pair keeps a > b.
+      * small-star: for every center u over its small neighbors
+        (v <= u, i.e. the pairs oriented at u), m = min(N(u) ∪ {u});
+        emit (v, m) for each small neighbor plus (u, m).
+
+    Both steps are ONE map-side-combinable min-aggregation plus ONE
+    equi-join back on the center key — no windows, no cartesian; hub
+    centers are a partial-agg fan-in (the min combines map-side) and
+    the join fan-out is the node's degree, which AQE skew-splits.
+    Fixpoint = the pair set reproduces itself (checked with a count +
+    anti-join, both on the shrinking star relation); at fixpoint the
+    pairs ARE (node, component-min) star edges. Isolated vertices never
+    appear in ``edges`` and are the caller's to union in (same contract
+    as the edge-derived vertex set below).
+    """
+    from ..checkpointing import cut_lineage
+
+    e = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    vertices = (
+        e.select(F.col("a").alias("node"))
+        .union(e.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    # canonical orientation (hi, lo); self-loops drop
+    p = cut_lineage(
+        e.where(F.col("a") != F.col("b"))
+        .select(
+            F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+        )
+        .distinct()
+        .repartition(partitions, "a")
+    )
+
+    def large_star(pairs: DataFrame) -> DataFrame:
+        sym = pairs.union(
+            pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        mins = sym.groupBy("a").agg(F.min("b").alias("_mn")).select(
+            "a", F.least(F.col("_mn"), F.col("a")).alias("_m")
+        )
+        out = (
+            sym.join(mins, "a")
+            .where(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("_m").alias("b"))
+        )
+        return out.where(F.col("a") != F.col("b")).distinct()
+
+    def small_star(pairs: DataFrame) -> DataFrame:
+        # pairs are (hi, lo): every neighbor at center a is already <= a
+        mins = pairs.groupBy("a").agg(F.min("b").alias("_m"))
+        moved = (
+            pairs.join(mins, "a")
+            .select(F.col("b").alias("a"), F.col("_m").alias("b"))
+        )
+        centers = mins.select("a", F.col("_m").alias("b"))
+        return (
+            moved.union(centers)
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+        )
+
+    for _ in range(max_iter):
+        new_p = cut_lineage(
+            small_star(large_star(p)).repartition(partitions, "a")
+        )
+        n_new = new_p.count()
+        changed = (
+            n_new != p.count()
+            or new_p.join(p, ["a", "b"], "left_anti").count() > 0
+        )
+        p = new_p
+        if not changed:
+            break
+    else:
+        if strict:
+            raise RuntimeError(
+                f"components_starstar did not converge in {max_iter} "
+                "rounds — raise max_iter (expected O(log n) rounds)"
+            )
+    labels = p.select(F.col("a").alias("node"), F.col("b").alias("component"))
+    return (
+        vertices.join(labels, "node", "left")
+        .select(
+            "node",
+            F.coalesce("component", F.col("node")).alias("component"),
+        )
+    )
+
+
 def rank_topk(ranks: DataFrame, k: int) -> DataFrame:
     """Top-k by (rounded) rank with node tiebreak — rounding BEFORE the sort
     makes the cutoff robust to last-ulp float differences between engines,

@@ -42,6 +42,9 @@ __all__ = [
     "kmv_state",
     "kmv_merge",
     "kmv_overlap",
+    "hll_state",
+    "hll_merge",
+    "hll_cardinality",
     "u01",
 ]
 
@@ -537,6 +540,169 @@ def weighted_sample(
         .where(F.col("pos") <= k)
         .select(*group_cols, id_col, "weight", "pos")
     )
+
+
+def _hll_alpha(m: int) -> float:
+    """Flajolet et al. 2007 bias-correction constant for m registers."""
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_state(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    b: int = 8,
+) -> DataFrame:
+    """(group_cols..., j, r): the per-group HyperLogLog register table
+    (Flajolet, Fusy, Gandouet & Meunier 2007) — for each of m = 2^b
+    buckets, the MAX leading-zero rank observed. Only non-empty buckets
+    materialize a row (empty register == absent row, register value 0),
+    so a state is <= m rows per group: the constant-size synopsis that
+    made HLL the industry-standard distinct counter (Spark's own
+    ``approx_count_distinct`` is HLL++ — opaque, engine-private, and not
+    re-derivable; THIS formulation pins the identical estimator on the
+    repo's md5 algebra so DuckDB rebuilds it bit-for-bit).
+
+    Pinned algebra (both engines):
+
+      * h = 60-bit md5 hash of the value's string form (``_h60``);
+        j = h mod m (bucket); w = h div m (the remaining W = 60 - b
+        bits).
+      * rank r = W - bitlength(w) + 1 for w > 0 (leading zeros of w in
+        W bits, plus one), and W + 1 for w == 0; bitlength via
+        ``length(bin(w))`` — exact integers in both engines, no
+        float log2 near a power-of-two boundary.
+      * register r_j = max rank in bucket j.
+
+    MERGEABLE by register-wise max (union the states, groupBy max) —
+    per-shard / per-snapshot states roll up to the corpus estimate
+    without rescanning anything, same contract as :func:`kmv_state`.
+
+    Vs KMV: HLL state is ~m small ints (registers) instead of k 60-bit
+    hashes — denser per byte of synopsis at equal error (~1.04/sqrt(m)
+    vs ~1/sqrt(k)) — but supports only cardinality (no Jaccard/overlap,
+    no sampling): keep both, they answer different questions.
+
+    100 TB shape: ONE distinct pass then a map-side-combinable max agg
+    keyed on (group, j) — the shuffle moves <= m rows per group per
+    partition. Nothing after the scan is corpus-sized.
+    """
+    if not (2 <= b <= 16):
+        raise ValueError("hll b must be in [2, 16]")
+    m = 1 << b
+    w_bits = 60 - b
+    dv = (
+        df.select(*group_cols, F.col(value_col).alias("_v"))
+        .distinct()
+        .select(*group_cols, _h60(F.col("_v")).alias("_h"))
+    )
+    w = F.expr(f"_h div {m}")
+    rank = F.when(w == 0, F.lit(w_bits + 1)).otherwise(
+        F.lit(w_bits) - F.length(F.bin(w)) + F.lit(1)
+    )
+    return (
+        dv.select(
+            *group_cols,
+            F.pmod(F.col("_h"), F.lit(m)).alias("j"),
+            rank.cast("int").alias("_r"),
+        )
+        .groupBy(*group_cols, "j")
+        .agg(F.max("_r").alias("r"))
+    )
+
+
+def _hll_finalize(
+    regs: DataFrame, group_cols: list[str], b: int
+) -> DataFrame:
+    """Register relation (group_cols..., j, r) -> the pinned
+    (m, n_zero, sum_scaled, est_distinct) output — ONE definition of the
+    estimator shared by hll_cardinality and hll_merge.
+
+    Exact-integer core: sum(2^-r_j) over ALL m registers (empty => r=0)
+    is carried as ``sum_scaled = sum(2^(B - r_j))`` with B = W + 1 the
+    max possible rank — a bigint (bounded by m * 2^B = 2^61 for every
+    b, since B = 60 - b + 1), so the value that drives the estimate is
+    hash-exact in both engines; the only floats are one literal
+    multiply-divide (raw branch) or m * ln(m / n_zero) (the standard
+    small-range linear-counting branch, taken when E <= 2.5m and zero
+    registers remain), each rounded once to 4dp.
+    """
+    m = 1 << b
+    max_rank = 60 - b + 1
+    per_group = regs.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("_n_present"),
+        F.sum(
+            F.expr(f"shiftleft(1L, {max_rank} - r)")
+        ).alias("_s_present"),
+    )
+    n_zero = (F.lit(m) - F.col("_n_present")).cast("long")
+    sum_scaled = (
+        F.col("_s_present")
+        + n_zero * F.lit(1 << max_rank).cast("long")
+    ).cast("long")
+    stats = per_group.select(
+        *group_cols,
+        F.lit(m).cast("long").alias("m"),
+        n_zero.alias("n_zero"),
+        sum_scaled.alias("sum_scaled"),
+    )
+    # alpha * m^2 * 2^B as ONE python-repr'd literal: the raw estimate is
+    # a single IEEE division literal/sum_scaled — identical both engines
+    numerator = _hll_alpha(m) * float(m) * float(m) * float(1 << max_rank)
+    raw = F.lit(numerator) / F.col("sum_scaled").cast("double")
+    lc = F.lit(float(m)) * F.log(
+        F.lit(float(m)) / F.col("n_zero").cast("double")
+    )
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (F.col("n_zero") > 0), lc
+    ).otherwise(raw)
+    return stats.select(
+        *group_cols,
+        "m",
+        "n_zero",
+        "sum_scaled",
+        F.round(est, 4).alias("est_distinct"),
+    )
+
+
+def hll_cardinality(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    b: int = 8,
+) -> DataFrame:
+    """Per-group HLL distinct-count estimate -> (group_cols..., m,
+    n_zero, sum_scaled, est_distinct). See :func:`hll_state` for the
+    pinned algebra; ``sum_scaled`` and ``n_zero`` are the exact-integer
+    estimator inputs (hash-stable by construction), ``est_distinct`` the
+    standard Flajolet estimate with small-range linear counting."""
+    return _hll_finalize(hll_state(df, group_cols, value_col, b), group_cols, b)
+
+
+def hll_merge(
+    states: list[DataFrame],
+    group_cols: list[str],
+    b: int = 8,
+) -> DataFrame:
+    """Merge per-shard HLL register states -> the same (group_cols...,
+    m, n_zero, sum_scaled, est_distinct) relation ``hll_cardinality``
+    computes over the union of the shards (register-wise max IS the
+    union semantics — pinned by test bit-for-bit). Cost: a union of
+    <= m-rows-per-group register relations; the shards' rows are never
+    rescanned."""
+    if not states:
+        raise ValueError("hll_merge needs at least one state")
+    u = states[0]
+    for s in states[1:]:
+        u = u.unionByName(s)
+    merged = u.groupBy(*group_cols, "j").agg(F.max("r").alias("r"))
+    return _hll_finalize(merged, group_cols, b)
 
 
 def kmv_overlap(

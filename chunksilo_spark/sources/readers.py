@@ -313,6 +313,27 @@ def read_warc_pages(
     always Zulu) so the stored instant is correct under ANY Spark session
     timezone — a naive datetime would be reinterpreted in session-local
     time."""
+    raw = spark.read.format("binaryFile").load(path)
+    return warc_pages_from_blobs(
+        raw.select("path", "content"), statuses=statuses,
+        batch_rows=batch_rows,
+    )
+
+
+def warc_pages_from_blobs(
+    blobs: DataFrame,
+    statuses: tuple[str, ...] = ("200",),
+    batch_rows: int = 2000,
+) -> DataFrame:
+    """(path string, content binary) -> pages: the in-plan twin of
+    :func:`read_warc_pages` — same parse (``parse_warc_records``), same
+    status gate, same batched flush — over an ALREADY-LOADED relation of
+    WARC shard bytes instead of a ``binaryFile`` scan. Two uses: object
+    stores whose listings arrive as a DataFrame (manifest-driven ingest —
+    join the manifest to fetched bytes, parse in place), and the driver
+    oracle's round-trip check (synthesize WARC bytes in-plan from the
+    documents table, parse them back, compare against the direct
+    derivation — the parser itself becomes hash-checkable)."""
     import datetime as dt
     from typing import Iterator
 
@@ -372,8 +393,9 @@ def read_warc_pages(
                 if rows["url"]:
                     yield flush(rows)
 
-    raw = spark.read.format("binaryFile").load(path)
-    return raw.select("path", "content").mapInPandas(run, schema=PAGES_SCHEMA)
+    return blobs.select("path", "content").mapInPandas(
+        run, schema=PAGES_SCHEMA
+    )
 
 
 def read_text_dir(spark: SparkSession, path: str, lang: str | None = None) -> DataFrame:

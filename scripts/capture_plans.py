@@ -293,6 +293,24 @@ CAPTURE = [
      "two state builds is sketch-sized (<= 2k rows per group); the "
      "full-outer state join and re-rank window run on synopsis rows, "
      "the corpus is scanned only by the state builds"),
+    ("t_hll_cardinality", "HLL: one distinct pass then ONE map-side-"
+     "combinable max-agg keyed on (group, bucket) — the shuffle moves "
+     "<= m register rows per group per partition; the estimate is a "
+     "projection over the group-sized register aggregate, bin/shiftleft "
+     "all in codegen"),
+    ("t_hll_merge", "mergeable HLL: shard register states union into a "
+     "<= shards x m per-group relation, register-wise max combines "
+     "map-side, the finalize runs on group-sized rows — the shards' "
+     "corpora are never rescanned"),
+    ("g_components_starstar", "star-star CC final labeling: the pair "
+     "relation reads from the last round's lineage cut (plan depth O(1) "
+     "in rounds); each round was two (min-agg + equi-join) star steps — "
+     "no windows, no cartesian, hub centers partial-agg map-side"),
+    ("w_warc_roundtrip", "WARC ingest: ONE MapInPandas carries the "
+     "whole parse (shard bytes -> records); the only Exchange below it "
+     "is the synthesis groupBy that builds the test blobs — a real "
+     "crawl reads shards straight off binaryFile with NO shuffle before "
+     "the parse"),
 ]
 
 

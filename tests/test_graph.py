@@ -479,6 +479,59 @@ class TestWeakComponents:
         assert len(set(got.values())) > 1  # several components exist
 
 
+class TestStarStarComponents:
+    def test_parity_with_min_label_on_crawl(self, spark):
+        """Star-star CC must produce the identical (node, min-id)
+        labeling as the min-label operator on the corpus link graph."""
+        import pyspark.sql.functions as F
+
+        from chunksilo_spark.sources.corpus import pages_df
+
+        edges = G.crawl_edges(pages_df(spark, 80)).select(
+            F.xxhash64("src").alias("src"), F.xxhash64("dst").alias("dst")
+        )
+        got = {
+            r["node"]: r["component"]
+            for r in G.components_starstar(edges).collect()
+        }
+        want = {
+            r["node"]: r["component"]
+            for r in G.weak_components(edges).collect()
+        }
+        assert got == want
+        assert len(set(got.values())) > 1
+
+    def test_long_chain_converges_in_log_rounds(self, spark):
+        """A 200-node path has diameter 199 — min-label needs ~100
+        rounds; star-star must finish inside its default O(log n)
+        budget (16) and label everything with the chain min."""
+        edges = spark.createDataFrame(
+            [(i, i - 1) for i in range(1, 200)], "src long, dst long"
+        )
+        got = G.components_starstar(edges, max_iter=16, strict=True)
+        assert {r["component"] for r in got.collect()} == {0}
+        assert got.count() == 200
+
+    def test_self_loops_and_duplicates_ignored(self, spark):
+        edges = spark.createDataFrame(
+            [(1, 1), (2, 1), (1, 2), (2, 1), (5, 5)],
+            "src long, dst long",
+        )
+        got = {
+            r["node"]: r["component"]
+            for r in G.components_starstar(edges).collect()
+        }
+        # 5 appears only in a self-loop: it is its own component
+        assert got == {1: 1, 2: 1, 5: 5}
+
+    def test_nonconvergence_raises(self, spark):
+        edges = spark.createDataFrame(
+            [(i, i - 1) for i in range(1, 64)], "src long, dst long"
+        )
+        with pytest.raises(RuntimeError):
+            G.components_starstar(edges, max_iter=1, strict=True)
+
+
 class TestStreamingLinkGraph:
     def test_streamed_link_tables_equal_batch(self, spark, tmp_path):
         """One streamed delta maintained with link_graph=True reproduces the

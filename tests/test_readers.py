@@ -248,6 +248,36 @@ class TestWarcReader:
         assert ok >= 10  # quarantine rows excepted, extraction runs
 
 
+class TestWarcBlobs:
+    def test_blob_variant_matches_file_variant(self, spark, tmp_path):
+        """warc_pages_from_blobs over an in-plan (path, content) relation
+        must produce exactly what read_warc_pages produces for the same
+        bytes on disk (it IS the same parse — pinned here)."""
+        from chunksilo_spark.sources.readers import (
+            read_warc_pages,
+            warc_pages_from_blobs,
+        )
+
+        pages, blob = TestWarcReader()._build()
+        p = tmp_path / "shard.warc"
+        p.write_bytes(blob)
+        via_file = read_warc_pages(spark, str(p)).drop("extras")
+        blobs = spark.createDataFrame(
+            [("mem://shard.warc", bytearray(blob))],
+            "path string, content binary",
+        )
+        via_blob = warc_pages_from_blobs(blobs).drop("extras")
+        rows_f = sorted(
+            (r["url"], r["warc_ts"], bytes(r["html"]))
+            for r in via_file.collect()
+        )
+        rows_b = sorted(
+            (r["url"], r["warc_ts"], bytes(r["html"]))
+            for r in via_blob.collect()
+        )
+        assert rows_f == rows_b and len(rows_f) == len(pages)
+
+
 class TestWetReader:
     """WET (conversion-record) shards: payload IS the extracted text."""
 

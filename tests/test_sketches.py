@@ -250,6 +250,111 @@ class TestBottomkSample:
             bottomk_sample(df, ["g"], "id", k=0)
 
 
+def _python_hll(pairs, b=8):
+    m = 1 << b
+    w_bits = 60 - b
+    alpha = (
+        {16: 0.673, 32: 0.697, 64: 0.709}.get(m)
+        or 0.7213 / (1.0 + 1.079 / m)
+    )
+    groups = {}
+    for g, v in set(pairs):
+        h = _h60(v)
+        j, w = h % m, h // m
+        rho = (w_bits + 1) if w == 0 else w_bits - w.bit_length() + 1
+        regs = groups.setdefault(g, {})
+        regs[j] = max(regs.get(j, 0), rho)
+    out = {}
+    for g, regs in groups.items():
+        n_zero = m - len(regs)
+        s = sum(1 << (w_bits + 1 - r) for r in regs.values())
+        s += n_zero * (1 << (w_bits + 1))
+        raw = alpha * m * m * float(1 << (w_bits + 1)) / s
+        import math
+
+        est = (
+            m * math.log(m / n_zero)
+            if raw <= 2.5 * m and n_zero > 0
+            else raw
+        )
+        out[g] = (m, n_zero, s, round(est, 4))
+    return out
+
+
+class TestHll:
+    def _run(self, spark, pairs, b=8):
+        from chunksilo_spark.operators.sketches import hll_cardinality
+
+        df = spark.createDataFrame(pairs, "grp string, v long")
+        got = hll_cardinality(df, ["grp"], "v", b=b)
+        return {
+            r["grp"]: (r["m"], r["n_zero"], r["sum_scaled"], r["est_distinct"])
+            for r in got.collect()
+        }
+
+    def test_matches_python_formula(self, spark):
+        pairs = [(f"g{i % 3}", (i * 13) % 700) for i in range(2000)]
+        for b in (4, 8):
+            assert self._run(spark, pairs, b) == _python_hll(pairs, b), b
+
+    def test_estimate_within_relative_error(self, spark):
+        # 5000 distinct, m=256 registers -> ~1.04/16 = 6.5% expected
+        # rel. error; allow 3x slack (deterministic hashes: never flakes)
+        n = 5000
+        got = self._run(spark, [("g", i) for i in range(n)])
+        (_, _, _, est), = got.values()
+        assert abs(est - n) / n < 0.2
+
+    def test_small_range_linear_counting(self, spark):
+        # 10 distinct values: almost all registers empty -> the
+        # linear-counting branch, which is near-exact there
+        got = self._run(spark, [("g", i) for i in range(10)])
+        (_, n_zero, _, est), = got.values()
+        assert n_zero >= 246 and abs(est - 10) <= 1
+
+    def test_state_bounded_and_merge_equals_global(self, spark):
+        from chunksilo_spark.operators.sketches import (
+            hll_cardinality,
+            hll_merge,
+            hll_state,
+        )
+
+        rows = [(f"g{i % 3}", i * 7 % 450) for i in range(900)]
+        df = spark.createDataFrame(rows, "g string, v long")
+        state = hll_state(df, ["g"], "v", b=4)
+        per_group = {
+            r["g"]: r["n"]
+            for r in state.groupBy("g").count()
+            .withColumnRenamed("count", "n").collect()
+        }
+        assert all(n <= 16 for n in per_group.values())
+        # value-overlapping shards: register-wise max must dedup
+        shards = [
+            spark.createDataFrame(rows[i::3], "g string, v long")
+            for i in range(3)
+        ]
+        merged = hll_merge(
+            [hll_state(s, ["g"], "v", b=4) for s in shards], ["g"], b=4
+        )
+        got = sorted(tuple(r) for r in merged.collect())
+        want = sorted(
+            tuple(r) for r in hll_cardinality(df, ["g"], "v", b=4).collect()
+        )
+        assert got == want
+
+    def test_bad_b_raises(self, spark):
+        from chunksilo_spark.operators.sketches import (
+            hll_merge,
+            hll_state,
+        )
+
+        df = spark.createDataFrame([("g", 1)], "g string, v long")
+        with pytest.raises(ValueError):
+            hll_state(df, ["g"], "v", b=1)
+        with pytest.raises(ValueError):
+            hll_merge([], ["g"])
+
+
 class TestKmvMerge:
     def test_sharded_merge_equals_global_sketch(self, spark):
         from chunksilo_spark.operators.sketches import (
