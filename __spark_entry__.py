@@ -2031,6 +2031,53 @@ def _w_warc_roundtrip(spark, sf):  # WARC parse, end-to-end hash-checked
     )
 
 
+def _c_robots_filter(spark, sf):  # RFC 9309 robots.txt frontier gate
+    # per-host robots corpus synthesized in-plan (even-parity hosts have
+    # only a '*' group; odd-parity hosts add a multi-agent silobot/altbot
+    # group that must OVERRIDE the '*' group for agent 'silobot'); the
+    # frontier exercises longest-match, the '$' anchor, '*' wildcards,
+    # and the no-rules default. The oracle is the ANALYTIC allow/deny
+    # table — an independent derivation the matcher never sees.
+    from chunksilo_spark.operators.frontier import (
+        parse_robots,
+        robots_filter,
+    )
+
+    d = F.col("doc_id")
+    docs = _t(spark, sf, "documents").select("doc_id")
+    host = F.concat(F.lit("h"), (d % 7).cast("string"), F.lit(".example"))
+    base_txt = (
+        "User-agent: *\nDisallow: /private/\nAllow: /private/ok/\n"
+        "Disallow: /*.tmp$\n"
+    )
+    bot_txt = (
+        "\nUser-agent: silobot\nUser-agent: altbot\nDisallow: /drafts/\n"
+        "Allow: /drafts/pub*\n# crawl window\nDisallow:\n"
+    )
+    robots = (
+        docs.select(host.alias("host"), (d % 7 % 2).alias("_odd"))
+        .distinct()
+        .select(
+            "host",
+            F.when(
+                F.col("_odd") == 1, F.lit(base_txt + bot_txt)
+            ).otherwise(F.lit(base_txt)).alias("robots_txt"),
+        )
+    )
+    path = F.concat(
+        F.when(d % 6 == 0, F.lit("/public/p"))
+        .when(d % 6 == 1, F.lit("/private/p"))
+        .when(d % 6 == 2, F.lit("/private/ok/p"))
+        .when(d % 6 == 3, F.lit("/drafts/d"))
+        .when(d % 6 == 4, F.lit("/drafts/pub"))
+        .otherwise(F.lit("/cache/f")),
+        d.cast("string"),
+        F.when(d % 6 == 5, F.lit(".tmp")).otherwise(F.lit("")),
+    )
+    frontier = docs.select("doc_id", host.alias("host"), path.alias("path"))
+    return robots_filter(frontier, parse_robots(robots), "silobot")
+
+
 def _c_frontier_schedule(spark, sf):  # politeness-interleaved fetch order
     # synthetic frontier off documents: 7 hosts, priority = n_chars;
     # first scheduling wave of 60
@@ -2382,6 +2429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_hll_merge": _t_hll_merge,
         "g_components_starstar": _g_components_starstar,
         "w_warc_roundtrip": _w_warc_roundtrip,
+        "c_robots_filter": _c_robots_filter,
         # -- previously driver-green rows fill the remaining window
         #    slots, then the three-plus-rounds-green tail; every query
         #    stays covered by the full local oracle gate every pytest --
@@ -4803,6 +4851,41 @@ def _oracle_sql_body() -> dict[str, str]:
                        || '</p></body></html>') AS html_md5
             FROM documents
             WHERE doc_id % 7 != 3
+        """,
+        # analytic RFC-9309 allow/deny table for the synthesized robots
+        # corpus: even-parity hosts gate on the '*' group (deny /private/
+        # except /private/ok/, deny *.tmp$), odd-parity hosts gate agent
+        # silobot on its exact group ONLY (deny /drafts/ except
+        # /drafts/pub*) — the matcher's group-override, longest-match,
+        # anchor and wildcard semantics all land in this closed form
+        "c_robots_filter": """
+            SELECT doc_id,
+                   'h' || (doc_id % 7)::VARCHAR || '.example' AS host,
+                   CASE doc_id % 6
+                       WHEN 0 THEN '/public/p' || doc_id::VARCHAR
+                       WHEN 1 THEN '/private/p' || doc_id::VARCHAR
+                       WHEN 2 THEN '/private/ok/p' || doc_id::VARCHAR
+                       WHEN 3 THEN '/drafts/d' || doc_id::VARCHAR
+                       WHEN 4 THEN '/drafts/pub' || doc_id::VARCHAR
+                       ELSE '/cache/f' || doc_id::VARCHAR || '.tmp'
+                   END AS path,
+                   CASE WHEN (doc_id % 7) % 2 = 0
+                        THEN CASE WHEN doc_id % 6 IN (1, 5)
+                                  THEN 0 ELSE 1 END
+                        ELSE CASE WHEN doc_id % 6 = 3 THEN 0 ELSE 1 END
+                   END AS allowed,
+                   CASE WHEN (doc_id % 7) % 2 = 0
+                        THEN CASE doc_id % 6
+                                 WHEN 1 THEN '/private/'
+                                 WHEN 2 THEN '/private/ok/'
+                                 WHEN 5 THEN '/*.tmp$'
+                             END
+                        ELSE CASE doc_id % 6
+                                 WHEN 3 THEN '/drafts/'
+                                 WHEN 4 THEN '/drafts/pub*'
+                             END
+                   END AS rule_path
+            FROM documents
         """,
         "t_kmv_cardinality": """
             WITH dv AS (

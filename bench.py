@@ -109,10 +109,12 @@ HEADLINE = [
     "t_bottomk_partial",
     "t_weighted_sample",
     "t_kmv_overlap",
-    # round-5 (cont.): HLL, log-round CC, WARC parse round-trip
+    # round-5 (cont.): HLL, log-round CC, WARC parse round-trip,
+    # robots.txt frontier gate
     "t_hll_cardinality",
     "g_components_starstar",
     "w_warc_roundtrip",
+    "c_robots_filter",
 ]
 
 

@@ -28,7 +28,164 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["schedule_frontier"]
+__all__ = ["schedule_frontier", "parse_robots", "robots_filter"]
+
+
+def parse_robots(
+    robots: DataFrame,
+    host_col: str = "host",
+    text_col: str = "robots_txt",
+) -> DataFrame:
+    """robots.txt (RFC 9309, the Robots Exclusion Protocol) ->
+    (host, agent, directive, path): one row per (user-agent, rule)
+    binding, ready for :func:`robots_filter`. The compliance half of
+    crawl politeness (``schedule_frontier`` is the rate half): at
+    crawl scale you fetch each host's robots.txt once, parse the
+    corpus of them as a relation, and gate the whole frontier
+    against it declaratively.
+
+    Parse semantics (the RFC's group model):
+
+      * comments (``#`` to end of line) stripped, lines trimmed;
+        only ``user-agent`` / ``allow`` / ``disallow`` lines are
+        meaningful (case-insensitive directive names).
+      * CONSECUTIVE user-agent lines form one run; the rules that
+        follow bind to EVERY agent in the run (the multi-agent group
+        form). A new user-agent line after rules starts a new group.
+      * rules before any user-agent line are ignored (no group).
+      * an empty-path rule (``Disallow:``) matches nothing — dropped.
+      * agent names compare lowercased.
+
+    100 TB shape: robots files are tiny and per-host — the windows
+    below partition by host over line numbers (bounded by file
+    length), and the output relation is hosts x rules-per-host, i.e.
+    dictionary-sized next to the frontier it will gate."""
+    w = Window.partitionBy(host_col).orderBy("ln")
+    lines = robots.select(
+        host_col,
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("ln", "_raw"),
+    )
+    parsed = (
+        lines.select(
+            host_col,
+            "ln",
+            F.trim(F.regexp_replace("_raw", "#.*$", "")).alias("_line"),
+        )
+        .select(
+            host_col,
+            "ln",
+            F.lower(
+                F.regexp_extract("_line", r"^([A-Za-z-]+)\s*:", 1)
+            ).alias("directive"),
+            F.trim(
+                F.regexp_extract("_line", r"^[A-Za-z-]+\s*:(.*)$", 1)
+            ).alias("value"),
+        )
+        .where(F.col("directive").isin("user-agent", "allow", "disallow"))
+    )
+    tagged = (
+        parsed.withColumn(
+            "_ua", (F.col("directive") == "user-agent").cast("int")
+        )
+        .withColumn(
+            "_start",
+            (
+                (F.col("_ua") == 1)
+                & (F.coalesce(F.lag("_ua").over(w), F.lit(0)) == 0)
+            ).cast("int"),
+        )
+        .withColumn("_run", F.sum("_start").over(w))
+    )
+    agents = tagged.where(F.col("_ua") == 1).select(
+        host_col, "_run", F.lower(F.col("value")).alias("agent")
+    )
+    rules = tagged.where(
+        (F.col("_ua") == 0) & (F.length("value") > 0)
+    ).select(host_col, "_run", "directive", F.col("value").alias("path"))
+    return agents.join(rules, [host_col, "_run"]).select(
+        host_col, "agent", "directive", "path"
+    )
+
+
+def robots_filter(
+    frontier: DataFrame,
+    rules: DataFrame,
+    agent: str,
+    host_col: str = "host",
+    path_col: str = "path",
+) -> DataFrame:
+    """Gate a (host, path) frontier against parsed robots rules for
+    ``agent`` -> frontier columns + (allowed int, rule_path). RFC 9309
+    matching, pinned:
+
+      * group selection: ONE group applies per host — the exact agent
+        match if any of its groups name this agent (lowercased), else
+        the ``*`` group; a host with neither allows everything.
+      * rule matching: the rule path is a prefix pattern with ``*``
+        wildcards and an optional trailing ``$`` anchor; compiled to a
+        LIKE pattern (``%``/``_``/``\\`` escaped, ``*`` -> ``%``,
+        unanchored rules get a trailing ``%``).
+      * precedence: the LONGEST matching rule path wins (character
+        length of the raw path); at equal length Allow beats Disallow
+        (the RFC's least-restrictive tie-break). No match -> allowed.
+
+    100 TB shape: rules collapse to ONE row per host (an array of rule
+    structs — robots files are bounded, so the array is too) and join
+    BROADCAST; the match + longest-win is a filter/transform/array_max
+    chain evaluated per frontier row in codegen. The frontier itself
+    never shuffles — the whole gate is map-side, the same
+    broadcast-literal discipline as the URL quality filter."""
+    a = agent.lower()
+    cand = rules.withColumn(
+        "_pri",
+        F.when(F.col("agent") == F.lit(a), F.lit(2)).otherwise(F.lit(1)),
+    ).where((F.col("agent") == F.lit(a)) | (F.col("agent") == "*"))
+    best = cand.groupBy(host_col).agg(F.max("_pri").alias("_best"))
+    sel = cand.join(best, host_col).where(F.col("_pri") == F.col("_best"))
+    anchored = F.col("path").endswith("$")
+    body = F.when(
+        anchored, F.expr("substring(path, 1, length(path) - 1)")
+    ).otherwise(F.col("path"))
+    esc = F.replace(
+        F.replace(
+            F.replace(body, F.lit("\\"), F.lit("\\\\")),
+            F.lit("%"),
+            F.lit("\\%"),
+        ),
+        F.lit("_"),
+        F.lit("\\_"),
+    )
+    compiled = sel.select(
+        host_col,
+        F.struct(
+            F.length("path").cast("long").alias("rule_len"),
+            (F.col("directive") == "allow").cast("int").alias("is_allow"),
+            F.col("path").alias("rule_path"),
+            F.concat(
+                F.replace(esc, F.lit("*"), F.lit("%")),
+                F.when(anchored, F.lit("")).otherwise(F.lit("%")),
+            ).alias("pattern"),
+        ).alias("_rule"),
+    )
+    per_host = compiled.groupBy(host_col).agg(
+        F.collect_list("_rule").alias("_rules")
+    )
+    joined = frontier.join(F.broadcast(per_host), host_col, "left")
+    winner = F.expr(
+        f"array_max(transform("
+        f"  filter(_rules, r -> {path_col} LIKE r.pattern ESCAPE '\\\\'),"
+        f"  r -> struct(r.rule_len, r.is_allow, r.rule_path)))"
+    )
+    return (
+        joined.withColumn("_w", winner)
+        .select(
+            *frontier.columns,
+            F.coalesce(F.col("_w.is_allow"), F.lit(1))
+            .cast("int")
+            .alias("allowed"),
+            F.col("_w.rule_path").alias("rule_path"),
+        )
+    )
 
 
 def schedule_frontier(

@@ -311,6 +311,11 @@ CAPTURE = [
      "is the synthesis groupBy that builds the test blobs — a real "
      "crawl reads shards straight off binaryFile with NO shuffle before "
      "the parse"),
+    ("c_robots_filter", "robots gate: per-host rules collapse to ONE "
+     "array row and join BROADCAST; the match + longest-wins is a "
+     "filter/transform/array_max chain in codegen — the frontier side "
+     "reaches the join with NO Exchange (plan-asserted in "
+     "test_frontier)"),
 ]
 
 

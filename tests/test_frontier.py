@@ -95,3 +95,141 @@ class TestScheduleFrontier:
             items.sort()
             prios = [p for _, p in items]
             assert prios == sorted(prios, reverse=True), h
+
+
+class TestRobots:
+    """RFC 9309 parse + gate: python-reference parity and the spec's
+    edge semantics (group override, longest match, tie -> allow,
+    anchors, wildcards, ignored preamble rules, empty disallow)."""
+
+    TXT = (
+        "Disallow: /ignored-preamble/\n"          # before any UA: dropped
+        "User-agent: *\n"
+        "Disallow: /private/\n"
+        "Allow: /private/ok/\n"
+        "Disallow: /*.tmp$\n"
+        "Allow: /tie/      # same length as the disallow\n"
+        "Disallow: /tie/\n"
+        "Disallow:\n"                              # empty: matches nothing
+        "User-agent: SiloBot\n"
+        "User-agent: altbot\n"
+        "Disallow: /drafts/\n"
+        "Allow: /drafts/pub*\n"
+    )
+
+    @staticmethod
+    def _python_match(groups, agent, path):
+        import re
+
+        agent = agent.lower()
+        rules = groups.get(agent) or groups.get("*") or []
+        best = None
+        for directive, rp in rules:
+            body = rp[:-1] if rp.endswith("$") else rp
+            rx = "^" + ".*".join(re.escape(p) for p in body.split("*"))
+            if rp.endswith("$"):
+                rx += "$"
+            if re.match(rx, path):
+                key = (len(rp), 1 if directive == "allow" else 0)
+                if best is None or key > best[0]:
+                    best = (key, directive, rp)
+        if best is None:
+            return 1, None
+        return (1 if best[1] == "allow" else 0), best[2]
+
+    def _groups(self):
+        # hand-parsed reference of TXT per the RFC group model
+        star = [
+            ("disallow", "/private/"),
+            ("allow", "/private/ok/"),
+            ("disallow", "/*.tmp$"),
+            ("allow", "/tie/"),
+            ("disallow", "/tie/"),
+        ]
+        bot = [("disallow", "/drafts/"), ("allow", "/drafts/pub*")]
+        return {"*": star, "silobot": bot, "altbot": bot}
+
+    def _rules(self, spark):
+        from chunksilo_spark.operators.frontier import parse_robots
+
+        robots = spark.createDataFrame(
+            [("h.example", self.TXT)], "host string, robots_txt string"
+        )
+        return parse_robots(robots)
+
+    def test_parse_matches_hand_parse(self, spark):
+        got = sorted(
+            (r["agent"], r["directive"], r["path"])
+            for r in self._rules(spark).collect()
+        )
+        want = sorted(
+            (agent, d, p)
+            for agent, rules in self._groups().items()
+            for d, p in rules
+        )
+        assert got == want
+
+    def test_filter_matches_python_reference(self, spark):
+        from chunksilo_spark.operators.frontier import robots_filter
+
+        paths = [
+            "/public/p1", "/private/p1", "/private/ok/p1", "/drafts/d1",
+            "/drafts/pub1", "/cache/f1.tmp", "/x.tmp.html", "/tie/t",
+            "/private/ok", "/PRIVATE/p1",
+        ]
+        frontier = spark.createDataFrame(
+            [("h.example", p) for p in paths] + [("bare.example", "/any")],
+            "host string, path string",
+        )
+        for agent in ("SiloBot", "otherbot", "ALTBOT"):
+            got = {
+                (r["host"], r["path"]): (r["allowed"], r["rule_path"])
+                for r in robots_filter(
+                    frontier, self._rules(spark), agent
+                ).collect()
+            }
+            want = {
+                ("h.example", p): self._python_match(
+                    self._groups(), agent, p
+                )
+                for p in paths
+            }
+            want[("bare.example", "/any")] = (1, None)
+            assert got == want, agent
+
+    def test_spec_semantics_pinned(self, spark):
+        from chunksilo_spark.operators.frontier import robots_filter
+
+        frontier = spark.createDataFrame(
+            [
+                ("h.example", "/tie/t"),            # equal length: allow
+                ("h.example", "/x.tmp.html"),       # $ anchor: no match
+                ("h.example", "/ignored-preamble/x"),  # preamble dropped
+                ("h.example", "/drafts/d1"),        # '*' group for otherbot
+            ],
+            "host string, path string",
+        )
+        got = {
+            r["path"]: (r["allowed"], r["rule_path"])
+            for r in robots_filter(
+                frontier, self._rules(spark), "otherbot"
+            ).collect()
+        }
+        assert got["/tie/t"] == (1, "/tie/")
+        assert got["/x.tmp.html"] == (1, None)
+        assert got["/ignored-preamble/x"] == (1, None)
+        assert got["/drafts/d1"] == (1, None)
+
+    def test_frontier_never_shuffles(self, spark):
+        from chunksilo_spark.operators.frontier import robots_filter
+
+        frontier = spark.createDataFrame(
+            [("h.example", "/a")], "host string, path string"
+        )
+        plan = robots_filter(
+            frontier, self._rules(spark), "silobot"
+        )._jdf.queryExecution().executedPlan().toString()
+        # everything below the broadcast join is rule-side; the frontier
+        # side must reach the join without an Exchange
+        head = plan.split("BroadcastExchange")[0]
+        assert "Exchange hashpartitioning" not in head
