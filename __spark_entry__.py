@@ -2078,6 +2078,33 @@ def _c_robots_filter(spark, sf):  # RFC 9309 robots.txt frontier gate
     return robots_filter(frontier, parse_robots(robots), "silobot")
 
 
+def _c_recrawl_priority(spark, sf):  # change-rate recrawl scheduling
+    # fetch history synthesized from events: url per user, content
+    # version = cents div 2000 (so consecutive fetches sometimes repeat)
+    # hashed as the stored fingerprint; now pinned to 2024-07-01 UTC.
+    # The oracle replays the lag/count/epoch algebra — all exact bigints.
+    from chunksilo_spark.operators.frontier import recrawl_priority
+
+    ev = (
+        _t(spark, sf, "events")
+        .select(
+            F.concat(
+                F.lit("u"), F.col("user_id").cast("string")
+            ).alias("url"),
+            F.col("ts").alias("fetch_ts"),
+            F.round(F.col("value") * 100, 0).cast("long").alias("_cents"),
+        )
+        .select(
+            "url",
+            "fetch_ts",
+            F.md5(
+                F.expr("cast(_cents div 2000 as string)")
+            ).alias("content_hash"),
+        )
+    )
+    return recrawl_priority(ev, now_epoch=1719792000)
+
+
 def _c_frontier_schedule(spark, sf):  # politeness-interleaved fetch order
     # synthetic frontier off documents: 7 hosts, priority = n_chars;
     # first scheduling wave of 60
@@ -2430,6 +2457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_components_starstar": _g_components_starstar,
         "w_warc_roundtrip": _w_warc_roundtrip,
         "c_robots_filter": _c_robots_filter,
+        "c_recrawl_priority": _c_recrawl_priority,
         # -- previously driver-green rows fill the remaining window
         #    slots, then the three-plus-rounds-green tail; every query
         #    stays covered by the full local oracle gate every pytest --
@@ -4886,6 +4914,45 @@ def _oracle_sql_body() -> dict[str, str]:
                              END
                    END AS rule_path
             FROM documents
+        """,
+        # recrawl scheduling: the identical lag/count/epoch algebra —
+        # change = hash differs from the previous fetch (ORDER BY full
+        # timestamp, hash tiebreak); epochs via floor(epoch(ts)) to
+        # match Spark's truncating unix_timestamp; all outputs exact
+        # bigints (ppm via integer division)
+        "c_recrawl_priority": """
+            WITH h AS (
+                SELECT 'u' || user_id::VARCHAR AS url,
+                       ts,
+                       floor(epoch(ts))::BIGINT AS ep,
+                       md5((CAST(round(value * 100) AS BIGINT)
+                            // 2000)::VARCHAR) AS ch
+                FROM events
+            ), m AS (
+                SELECT url, ep, ch,
+                       COALESCE((ch <> lag(ch) OVER (
+                           PARTITION BY url ORDER BY ts, ch))::INT, 0)
+                           AS chg
+                FROM h
+            ), agg AS (
+                SELECT url,
+                       count(*)::BIGINT AS n_fetches,
+                       sum(chg)::BIGINT AS n_changes,
+                       min(ep) AS first_ep,
+                       max(ep) AS last_ep
+                FROM m GROUP BY url
+            )
+            SELECT url, n_fetches, n_changes,
+                   last_ep AS last_epoch,
+                   (last_ep - first_ep)::BIGINT AS span_s,
+                   (1719792000 - last_ep)::BIGINT AS age_s,
+                   ((n_changes * 86400000000)
+                    // greatest(last_ep - first_ep, 1))::BIGINT
+                       AS rate_ppm_day,
+                   ((n_changes * (1719792000 - last_ep) * 1000000)
+                    // greatest(last_ep - first_ep, 1))::BIGINT
+                       AS priority_ppm
+            FROM agg
         """,
         "t_kmv_cardinality": """
             WITH dv AS (

@@ -115,6 +115,7 @@ HEADLINE = [
     "g_components_starstar",
     "w_warc_roundtrip",
     "c_robots_filter",
+    "c_recrawl_priority",
 ]
 
 

@@ -28,7 +28,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["schedule_frontier", "parse_robots", "robots_filter"]
+__all__ = [
+    "schedule_frontier",
+    "parse_robots",
+    "robots_filter",
+    "recrawl_priority",
+]
 
 
 def parse_robots(
@@ -185,6 +190,88 @@ def robots_filter(
             .alias("allowed"),
             F.col("_w.rule_path").alias("rule_path"),
         )
+    )
+
+
+def recrawl_priority(
+    history: DataFrame,
+    now_epoch: int,
+    url_col: str = "url",
+    ts_col: str = "fetch_ts",
+    hash_col: str = "content_hash",
+) -> DataFrame:
+    """Fetch history -> per-URL recrawl signals: (url, n_fetches,
+    n_changes, last_epoch, span_s, age_s, rate_ppm_day, priority_ppm).
+    The freshness half of frontier management (robots = compliance,
+    schedule_frontier = rate): a crawler that refetches everything
+    equally wastes its budget on static pages — the standard move
+    (Cho & Garcia-Molina's change-frequency estimators) is to estimate
+    each URL's change rate from its OWN fetch history and prioritize
+    by expected staleness.
+
+    Pinned exact-integer algebra (no floats enter the output):
+
+      * a CHANGE is a fetch whose content hash differs from the
+        previous fetch of the same URL (lag over (ts, hash) — the hash
+        tiebreak makes equal-timestamp runs deterministic); the first
+        fetch is not a change.
+      * span_s = last - first fetch epoch; age_s = now - last fetch.
+      * rate_ppm_day = (n_changes * 86400 * 10^6) DIV max(span_s, 1) —
+        observed changes per day, parts-per-million.
+      * priority_ppm = (n_changes * age_s * 10^6) DIV max(span_s, 1) —
+        the expected number of changes since the last fetch (the
+        staleness a refetch would clear), x10^6. Single-fetch URLs
+        report 0 on both (no evidence); callers blend in their own
+        discovery prior. Feed ``priority_ppm`` straight into
+        :func:`schedule_frontier` as the priority column.
+
+    100 TB shape: ONE url-keyed window (per-URL histories are short —
+    the sort is bounded by refetch count) + ONE map-side-combinable
+    groupBy; output is URL-sized. ``now_epoch`` is a caller-pinned
+    epoch-seconds literal so reruns are reproducible (no wall-clock in
+    the plan)."""
+    w = Window.partitionBy(url_col).orderBy(F.asc(ts_col), F.asc(hash_col))
+    ep = F.unix_timestamp(F.col(ts_col)).cast("long")
+    marked = history.select(
+        F.col(url_col).alias("url"),
+        ep.alias("_ep"),
+        (
+            F.col(hash_col)
+            != F.lag(hash_col).over(w)
+        ).cast("long").alias("_chg"),
+    )
+    agg = marked.groupBy("url").agg(
+        F.count(F.lit(1)).alias("n_fetches"),
+        F.coalesce(F.sum("_chg"), F.lit(0)).cast("long").alias("n_changes"),
+        F.min("_ep").alias("_first"),
+        F.max("_ep").alias("last_epoch"),
+    )
+    span = (F.col("last_epoch") - F.col("_first")).cast("long")
+    age = (F.lit(int(now_epoch)) - F.col("last_epoch")).cast("long")
+    denom = F.greatest(span, F.lit(1).cast("long"))
+    return agg.select(
+        "url",
+        "n_fetches",
+        "n_changes",
+        "last_epoch",
+        span.alias("span_s"),
+        age.alias("age_s"),
+        F.expr(
+            "(n_changes * 86400000000) div "
+            "greatest(last_epoch - _first, 1)"
+        ).alias("rate_ppm_day"),
+        (
+            (F.col("n_changes") * age * F.lit(1000000)) .cast("long")
+        ).alias("_num"),
+    ).select(
+        "url",
+        "n_fetches",
+        "n_changes",
+        "last_epoch",
+        "span_s",
+        "age_s",
+        "rate_ppm_day",
+        F.expr("_num div greatest(span_s, 1)").alias("priority_ppm"),
     )
 
 

@@ -316,6 +316,10 @@ CAPTURE = [
      "filter/transform/array_max chain in codegen — the frontier side "
      "reaches the join with NO Exchange (plan-asserted in "
      "test_frontier)"),
+    ("c_recrawl_priority", "recrawl scheduling: ONE url-keyed window "
+     "(per-URL histories are refetch-count-sized) + ONE map-side-"
+     "combinable groupBy; the ppm algebra is exact integer division in "
+     "codegen — output is URL-sized, nothing shuffles twice"),
 ]
 
 

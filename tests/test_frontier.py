@@ -233,3 +233,82 @@ class TestRobots:
         # side must reach the join without an Exchange
         head = plan.split("BroadcastExchange")[0]
         assert "Exchange hashpartitioning" not in head
+
+
+class TestRecrawlPriority:
+    NOW = 1_700_000_000
+
+    def _python(self, rows):
+        hist = {}
+        for url, ep, h in rows:
+            hist.setdefault(url, []).append((ep, h))
+        out = {}
+        for url, fetches in hist.items():
+            fetches.sort()
+            n = len(fetches)
+            chg = sum(
+                1
+                for i in range(1, n)
+                if fetches[i][1] != fetches[i - 1][1]
+            )
+            first, last = fetches[0][0], fetches[-1][0]
+            span, age = last - first, self.NOW - last
+            d = max(span, 1)
+            out[url] = (
+                n, chg, last, span, age,
+                (chg * 86_400_000_000) // d,
+                (chg * age * 1_000_000) // d,
+            )
+        return out
+
+    def _run(self, spark, rows):
+        import datetime as dt
+
+        from chunksilo_spark.operators.frontier import recrawl_priority
+
+        df = spark.createDataFrame(
+            [
+                (u, dt.datetime.fromtimestamp(ep, dt.timezone.utc), h)
+                for u, ep, h in rows
+            ],
+            "url string, fetch_ts timestamp, content_hash string",
+        )
+        got = recrawl_priority(df, now_epoch=self.NOW)
+        return {
+            r["url"]: (
+                r["n_fetches"], r["n_changes"], r["last_epoch"],
+                r["span_s"], r["age_s"], r["rate_ppm_day"],
+                r["priority_ppm"],
+            )
+            for r in got.collect()
+        }
+
+    def test_matches_python_formula(self, spark):
+        base = 1_690_000_000
+        rows = []
+        for u in range(8):
+            for i in range(1 + u):
+                rows.append(
+                    (
+                        f"u{u}",
+                        base + i * 3600 * (u + 1),
+                        f"v{(i * (u % 3 + 1)) // 2}",
+                    )
+                )
+        assert self._run(spark, rows) == self._python(rows)
+
+    def test_single_fetch_reports_zero_evidence(self, spark):
+        got = self._run(spark, [("u", 1_690_000_000, "v0")])
+        n, chg, last, span, age, rate, pri = got["u"]
+        assert (n, chg, span) == (1, 0, 0)
+        assert rate == 0 and pri == 0
+        assert age == self.NOW - 1_690_000_000
+
+    def test_static_page_zero_priority_fast_changer_high(self, spark):
+        base = 1_690_000_000
+        rows = [("static", base + i * 3600, "same") for i in range(10)]
+        rows += [("hot", base + i * 3600, f"v{i}") for i in range(10)]
+        got = self._run(spark, rows)
+        assert got["static"][6] == 0
+        assert got["hot"][6] > 0
+        assert got == self._python(rows)
