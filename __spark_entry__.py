@@ -2105,6 +2105,23 @@ def _c_recrawl_priority(spark, sf):  # change-rate recrawl scheduling
     return recrawl_priority(ev, now_epoch=1719792000)
 
 
+def _g_hyperball(spark, sf):  # HyperBall approximate neighborhood fn
+    # the bounded-branching halving graph (same as g_bfs_depth), radius
+    # 2, b=8: per-node ball-size estimates whose register algebra the
+    # oracle replays over the TRUE balls from a recursive CTE — the
+    # exact-integer estimator inputs (n_zero, sum_scaled) make every
+    # row hash-checkable.
+    docs = _t(spark, sf, "documents").select("doc_id")
+    d = F.col("doc_id")
+    halving = docs.where(d > 0).select(
+        d.alias("src"), (d / 2).cast("long").alias("dst")
+    )
+    side = docs.where((d % 7 == 3) & (d > 0)).select(
+        d.alias("src"), (d - 1).cast("long").alias("dst")
+    )
+    return gr.hyperball(halving.union(side), radius=2, b=8)
+
+
 def _c_frontier_schedule(spark, sf):  # politeness-interleaved fetch order
     # synthetic frontier off documents: 7 hosts, priority = n_chars;
     # first scheduling wave of 60
@@ -2458,6 +2475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w_warc_roundtrip": _w_warc_roundtrip,
         "c_robots_filter": _c_robots_filter,
         "c_recrawl_priority": _c_recrawl_priority,
+        "g_hyperball": _g_hyperball,
         # -- previously driver-green rows fill the remaining window
         #    slots, then the three-plus-rounds-green tail; every query
         #    stays covered by the full local oracle gate every pytest --
@@ -4953,6 +4971,68 @@ def _oracle_sql_body() -> dict[str, str]:
                     // greatest(last_ep - first_ep, 1))::BIGINT
                        AS priority_ppm
             FROM agg
+        """,
+        # HyperBall: enumerate the TRUE radius-2 balls with a recursive
+        # CTE, then replay the pinned HLL register algebra (b=8: bucket
+        # = h mod 256, rank via length(bin()), exact-bigint
+        # n_zero/sum_scaled, raw + linear-counting estimator) — the
+        # Spark register ITERATION must land on the same rows
+        "g_hyperball": """
+            WITH RECURSIVE ed AS (
+                SELECT DISTINCT src, dst FROM (
+                    SELECT doc_id AS src, doc_id // 2 AS dst
+                    FROM documents WHERE doc_id > 0
+                    UNION ALL
+                    SELECT doc_id, doc_id - 1
+                    FROM documents WHERE doc_id % 7 = 3 AND doc_id > 0
+                ) WHERE src <> dst
+            ), nodes AS (
+                SELECT src AS node FROM ed
+                UNION
+                SELECT dst FROM ed
+            ), reach(node, member, depth) AS (
+                SELECT node, node, 0 FROM nodes
+                UNION
+                SELECT r.node, ed.dst, r.depth + 1
+                FROM reach r JOIN ed ON ed.src = r.member
+                WHERE r.depth < 2
+            ), ball AS (
+                SELECT DISTINCT node, member FROM reach
+            ), h AS (
+                SELECT node,
+                       (('0x' || substr(md5(member::VARCHAR), 1, 15))
+                        ::UBIGINT)::BIGINT AS h
+                FROM ball
+            ), rr AS (
+                SELECT node, (h % 256)::BIGINT AS j,
+                       CASE WHEN (h // 256) = 0 THEN 53
+                            ELSE 52 - length(bin(h // 256)) + 1
+                       END AS rho
+                FROM h
+            ), regs AS (
+                SELECT node, j, max(rho) AS r FROM rr GROUP BY node, j
+            ), agg AS (
+                SELECT node, count(*) AS n_present,
+                       sum((1::BIGINT << (53 - r))::BIGINT)::BIGINT
+                           AS s_present
+                FROM regs GROUP BY node
+            ), stats AS (
+                SELECT node, 256::BIGINT AS m,
+                       (256 - n_present)::BIGINT AS n_zero,
+                       (s_present
+                        + (256 - n_present) * (1::BIGINT << 53))::BIGINT
+                           AS sum_scaled
+                FROM agg
+            )
+            SELECT node, m, n_zero, sum_scaled,
+                   round(CASE WHEN (4.2399330249068963e+20
+                                    / sum_scaled::DOUBLE) <= 640.0
+                                   AND n_zero > 0
+                              THEN 256.0 * ln(256.0 / n_zero::DOUBLE)
+                              ELSE 4.2399330249068963e+20
+                                   / sum_scaled::DOUBLE
+                         END, 4) AS est_ball
+            FROM stats
         """,
         "t_kmv_cardinality": """
             WITH dv AS (

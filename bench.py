@@ -116,6 +116,7 @@ HEADLINE = [
     "w_warc_roundtrip",
     "c_robots_filter",
     "c_recrawl_priority",
+    "g_hyperball",
 ]
 
 

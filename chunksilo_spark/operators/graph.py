@@ -936,6 +936,89 @@ def components_starstar(
     )
 
 
+def hyperball(
+    edges: DataFrame,
+    radius: int,
+    b: int = 8,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    partitions: int = 32,
+) -> DataFrame:
+    """Approximate per-node neighborhood function via HyperLogLog
+    counters (Boldi, Rosa & Vigna, "HyperANF", WWW 2011 / Boldi & Vigna
+    "In-Core Computation of Geometric Centralities with HyperBall",
+    2013) -> one row per node: (node, m, n_zero, sum_scaled,
+    est_ball) — the estimated number of DISTINCT nodes reachable from
+    ``node`` in <= ``radius`` hops along out-edges.
+
+    WHY: |ball(v, r)| is the primitive behind effective-diameter
+    estimation, harmonic centrality, and "how big is this site's
+    neighborhood" curation signals — but exact balls need per-node
+    reachable SETS (quadratic blow-up on a web graph). HyperBall's move
+    is to replace each set with a mergeable HLL register table: the
+    ball recurrence ball(v, r) = {v} ∪ ⋃_{v->u} ball(u, r-1) becomes a
+    register-wise max, so each round is ONE equi-join (edges against a
+    <= m-rows-per-node register relation) plus ONE map-side-combinable
+    max aggregation. State per node is bounded by m = 2^b registers
+    regardless of ball size — the whole iteration is O(E * m) work and
+    O(V * m) state, never O(sum of ball sizes).
+
+    Pinned algebra: registers are exactly :func:`sketches.hll_state`'s
+    (md5-derived 60-bit hash of the member id's string form, bucket =
+    h mod m, rank via length(bin()) — exact integers), the estimate is
+    exactly :func:`sketches._hll_finalize`'s (exact-bigint
+    ``sum_scaled``/``n_zero`` inputs; raw + linear-counting branches,
+    one 4dp round) — so a DuckDB oracle that enumerates the true balls
+    with a recursive CTE and replays the register algebra lands on the
+    SAME rows bit-for-bit. ``radius`` is caller-pinned (no convergence
+    test inside the plan), matching the reference-oracle discipline.
+
+    100 TB shape: per round, the join fans each edge out by at most m
+    register rows and the max agg combines map-side; hub in-degree skew
+    is an AQE skew-join case, not a window. Lineage is cut every round
+    (:func:`checkpointing.cut_lineage`) so round k never replays
+    rounds 1..k-1."""
+    from .sketches import _hll_finalize, hll_state
+
+    if radius < 0:
+        raise ValueError("hyperball needs radius >= 0")
+    e = (
+        edges.select(
+            F.col(src_col).alias("node"), F.col(dst_col).alias("_nbr")
+        )
+        .where(F.col("node") != F.col("_nbr"))
+        .distinct()
+    )
+    nodes = (
+        e.select("node")
+        .union(e.select(F.col("_nbr").alias("node")))
+        .distinct()
+    )
+    state = cut_lineage(
+        hll_state(
+            nodes.withColumn("_member", F.col("node")),
+            ["node"],
+            "_member",
+            b,
+        ).repartition(partitions, "node")
+    )
+    for _ in range(radius):
+        contrib = (
+            e.join(
+                state.withColumnRenamed("node", "_nbr"), "_nbr"
+            ).select("node", "j", "r")
+        )
+        state = cut_lineage(
+            state.unionByName(contrib)
+            .groupBy("node", "j")
+            .agg(F.max("r").alias("r"))
+            .repartition(partitions, "node")
+        )
+    return _hll_finalize(state, ["node"], b).withColumnRenamed(
+        "est_distinct", "est_ball"
+    )
+
+
 def rank_topk(ranks: DataFrame, k: int) -> DataFrame:
     """Top-k by (rounded) rank with node tiebreak — rounding BEFORE the sort
     makes the cutoff robust to last-ulp float differences between engines,

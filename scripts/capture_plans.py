@@ -320,6 +320,11 @@ CAPTURE = [
      "(per-URL histories are refetch-count-sized) + ONE map-side-"
      "combinable groupBy; the ppm algebra is exact integer division in "
      "codegen — output is URL-sized, nothing shuffles twice"),
+    ("g_hyperball", "HyperBall: per round ONE equi-join (edges x a "
+     "<= m-rows-per-node register relation) + ONE map-side-combinable "
+     "max agg — state bounded by m registers per node regardless of "
+     "ball size; lineage cut every round so the final plan reads from "
+     "the checkpointed registers, not a radius-deep replay"),
 ]
 
 

@@ -2027,3 +2027,123 @@ class TestDegreeAssortativity:
         # a directed cycle: every node has degree exactly 2 -> NULL
         edges = [(i, (i + 1) % 12) for i in range(12)]
         assert self._run(spark, edges) == (12, None)
+
+
+class TestHyperball:
+    """HyperBall (approximate neighborhood function): the Spark register
+    iteration must land bit-for-bit on a python replay of the pinned
+    HLL algebra over EXACT reachable balls."""
+
+    @staticmethod
+    def _h60(v) -> int:
+        import hashlib
+
+        return int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+
+    @classmethod
+    def _python(cls, edges, radius, b):
+        import math
+
+        adj = {}
+        nodes = set()
+        for s, d in edges:
+            if s != d:
+                adj.setdefault(s, set()).add(d)
+            nodes.update((s, d))
+        balls = {v: {v} for v in nodes}
+        for _ in range(radius):
+            balls = {
+                v: ball | set().union(
+                    *(balls[u] for u in adj.get(v, ()))
+                )
+                if adj.get(v)
+                else set(ball)
+                for v, ball in balls.items()
+            }
+        m, w_bits = 1 << b, 60 - b
+        out = {}
+        for v, ball in balls.items():
+            regs = {}
+            for u in ball:
+                h = cls._h60(u)
+                j, w = h % m, h // m
+                rho = w_bits + 1 if w == 0 else w_bits - w.bit_length() + 1
+                regs[j] = max(regs.get(j, 0), rho)
+            n_zero = m - len(regs)
+            max_rank = w_bits + 1
+            sum_scaled = sum(
+                1 << (max_rank - r) for r in regs.values()
+            ) + n_zero * (1 << max_rank)
+            if m == 16:
+                alpha = 0.673
+            elif m == 32:
+                alpha = 0.697
+            elif m == 64:
+                alpha = 0.709
+            else:
+                alpha = 0.7213 / (1.0 + 1.079 / m)
+            raw = alpha * float(m) * float(m) * float(1 << max_rank) \
+                / float(sum_scaled)
+            if raw <= 2.5 * m and n_zero > 0:
+                est = m * math.log(m / n_zero)
+            else:
+                est = raw
+            out[v] = (m, n_zero, sum_scaled, round(est, 4), len(ball))
+        return out
+
+    def _run(self, spark, edges, radius, b):
+        df = spark.createDataFrame(edges, "src long, dst long")
+        return {
+            r["node"]: (
+                r["m"], r["n_zero"], r["sum_scaled"], r["est_ball"]
+            )
+            for r in G.hyperball(df, radius=radius, b=b).collect()
+        }
+
+    def test_matches_python_replay(self, spark):
+        # halving + side edges: multi-path merges, shared sub-balls
+        edges = [(i, i // 2) for i in range(1, 60)] + [
+            (i, i - 1) for i in range(1, 60) if i % 7 == 3
+        ]
+        for radius in (0, 1, 3):
+            want = {
+                v: t[:4] for v, t in self._python(edges, radius, 4).items()
+            }
+            assert self._run(spark, edges, radius, 4) == want
+
+    def test_small_balls_linear_counting_near_exact(self, spark):
+        # radius-1 balls are tiny vs m=256: linear counting keeps the
+        # estimate within 10% of the true ball size for every node
+        edges = [(i, (i + 1) % 40) for i in range(40)]
+        got = self._run(spark, edges, radius=2, b=8)
+        truth = self._python(edges, 2, 8)
+        for v, (_, _, _, est) in got.items():
+            assert abs(est - truth[v][4]) / truth[v][4] < 0.10
+
+    def test_big_ball_within_rse_budget(self, spark):
+        # a star center reaches all 500 leaves in one hop; b=8 gives
+        # sigma ~ 1.04/16 = 6.5% -- assert within 4 sigma
+        edges = [(0, i) for i in range(1, 501)]
+        got = self._run(spark, edges, radius=1, b=8)
+        est = got[0][3]
+        assert abs(est - 501) / 501 < 0.26
+        assert got == {
+            v: t[:4] for v, t in self._python(edges, 1, 8).items()
+        }
+
+    def test_monotone_registers_and_self_loop_ignored(self, spark):
+        edges = [(1, 1), (1, 2), (2, 3), (3, 4)]
+        r1 = self._run(spark, edges, radius=1, b=6)
+        r3 = self._run(spark, edges, radius=3, b=6)
+        # sum_scaled can only shrink as balls grow (register-wise max)
+        for v in r1:
+            assert r3[v][2] <= r1[v][2]
+        # node 1's radius-1 ball is {1, 2} despite the self-loop
+        assert r1[1] == {
+            v: t[:4] for v, t in self._python(edges, 1, 6).items()
+        }[1]
+
+    def test_radius_validation(self, spark):
+        df = spark.createDataFrame([(1, 2)], "src long, dst long")
+        with pytest.raises(ValueError):
+            G.hyperball(df, radius=-1)
