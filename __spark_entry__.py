@@ -2105,6 +2105,123 @@ def _c_recrawl_priority(spark, sf):  # change-rate recrawl scheduling
     return recrawl_priority(ev, now_epoch=1719792000)
 
 
+def _c_sitemap_ingest(spark, sf):  # sitemaps.org parse, hash-checked
+    # synthesize a per-host sitemap corpus (20 urlsets + 1 sitemapindex)
+    # from documents IN-PLAN — entity-escaped locs, all three lastmod
+    # shapes (absent / date / datetime with Z or +02:00), valid +
+    # invalid changefreq, the priority default — parse it back with
+    # parse_sitemaps; the oracle derives the expected rows DIRECTLY
+    # from documents (no parse), so the parser itself is hash-checked.
+    from chunksilo_spark.operators.frontier import parse_sitemaps
+
+    d = F.col("doc_id")
+    hn = (d % 20).cast("string")
+    host = F.concat(F.lit("h"), hn, F.lit(".example"))
+    lm_date = F.concat(
+        F.lit("2024-03-"),
+        F.lpad(((d % 28) + 1).cast("string"), 2, "0"),
+    )
+    lm_dt = F.concat(
+        F.lit("2024-03-05T"),
+        F.lpad((d % 24).cast("string"), 2, "0"),
+        F.lit(":15:30"),
+        F.when(d % 2 == 0, F.lit("Z")).otherwise(F.lit("+02:00")),
+    )
+    lastmod = (
+        F.when(d % 3 == 1, F.concat(F.lit("<lastmod>"), lm_date,
+                                    F.lit("</lastmod>")))
+        .when(d % 3 == 2, F.concat(F.lit("<lastmod>"), lm_dt,
+                                   F.lit("</lastmod>")))
+        .otherwise(F.lit(""))
+    )
+    changefreq = (
+        F.when(d % 4 == 0, F.lit("<changefreq>daily</changefreq>"))
+        .when(d % 4 == 1, F.lit("<changefreq>Weekly</changefreq>"))
+        .when(d % 4 == 2, F.lit("<changefreq>sometimes</changefreq>"))
+        .otherwise(F.lit(""))
+    )
+    priority = (
+        F.when(d % 5 == 1, F.lit("<priority>0.8</priority>"))
+        .when(d % 5 == 2, F.lit("<priority>1.0</priority>"))
+        .when(d % 5 == 3, F.lit("<priority>0.25</priority>"))
+        .when(d % 5 == 4, F.lit("<priority>0</priority>"))
+        .otherwise(F.lit(""))
+    )
+    block = F.concat(
+        F.lit("<url><loc>https://"), host, F.lit("/p/"),
+        d.cast("string"), F.lit("?a=1&amp;b=2</loc>"),
+        lastmod, changefreq, priority, F.lit("</url>"),
+    )
+    urlsets = (
+        _t(spark, sf, "documents")
+        .select(host.alias("host"), d.alias("doc_id"), block.alias("_b"))
+        .groupBy("host")
+        .agg(
+            F.concat(
+                F.lit('<?xml version="1.0" encoding="UTF-8"?><urlset '
+                      'xmlns="http://www.sitemaps.org/schemas/'
+                      'sitemap/0.9">'),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("doc_id", "_b"))
+                        ),
+                        lambda s: s["_b"],
+                    ),
+                    "",
+                ),
+                F.lit("</urlset>"),
+            ).alias("xml")
+        )
+    )
+    index = (
+        _t(spark, sf, "documents")
+        .select((d % 20).cast("long").alias("hn"))
+        .distinct()
+        .groupBy()
+        .agg(
+            F.concat(
+                F.lit("<sitemapindex>"),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list("hn")),
+                        lambda h: F.concat(
+                            F.lit("<sitemap><loc>https://h"),
+                            h.cast("string"),
+                            F.lit(".example/sitemap.xml</loc>"
+                                  "<lastmod>2024-02-"),
+                            F.lpad((h + 1).cast("string"), 2, "0"),
+                            F.lit("</lastmod></sitemap>"),
+                        ),
+                    ),
+                    "",
+                ),
+                F.lit("</sitemapindex>"),
+            ).alias("xml")
+        )
+        .select(F.lit("hindex.example").alias("host"), "xml")
+    )
+    return parse_sitemaps(urlsets.unionByName(index))
+
+
+def _c_crawl_budget(spark, sf):  # Hamilton largest-remainder quotas
+    # hosts = doc_id % 37, weight = per-host char mass; apportion a
+    # 9973-fetch budget. Oracle replays floor/rem/leftover-seat algebra
+    # with a straight global rank — the banded path must land on it.
+    from chunksilo_spark.operators.frontier import crawl_budget
+
+    hosts = (
+        _t(spark, sf, "documents")
+        .groupBy(
+            F.concat(
+                F.lit("h"), (F.col("doc_id") % 37).cast("string")
+            ).alias("host")
+        )
+        .agg(F.sum("n_chars").cast("long").alias("weight"))
+    )
+    return crawl_budget(hosts, 9973)
+
+
 def _g_hyperball(spark, sf):  # HyperBall approximate neighborhood fn
     # the bounded-branching halving graph (same as g_bfs_depth), radius
     # 2, b=8: per-node ball-size estimates whose register algebra the
@@ -2476,6 +2593,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c_robots_filter": _c_robots_filter,
         "c_recrawl_priority": _c_recrawl_priority,
         "g_hyperball": _g_hyperball,
+        "c_crawl_budget": _c_crawl_budget,
+        "c_sitemap_ingest": _c_sitemap_ingest,
         # -- previously driver-green rows fill the remaining window
         #    slots, then the three-plus-rounds-green tail; every query
         #    stays covered by the full local oracle gate every pytest --
@@ -4971,6 +5090,101 @@ def _oracle_sql_body() -> dict[str, str]:
                     // greatest(last_ep - first_ep, 1))::BIGINT
                        AS priority_ppm
             FROM agg
+        """,
+        # sitemap ingest: the expected entry relation derived DIRECTLY
+        # from documents (no XML in sight) — 20 urlset hosts with
+        # entity-decoded locs, the three lastmod shapes as exact epoch
+        # arithmetic, the changefreq gate, the 0.5 priority default,
+        # plus the sitemapindex host's 20 child-sitemap rows
+        "c_sitemap_ingest": """
+            WITH url_rows AS (
+                SELECT 'h' || (doc_id % 20)::VARCHAR || '.example'
+                           AS host,
+                       'url' AS kind,
+                       'https://h' || (doc_id % 20)::VARCHAR
+                           || '.example/p/' || doc_id::VARCHAR
+                           || '?a=1&b=2' AS loc,
+                       CASE
+                           WHEN doc_id % 3 = 1 THEN '2024-03-'
+                               || lpad(((doc_id % 28) + 1)::VARCHAR,
+                                       2, '0')
+                           WHEN doc_id % 3 = 2 THEN '2024-03-05T'
+                               || lpad((doc_id % 24)::VARCHAR, 2, '0')
+                               || ':15:30'
+                               || CASE WHEN doc_id % 2 = 0
+                                       THEN 'Z' ELSE '+02:00' END
+                       END AS lastmod,
+                       CASE
+                           WHEN doc_id % 3 = 1 THEN
+                               epoch(DATE '2024-03-01')::BIGINT
+                               + (doc_id % 28) * 86400
+                           WHEN doc_id % 3 = 2 THEN
+                               epoch(DATE '2024-03-05')::BIGINT
+                               + (doc_id % 24) * 3600 + 15 * 60 + 30
+                               - CASE WHEN doc_id % 2 = 0
+                                      THEN 0 ELSE 7200 END
+                       END AS lastmod_epoch,
+                       CASE WHEN doc_id % 4 = 0 THEN 'daily'
+                            WHEN doc_id % 4 = 1 THEN 'weekly'
+                       END AS changefreq,
+                       CASE doc_id % 5
+                           WHEN 0 THEN 500000
+                           WHEN 1 THEN 800000
+                           WHEN 2 THEN 1000000
+                           WHEN 3 THEN 250000
+                           WHEN 4 THEN 0
+                       END::BIGINT AS priority_ppm,
+                       TRUE AS same_host
+                FROM documents
+            ), idx_rows AS (
+                SELECT 'hindex.example' AS host,
+                       'sitemap' AS kind,
+                       'https://h' || hn::VARCHAR
+                           || '.example/sitemap.xml' AS loc,
+                       '2024-02-' || lpad((hn + 1)::VARCHAR, 2, '0')
+                           AS lastmod,
+                       (epoch(DATE '2024-02-01')::BIGINT
+                        + hn * 86400)::BIGINT AS lastmod_epoch,
+                       NULL::VARCHAR AS changefreq,
+                       500000::BIGINT AS priority_ppm,
+                       FALSE AS same_host
+                FROM (SELECT DISTINCT (doc_id % 20)::BIGINT AS hn
+                      FROM documents)
+            )
+            SELECT * FROM url_rows
+            UNION ALL
+            SELECT * FROM idx_rows
+        """,
+        # Hamilton largest-remainder apportionment: floor/rem via exact
+        # integer division, the R leftover seats to the R largest
+        # remainders (host asc ties) — the oracle ranks remainders with
+        # a plain global window; Spark's banded rank must agree exactly
+        "c_crawl_budget": """
+            WITH hosts AS (
+                SELECT 'h' || (doc_id % 37)::VARCHAR AS host,
+                       sum(n_chars)::BIGINT AS weight
+                FROM documents GROUP BY 1
+            ), tot AS (
+                SELECT greatest(sum(weight), 1)::BIGINT AS w_sum
+                FROM hosts
+            ), q AS (
+                SELECT host, weight,
+                       (9973 * weight) // w_sum AS fl,
+                       (9973 * weight) % w_sum AS rem
+                FROM hosts, tot
+            ), seats AS (
+                SELECT (9973 - sum(fl))::BIGINT AS r FROM q
+            ), ranked AS (
+                SELECT host, weight, fl,
+                       row_number() OVER (
+                           ORDER BY rem DESC, host ASC
+                       ) AS rk
+                FROM q
+            )
+            SELECT host, weight,
+                   (fl + CASE WHEN rk <= r THEN 1 ELSE 0 END)::BIGINT
+                       AS quota
+            FROM ranked, seats
         """,
         # HyperBall: enumerate the TRUE radius-2 balls with a recursive
         # CTE, then replay the pinned HLL register algebra (b=8: bucket

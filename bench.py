@@ -117,6 +117,8 @@ HEADLINE = [
     "c_robots_filter",
     "c_recrawl_priority",
     "g_hyperball",
+    "c_crawl_budget",
+    "c_sitemap_ingest",
 ]
 
 

@@ -33,6 +33,8 @@ __all__ = [
     "parse_robots",
     "robots_filter",
     "recrawl_priority",
+    "crawl_budget",
+    "parse_sitemaps",
 ]
 
 
@@ -272,6 +274,264 @@ def recrawl_priority(
         "age_s",
         "rate_ppm_day",
         F.expr("_num div greatest(span_s, 1)").alias("priority_ppm"),
+    )
+
+
+def _xml_unescape(col: "F.Column") -> "F.Column":
+    """The five XML entities, ``&amp;`` LAST so ``&amp;lt;`` decodes to
+    the literal ``&lt;`` (single-pass, the protocol's escaping is one
+    level deep)."""
+    out = col
+    for ent, ch in (
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&apos;", "'"),
+        ("&amp;", "&"),
+    ):
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    return out
+
+
+_CHANGEFREQS = (
+    "always", "hourly", "daily", "weekly", "monthly", "yearly", "never",
+)
+
+# W3C datetime as sitemaps.org uses it: date, optionally 'T'-time with
+# optional fractional seconds and optional Z / +-hh:mm offset
+_W3C_RE = (
+    r"^(\d{4})-(\d{2})-(\d{2})"
+    r"(?:T(\d{2}):(\d{2}):(\d{2})(?:\.\d+)?(Z|[+-]\d{2}:\d{2})?)?$"
+)
+
+
+def parse_sitemaps(
+    sitemaps: DataFrame,
+    host_col: str = "host",
+    xml_col: str = "xml",
+) -> DataFrame:
+    """sitemaps.org XML corpus (one row per fetched sitemap:
+    ``(host, xml)``) -> the entry relation (host, kind, loc, lastmod,
+    lastmod_epoch, changefreq, priority_ppm, same_host) — the DISCOVERY
+    quarter of frontier management (robots = compliance,
+    schedule_frontier = rate, recrawl_priority = freshness,
+    crawl_budget = spend): sitemaps seed the frontier with the URLs a
+    host WANTS crawled, plus freshness hints that feed straight into
+    recrawl scheduling.
+
+    Protocol semantics pinned (sitemaps.org/protocol.html):
+
+      * both document kinds in one pass: ``<urlset>`` entries emit
+        ``kind='url'``, ``<sitemapindex>`` entries emit
+        ``kind='sitemap'`` (the child sitemaps a fetcher must recurse
+        into — a ledger join away from incremental sitemap ingestion).
+      * ``<loc>`` is required; entries without one are dropped. The
+        five XML entities are decoded (the protocol REQUIRES entity-
+        escaped URLs); surrounding whitespace is trimmed. CDATA is not
+        interpreted (machine-generated sitemaps entity-escape).
+      * ``<lastmod>`` (W3C datetime) is kept raw AND normalized to
+        ``lastmod_epoch`` (bigint epoch seconds) by EXACT integer
+        algebra: ISO date via ``datediff`` (unambiguous in any engine)
+        x 86400, plus hh/mm/ss, minus the numeric zone offset; a bare
+        date or missing offset is pinned to UTC; fractional seconds
+        truncate. Malformed values -> null epoch, raw preserved.
+      * ``<changefreq>`` is lowercased and gated to the protocol's
+        seven tokens, else null; ``<priority>`` becomes exact-integer
+        ``priority_ppm`` (decimal x 10^6), defaulting to the
+        protocol's 0.5 -> 500000 when absent, null when unparseable.
+      * ``same_host`` flags whether loc's authority equals the
+        sitemap's host (the protocol's location-scope rule) — emitted
+        as a column, not a silent drop, so cross-host submissions are
+        auditable (index files legitimately point off-host on CDNs).
+
+    100 TB shape: pure per-row codegen — comment strip, one
+    ``split``/``explode`` per kind (a sitemap is <= 50k entries by
+    spec, so a row fans out boundedly), regexp field extraction, zero
+    shuffles and zero Python. Feed the output to
+    :func:`robots_filter` -> :func:`schedule_frontier`."""
+    x = sitemaps.select(
+        F.col(host_col).alias("host"),
+        F.regexp_replace(
+            F.col(xml_col), r"(?s)<!--.*?-->", ""
+        ).alias("_x"),
+    )
+
+    def entries(kind: str) -> DataFrame:
+        piece = F.explode(F.split(F.col("_x"), f"</{kind}>")).alias("_p")
+        segs = x.select("host", piece).where(
+            F.col("_p").contains(f"<{kind}>")
+        )
+        block = F.element_at(F.split(F.col("_p"), f"<{kind}>"), -1)
+        return segs.select(
+            "host", F.lit(kind).alias("kind"), block.alias("_b")
+        )
+
+    e = entries("url").unionByName(entries("sitemap"))
+    loc = _xml_unescape(
+        F.regexp_extract(F.col("_b"), r"(?s)<loc>\s*(.*?)\s*</loc>", 1)
+    )
+    lastmod = F.regexp_extract(
+        F.col("_b"), r"(?s)<lastmod>\s*(.*?)\s*</lastmod>", 1
+    )
+    cf = F.lower(
+        F.regexp_extract(
+            F.col("_b"), r"(?s)<changefreq>\s*(.*?)\s*</changefreq>", 1
+        )
+    )
+    pr = F.regexp_extract(
+        F.col("_b"), r"(?s)<priority>\s*(.*?)\s*</priority>", 1
+    )
+    rows = e.select(
+        "host",
+        "kind",
+        loc.alias("loc"),
+        F.when(lastmod != "", lastmod).alias("lastmod"),
+        F.when(cf.isin(*_CHANGEFREQS), cf).alias("changefreq"),
+        F.when(pr == "", F.lit(500000).cast("long"))
+        .otherwise(
+            (pr.try_cast("decimal(9,6)") * 1000000).cast("long")
+        )
+        .alias("priority_ppm"),
+    ).where(F.col("loc") != "")
+
+    def grp(i: int) -> "F.Column":
+        return F.regexp_extract(F.col("lastmod"), _W3C_RE, i)
+
+    day_epoch = (
+        F.datediff(
+            F.try_to_date(
+                F.concat_ws("-", grp(1), grp(2), grp(3)), "yyyy-M-d"
+            ),
+            F.lit("1970-01-01").cast("date"),
+        ).cast("long")
+        * 86400
+    )
+    tod = (
+        F.coalesce(grp(4).try_cast("long"), F.lit(0)) * 3600
+        + F.coalesce(grp(5).try_cast("long"), F.lit(0)) * 60
+        + F.coalesce(grp(6).try_cast("long"), F.lit(0))
+    )
+    off = F.when(
+        grp(7).rlike(r"^[+-]"),
+        (
+            F.concat(F.substring(grp(7), 1, 1), F.lit("1")).cast("long")
+            * (
+                F.substring(grp(7), 2, 2).cast("long") * 3600
+                + F.substring(grp(7), 5, 2).cast("long") * 60
+            )
+        ),
+    ).otherwise(F.lit(0))
+    epoch = F.when(
+        F.col("lastmod").rlike(_W3C_RE), day_epoch + tod - off
+    ).cast("long")
+    loc_host = F.lower(
+        F.regexp_extract(
+            F.col("loc"), r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1
+        )
+    )
+    return rows.select(
+        "host",
+        "kind",
+        "loc",
+        "lastmod",
+        epoch.alias("lastmod_epoch"),
+        "changefreq",
+        "priority_ppm",
+        (loc_host == F.lower(F.col("host"))).alias("same_host"),
+    )
+
+
+def crawl_budget(
+    hosts: DataFrame,
+    total_budget: int,
+    host_col: str = "host",
+    weight_col: str = "weight",
+    bands: int = 1024,
+) -> DataFrame:
+    """Apportion a global fetch budget across hosts proportionally to a
+    weight (priority mass, recrawl demand, past yield) -> (host, weight,
+    quota) with ``sum(quota) == total_budget`` EXACTLY — Hamilton's
+    largest-remainder method, the standard exact apportionment (used for
+    seats-in-parliament for the same reason it fits a crawl: floors
+    alone under-spend the budget, naive rounding over- or under-shoots).
+
+    Pinned exact-integer algebra: with W = sum(weight),
+    ``floor_i = (total * w_i) div W`` and ``rem_i = (total * w_i) mod
+    W``; the ``R = total - sum(floor_i)`` leftover seats go to the R
+    largest remainders (ties: host asc), so every output is a bigint
+    and the result is hash-stable. Caller contract: weights >= 0,
+    W > 0, and ``total_budget * max(w_i)`` fits a bigint.
+
+    100 TB shape: the host relation is domain-count-sized (orders of
+    magnitude below the corpus), but even so there is NO global sort:
+    the top-R-by-remainder selection uses the same banded-rank trick as
+    :func:`schedule_frontier` — row_numbers inside ``bands`` fixed
+    remainder bands (band = rem*bands div W, monotone in rem, so
+    band-major order IS remainder order) plus a broadcast cumulative
+    band-size offset; the only single-partition window runs over the
+    <= ``bands``-row band-count relation. Everything else is one 1-row
+    broadcast total and map-side arithmetic."""
+    if total_budget < 0:
+        raise ValueError("crawl_budget needs total_budget >= 0")
+    base = hosts.select(
+        F.col(host_col).alias("host"),
+        F.col(weight_col).cast("long").alias("weight"),
+    )
+    tot = base.agg(
+        F.sum("weight").cast("long").alias("_w_sum")
+    )
+    t = F.lit(int(total_budget)).cast("long")
+    quotas = (
+        base.crossJoin(F.broadcast(tot))
+        .select(
+            "host",
+            "weight",
+            F.expr("(%s * weight) div greatest(_w_sum, 1)" % int(total_budget))
+            .alias("_floor"),
+            F.expr("(%s * weight) %% greatest(_w_sum, 1)" % int(total_budget))
+            .alias("_rem"),
+            F.expr(
+                "((%s * weight) %% greatest(_w_sum, 1)) * %d"
+                " div greatest(_w_sum, 1)" % (int(total_budget), int(bands))
+            ).alias("_band"),
+        )
+    )
+    seats = quotas.agg(
+        (t - F.sum("_floor")).cast("long").alias("_r")
+    )
+    wb = Window.partitionBy("_band").orderBy(
+        F.desc("_rem"), F.asc("host")
+    )
+    in_band = quotas.withColumn(
+        "_band_rank", F.row_number().over(wb).cast("long")
+    )
+    wcum = Window.orderBy(F.desc("_band")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        quotas.groupBy("_band")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn(
+            "_offset", F.coalesce(F.sum("_n").over(wcum), F.lit(0))
+        )
+        .select("_band", "_offset")
+    )
+    return (
+        in_band.join(F.broadcast(offsets), "_band")
+        .crossJoin(F.broadcast(seats))
+        .select(
+            "host",
+            "weight",
+            (
+                F.col("_floor")
+                + F.when(
+                    F.col("_offset") + F.col("_band_rank") <= F.col("_r"),
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("quota"),
+        )
     )
 
 

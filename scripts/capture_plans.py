@@ -325,6 +325,17 @@ CAPTURE = [
      "max agg — state bounded by m registers per node regardless of "
      "ball size; lineage cut every round so the final plan reads from "
      "the checkpointed registers, not a radius-deep replay"),
+    ("c_crawl_budget", "Hamilton apportionment: ONE 1-row broadcast "
+     "total + map-side floor/rem arithmetic; top-R-by-remainder "
+     "selection via fixed remainder bands + a broadcast cumulative "
+     "offset — the only single-partition window is over the <= bands-"
+     "row band-count relation, never the host relation"),
+    ("c_sitemap_ingest", "sitemap parse: pure per-row codegen — comment "
+     "strip, one split/explode per document kind (bounded fan-out: the "
+     "spec caps a sitemap at 50k entries), regexp field extraction and "
+     "exact-integer epoch algebra — ZERO shuffles on the parse side "
+     "(the Exchanges in this capture belong to the oracle's synthesis "
+     "groupBy, not the parser)"),
 ]
 
 

@@ -312,3 +312,138 @@ class TestRecrawlPriority:
         assert got["static"][6] == 0
         assert got["hot"][6] > 0
         assert got == self._python(rows)
+
+
+class TestCrawlBudget:
+    TOTAL = 9973
+
+    @classmethod
+    def _python(cls, weights, total=None):
+        total = cls.TOTAL if total is None else total
+        w_sum = max(sum(w for _, w in weights), 1)
+        floors = {h: (total * w) // w_sum for h, w in weights}
+        rems = {h: (total * w) % w_sum for h, w in weights}
+        r = total - sum(floors.values())
+        winners = sorted(weights, key=lambda p: (-rems[p[0]], p[0]))[:r]
+        out = dict(floors)
+        for h, _ in winners:
+            out[h] += 1
+        return out
+
+    def _run(self, spark, weights, total=None, bands=1024):
+        from chunksilo_spark.operators.frontier import crawl_budget
+
+        df = spark.createDataFrame(weights, "host string, weight long")
+        got = crawl_budget(
+            df, self.TOTAL if total is None else total, bands=bands
+        )
+        return {r["host"]: r["quota"] for r in got.collect()}
+
+    def test_matches_python_hamilton(self, spark):
+        weights = [(f"h{i:02d}", (i * 37 + 11) % 101 + 1) for i in range(40)]
+        got = self._run(spark, weights)
+        assert got == self._python(weights)
+        assert sum(got.values()) == self.TOTAL
+
+    def test_band_count_does_not_change_output(self, spark):
+        # band-major order must equal global remainder order: bands=1
+        # (one global band) and bands=1024 are the same apportionment
+        weights = [(f"h{i}", i % 7 + 1) for i in range(25)]
+        assert self._run(spark, weights, bands=1) == self._run(
+            spark, weights, bands=1024
+        )
+
+    def test_within_one_of_exact_share(self, spark):
+        weights = [("a", 1), ("b", 1), ("c", 998)]
+        got = self._run(spark, weights, total=1000)
+        assert sum(got.values()) == 1000
+        for h, w in weights:
+            exact = 1000 * w / 1000
+            assert exact - 1 < got[h] < exact + 1 or got[h] in (
+                int(exact), int(exact) + 1
+            )
+        assert got == self._python(weights, 1000)
+
+    def test_zero_weight_hosts_and_validation(self, spark):
+        import pytest as _pytest
+
+        from chunksilo_spark.operators.frontier import crawl_budget
+
+        weights = [("z1", 0), ("z2", 0), ("big", 10)]
+        got = self._run(spark, weights, total=12)
+        assert got == self._python(weights, 12)
+        assert sum(got.values()) == 12
+        df = spark.createDataFrame(weights, "host string, weight long")
+        with _pytest.raises(ValueError):
+            crawl_budget(df, -1)
+
+
+class TestParseSitemaps:
+    URLSET = """<?xml version="1.0" encoding="UTF-8"?>
+<!-- generator: test -->
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+<url><loc> https://a.example/p/1?x=1&amp;y=2 </loc><lastmod>2024-03-05</lastmod><changefreq>Daily</changefreq><priority>0.8</priority></url>
+<url><loc>https://a.example/p/2</loc><lastmod>2024-03-05T04:15:30+02:00</lastmod><changefreq>sometimes</changefreq></url>
+<url><loc>https://b.example/p/3</loc><lastmod>2024-03-05T04:15:30.25Z</lastmod><priority>1.0</priority></url>
+<url><lastmod>2024-01-01</lastmod></url>
+<url><loc>https://a.example/p/4</loc><lastmod>not-a-date</lastmod><priority>bogus</priority></url>
+</urlset>"""
+    INDEX = ("<sitemapindex><sitemap><loc>https://a.example/s1.xml</loc>"
+             "<lastmod>2024-02-01</lastmod></sitemap>"
+             "<sitemap><loc>https://c.example/s2.xml</loc></sitemap>"
+             "</sitemapindex>")
+
+    def _run(self, spark, rows):
+        from chunksilo_spark.operators.frontier import parse_sitemaps
+
+        df = spark.createDataFrame(rows, "host string, xml string")
+        return sorted(
+            tuple(r) for r in parse_sitemaps(df).collect()
+        )
+
+    def test_urlset_fields_and_defaults(self, spark):
+        got = self._run(spark, [("a.example", self.URLSET)])
+        # 2024-03-05T00:00:00Z = 1709596800
+        assert got == [
+            ("a.example", "url", "https://a.example/p/1?x=1&y=2",
+             "2024-03-05", 1709596800, "daily", 800000, True),
+            ("a.example", "url", "https://a.example/p/2",
+             "2024-03-05T04:15:30+02:00", 1709596800 + 15330 - 7200,
+             None, 500000, True),
+            ("a.example", "url", "https://a.example/p/4",
+             "not-a-date", None, None, None, True),
+            ("a.example", "url", "https://b.example/p/3",
+             "2024-03-05T04:15:30.25Z", 1709596800 + 15330,
+             None, 1000000, False),
+        ]
+
+    def test_sitemapindex_kind_and_recursion_ledger(self, spark):
+        got = self._run(spark, [("a.example", self.INDEX)])
+        assert got == [
+            ("a.example", "sitemap", "https://a.example/s1.xml",
+             "2024-02-01", 1706745600, None, 500000, True),
+            ("a.example", "sitemap", "https://c.example/s2.xml",
+             None, None, None, 500000, False),
+        ]
+
+    def test_mixed_corpus_one_pass(self, spark):
+        got = self._run(
+            spark, [("a.example", self.URLSET), ("a.example", self.INDEX)]
+        )
+        assert len(got) == 6
+        assert {k for _, k, *_ in got} == {"url", "sitemap"}
+
+    def test_single_level_entity_decode(self, spark):
+        # '&amp;lt;' is the LITERAL text '&lt;' (one decode pass only)
+        xml = ("<urlset><url><loc>https://a.example/?q=&amp;lt;tag"
+               "&amp;gt;&apos;&quot;</loc></url></urlset>")
+        got = self._run(spark, [("a.example", xml)])
+        assert got[0][2] == "https://a.example/?q=&lt;tag&gt;'\""
+
+    def test_comments_stripped_and_negative_offset(self, spark):
+        xml = ("<urlset><!-- <url><loc>https://x/commented</loc></url> -->"
+               "<url><loc>https://a.example/p</loc>"
+               "<lastmod>2024-03-05T04:15:30-05:30</lastmod></url></urlset>")
+        got = self._run(spark, [("a.example", xml)])
+        assert len(got) == 1
+        assert got[0][4] == 1709596800 + 15330 + 5 * 3600 + 30 * 60
