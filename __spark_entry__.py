@@ -2105,6 +2105,80 @@ def _c_recrawl_priority(spark, sf):  # change-rate recrawl scheduling
     return recrawl_priority(ev, now_epoch=1719792000)
 
 
+def _w_cdx_index(spark, sf):  # SURT + CDX archive index, hash-checked
+    # WARC bytes synthesized in-plan with COSMETICALLY-VARIED urls
+    # (case, www/www2 labels, default + non-default ports, userinfo,
+    # unsorted query params) plus a second 13:00 fetch for every
+    # doc_id % 13 == 0 — parse through the production path, index with
+    # cdx_records. The oracle derives urlkey/digest/bytes DIRECTLY from
+    # documents and replays only the revisit window, so the SURT column
+    # algebra and the digest-dedup signal are hash-checked end-to-end.
+    from chunksilo_spark.sources.readers import (
+        cdx_records,
+        warc_pages_from_blobs,
+    )
+
+    d = F.col("doc_id")
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    k = (d % 10).cast("string")
+    pid = d.cast("string")
+    url = (
+        F.when(d % 4 == 0, F.concat(
+            F.lit("https://h"), k, F.lit(".example/p/"), pid))
+        .when(d % 4 == 1, F.concat(
+            F.lit("https://WWW.h"), k, F.lit(".EXAMPLE:443/P/"), pid,
+            F.lit("?b=2&a=1")))
+        .when(d % 4 == 2, F.concat(
+            F.lit("http://user:pw@h"), k, F.lit(".example:8080/p/"), pid))
+        .otherwise(F.concat(
+            F.lit("https://www2.h"), k, F.lit(".example/p/"), pid))
+    )
+    html = F.concat(
+        F.lit("<html><body><p>"), F.col("text"), F.lit("</p></body></html>")
+    )
+    payload = F.concat(
+        F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"), html
+    )
+
+    def warc_rec(date: str, salt: str):
+        return F.concat(
+            F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "),
+            url,
+            F.lit(f"\r\nWARC-Date: {date}\r\nWARC-Record-ID: <urn:md5:"),
+            F.md5(F.concat(pid, F.lit(salt))),
+            F.lit(">\r\nContent-Length: "),
+            F.octet_length(payload).cast("string"),
+            F.lit("\r\n\r\n"), payload, F.lit("\r\n\r\n"),
+        )
+
+    unit = F.when(
+        d % 13 == 0,
+        F.concat(
+            warc_rec("2025-06-01T12:00:00Z", ""),
+            warc_rec("2025-06-01T13:00:00Z", "b"),
+        ),
+    ).otherwise(warc_rec("2025-06-01T12:00:00Z", ""))
+    blobs = (
+        docs.select(
+            (d % 16).alias("blob"),
+            F.struct(d.alias("doc_id"), unit.alias("rec")).alias("s"),
+        )
+        .groupBy("blob")
+        .agg(F.array_sort(F.collect_list("s")).alias("arr"))
+        .select(
+            F.concat(
+                F.lit("mem://cdx-"), F.col("blob").cast("string"),
+                F.lit(".warc"),
+            ).alias("path"),
+            F.encode(
+                F.expr("array_join(transform(arr, x -> x.rec), '')"),
+                "utf-8",
+            ).alias("content"),
+        )
+    )
+    return cdx_records(warc_pages_from_blobs(blobs))
+
+
 def _c_sitemap_ingest(spark, sf):  # sitemaps.org parse, hash-checked
     # synthesize a per-host sitemap corpus (20 urlsets + 1 sitemapindex)
     # from documents IN-PLAN — entity-escaped locs, all three lastmod
@@ -2595,6 +2669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_hyperball": _g_hyperball,
         "c_crawl_budget": _c_crawl_budget,
         "c_sitemap_ingest": _c_sitemap_ingest,
+        "w_cdx_index": _w_cdx_index,
         # -- previously driver-green rows fill the remaining window
         #    slots, then the three-plus-rounds-green tail; every query
         #    stays covered by the full local oracle gate every pytest --
@@ -5090,6 +5165,57 @@ def _oracle_sql_body() -> dict[str, str]:
                     // greatest(last_ep - first_ep, 1))::BIGINT
                        AS priority_ppm
             FROM agg
+        """,
+        # CDX archive index: urlkey (SURT), digest and byte length
+        # derived DIRECTLY from documents (no WARC, no parse); only the
+        # revisit flag replays the pinned digest-window — cross-doc
+        # duplicate texts share digests, so the tiebreak (ts, url,
+        # warc_file) matters and is replayed identically
+        "w_cdx_index": """
+            WITH recs AS (
+                SELECT doc_id,
+                       CASE doc_id % 4
+                           WHEN 0 THEN 'https://h' || (doc_id % 10)::VARCHAR
+                               || '.example/p/' || doc_id::VARCHAR
+                           WHEN 1 THEN 'https://WWW.h' || (doc_id % 10)::VARCHAR
+                               || '.EXAMPLE:443/P/' || doc_id::VARCHAR
+                               || '?b=2&a=1'
+                           WHEN 2 THEN 'http://user:pw@h'
+                               || (doc_id % 10)::VARCHAR
+                               || '.example:8080/p/' || doc_id::VARCHAR
+                           ELSE 'https://www2.h' || (doc_id % 10)::VARCHAR
+                               || '.example/p/' || doc_id::VARCHAR
+                       END AS url,
+                       CASE doc_id % 4
+                           WHEN 1 THEN 'example,h' || (doc_id % 10)::VARCHAR
+                               || ')/p/' || doc_id::VARCHAR || '?a=1&b=2'
+                           WHEN 2 THEN 'example,h' || (doc_id % 10)::VARCHAR
+                               || ':8080)/p/' || doc_id::VARCHAR
+                           ELSE 'example,h' || (doc_id % 10)::VARCHAR
+                               || ')/p/' || doc_id::VARCHAR
+                       END AS urlkey,
+                       md5('<html><body><p>' || text
+                           || '</p></body></html>') AS digest,
+                       octet_length(encode('<html><body><p>' || text
+                           || '</p></body></html>'))::BIGINT AS n_bytes,
+                       'mem://cdx-' || (doc_id % 16)::VARCHAR || '.warc'
+                           AS warc_file
+                FROM documents
+            ), fetches AS (
+                SELECT urlkey, '20250601120000' AS cdx_ts, url, digest,
+                       n_bytes, warc_file
+                FROM recs
+                UNION ALL
+                SELECT urlkey, '20250601130000', url, digest, n_bytes,
+                       warc_file
+                FROM recs WHERE doc_id % 13 = 0
+            )
+            SELECT urlkey, cdx_ts, url, digest, n_bytes, warc_file,
+                   (row_number() OVER (
+                        PARTITION BY digest
+                        ORDER BY cdx_ts, url, warc_file) > 1)
+                       AS is_revisit
+            FROM fetches
         """,
         # sitemap ingest: the expected entry relation derived DIRECTLY
         # from documents (no XML in sight) — 20 urlset hosts with

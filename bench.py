@@ -119,6 +119,7 @@ HEADLINE = [
     "g_hyperball",
     "c_crawl_budget",
     "c_sitemap_ingest",
+    "w_cdx_index",
 ]
 
 

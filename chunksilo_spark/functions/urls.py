@@ -201,3 +201,57 @@ def canonicalize_url(url: str) -> str | None:
         ]
         rest = "?" + "&".join(parts) if parts else ""
     return scheme + "://" + auth + path + rest
+
+
+_WWW_C = re.compile(r"^www\d*\.")
+
+
+def surt_key(url: str) -> str | None:
+    """SURT (Sort-friendly URI Reordering Transform) key of an absolute
+    http(s) url, or None — the web-archive SORT key (Heritrix / pywb
+    convention: reversed host labels group a domain's whole subtree into
+    one contiguous key range, so "everything under example.com" is a
+    prefix scan). Deliberately MORE aggressive than
+    :func:`canonicalize_url` (the dedup key, which never reorders or
+    case-folds): an archive lookup key must match across cosmetic
+    variants even at the cost of merging oddballs.
+
+    Pinned algebra (same steps in the column twin
+    ``sources/readers.surt_key_col`` and the analytic oracle):
+
+      1. trim; strip fragment; non-http(s) -> None (scheme is
+         case-insensitive, then discarded — http and https share keys).
+      2. authority: drop userinfo (after the LAST ``@``), lowercase,
+         drop one trailing dot, drop ``:80``/``:443`` (either scheme),
+         strip one leading ``www`` + optional digits label.
+      3. key = host labels REVERSED and comma-joined, ``)``, the
+         LOWERCASED path (``/`` when empty), then ``?`` + the
+         ``&``-sorted lowercased non-empty query params (dropped when
+         none survive). Non-default ports stay on the last host label
+         (``com,example:8080)``).
+    """
+    url = url.strip(_WS_STRIP)
+    url = url.split("#", 1)[0]
+    m = _AUTH_SPLIT_C.match(url)
+    if not m:
+        return None
+    _scheme, auth, path, rest = m.groups()
+    auth = auth.rsplit("@", 1)[-1].lower()
+    if auth.endswith("."):
+        auth = auth[:-1]
+    for suf in (":80", ":443"):
+        if auth.endswith(suf):
+            auth = auth[: -len(suf)]
+            break
+    auth = _WWW_C.sub("", auth, count=1)
+    host, _, port = auth.partition(":")
+    host_key = ",".join(reversed(host.split("."))) + (
+        ":" + port if port else ""
+    )
+    path = (path or "/").lower()
+    q = ""
+    if rest.startswith("?"):
+        parts = sorted(p for p in rest[1:].lower().split("&") if p)
+        if parts:
+            q = "?" + "&".join(parts)
+    return host_key + ")" + path + q

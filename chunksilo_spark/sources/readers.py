@@ -419,3 +419,91 @@ def read_text_dir(spark: SparkSession, path: str, lang: str | None = None) -> Da
         )
     )
     return raw
+
+
+def surt_key_col(url: "F.Column") -> "F.Column":
+    """Column twin of ``functions/urls.surt_key`` (pinned algebra there):
+    scheme-insensitive http(s) gate, userinfo/default-port/www-label
+    drops, reversed comma-joined host labels (non-default port appended
+    after the last reversed label), lowercased path and ``&``-sorted
+    lowercased query. Pure JVM regexp/split/array ops — whole-stage
+    codegen, no Python per row; non-http(s) urls -> NULL."""
+    from ..functions import urls as U
+
+    pat = r"(?s)^([hH][tT][tT][pP][sS]?)://([^/?#]*)([^?#]*)(.*)$"
+    u = F.regexp_replace(
+        F.regexp_replace(url, f"^{U.WS_CLASS}+|{U.WS_CLASS}+$", ""),
+        r"(?s)#.*$", "",
+    )
+    scheme = F.regexp_extract(u, pat, 1)
+    auth = F.lower(F.regexp_extract(u, pat, 2))
+    auth = F.element_at(F.split(auth, "@"), -1)
+    auth = F.regexp_replace(auth, r"\.$", "")
+    auth = F.regexp_replace(auth, r":(80|443)$", "")
+    auth = F.regexp_replace(auth, r"^www\d*\.", "")
+    hp = F.split(auth, ":", 2)
+    host = F.element_at(hp, 1)
+    port = F.when(F.size(hp) > 1, F.element_at(hp, 2)).otherwise(F.lit(""))
+    host_key = F.concat(
+        F.array_join(F.reverse(F.split(host, r"\.")), ","),
+        F.when(port != "", F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+    )
+    path = F.regexp_extract(u, pat, 3)
+    path = F.lower(F.when(path == "", F.lit("/")).otherwise(path))
+    rest = F.regexp_extract(u, pat, 4)
+    kept = F.array_sort(
+        F.filter(
+            F.split(F.lower(F.substring(rest, 2, 2147483646)), "&"),
+            lambda p: p != "",
+        )
+    )
+    q = F.when(
+        rest.startswith("?") & (F.size(kept) > 0),
+        F.concat(F.lit("?"), F.array_join(kept, "&")),
+    ).otherwise(F.lit(""))
+    return F.when(scheme == "", F.lit(None).cast("string")).otherwise(
+        F.concat(host_key, F.lit(")"), path, q)
+    )
+
+
+def cdx_records(
+    pages: DataFrame,
+    sort_parts: int | None = None,
+) -> DataFrame:
+    """pages (url, warc_ts, html, extras) -> CDX-style archive index
+    rows (urlkey, cdx_ts, url, digest, n_bytes, warc_file, is_revisit):
+    the lookup index every web archive writes beside its WARCs (the
+    Wayback / Common Crawl cdx convention — urlkey is the SURT so one
+    domain's records are a contiguous key range; ``cdx_ts`` is the
+    14-digit yyyyMMddHHmmss capture time).
+
+    Pinned: digest = md5 of the FULL decoded body (standing in for
+    CDX11's sha1-b32 — same role: capture identity for revisit dedup);
+    ``is_revisit`` marks every capture of a digest after its first
+    (order: cdx_ts, url, warc_file — deterministic under timestamp
+    ties), the archive's storage-dedup signal: a revisit row can point
+    at the original's bytes instead of storing them again.
+
+    100 TB shape: one projection (surt/md5/length in codegen) plus ONE
+    digest-keyed window whose partitions are duplicate-cluster-sized.
+    With ``sort_parts`` the relation is range-partitioned on
+    (urlkey, cdx_ts) and sorted within partitions — the distributed way
+    to emit a globally-sorted CDX file set (part k's max key <= part
+    k+1's min key), no single-node sort anywhere."""
+    from pyspark.sql.window import Window
+
+    rows = pages.select(
+        surt_key_col(F.col("url")).alias("urlkey"),
+        F.date_format("warc_ts", "yyyyMMddHHmmss").alias("cdx_ts"),
+        "url",
+        F.md5(F.col("html")).alias("digest"),
+        F.octet_length("html").cast("long").alias("n_bytes"),
+        F.element_at("extras", F.lit("warc_file")).alias("warc_file"),
+    )
+    w = Window.partitionBy("digest").orderBy("cdx_ts", "url", "warc_file")
+    out = rows.withColumn("is_revisit", F.row_number().over(w) > 1)
+    if sort_parts:
+        out = out.repartitionByRange(
+            sort_parts, "urlkey", "cdx_ts"
+        ).sortWithinPartitions("urlkey", "cdx_ts")
+    return out

@@ -336,6 +336,12 @@ CAPTURE = [
      "exact-integer epoch algebra — ZERO shuffles on the parse side "
      "(the Exchanges in this capture belong to the oracle's synthesis "
      "groupBy, not the parser)"),
+    ("w_cdx_index", "CDX indexing: surt/md5/length are pure codegen on "
+     "the parsed pages; the ONLY shuffle the indexer adds is the "
+     "digest-keyed revisit window, whose partitions are duplicate-"
+     "cluster-sized — with sort_parts it becomes repartitionByRange + "
+     "sortWithinPartitions (globally-sorted file set, no single-node "
+     "sort)"),
 ]
 
 

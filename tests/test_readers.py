@@ -355,3 +355,128 @@ class TestWetReader:
         )
         assert list(parse_wet_records(resp)) == []
         assert list(parse_warc_records(wet_blob)) == []
+
+
+class TestSurtKey:
+    URLS = [
+        "https://WWW.Example.COM:443/Path/X?b=2&A=1&&",
+        "http://user:pw@h3.example:8080/p/9",
+        "https://www2.sub.example.org./p#frag",
+        "http://example.com:80/",
+        "https://example.com",
+        "  https://pad.example/x \t",
+        "https://example.com/UPPER/case?Z=1&a=2&z=0",
+        "https://example.com/?",
+        "https://www.example.com/?utm_source=x",
+        "http://a.b.c.d.example/deep/path/",
+        "ftp://nope.example/x",
+        "not a url",
+        "https://example.com:9090/p?q=%2F&Q=a",
+        "https://h.example/p?dup=1&dup=1&b",
+    ]
+
+    def test_kernel_column_parity(self, spark):
+        from chunksilo_spark.functions.urls import surt_key
+        from chunksilo_spark.sources.readers import surt_key_col
+
+        df = spark.createDataFrame([(u,) for u in self.URLS], "url string")
+        got = [
+            r["k"]
+            for r in df.select(surt_key_col(F.col("url")).alias("k"))
+            .collect()
+        ]
+        assert got == [surt_key(u) for u in self.URLS]
+
+    def test_pinned_examples(self, spark):
+        from chunksilo_spark.functions.urls import surt_key
+
+        assert surt_key(self.URLS[0]) == "com,example)/path/x?a=1&b=2"
+        assert surt_key(self.URLS[1]) == "example,h3:8080)/p/9"
+        assert surt_key(self.URLS[2]) == "org,example,sub)/p"
+        assert surt_key(self.URLS[3]) == "com,example)/"
+        assert surt_key(self.URLS[4]) == "com,example)/"
+        assert surt_key(self.URLS[10]) is None
+        assert surt_key(self.URLS[11]) is None
+
+    def test_domain_subtree_is_contiguous(self, spark):
+        # the point of SURT: every example.com subdomain sorts inside
+        # the com,example prefix range
+        from chunksilo_spark.functions.urls import surt_key
+
+        keys = sorted(
+            surt_key(u)
+            for u in (
+                "https://a.example.com/1",
+                "https://example.com/2",
+                "https://z.example.com/3",
+                "https://examplf.com/x",
+                "https://exampld.com/x",
+            )
+        )
+        inside = [k for k in keys if k.startswith("com,example,")
+                  or k.startswith("com,example)")]
+        i = keys.index(inside[0])
+        assert keys[i:i + len(inside)] == inside
+
+
+class TestCdxRecords:
+    def _pages(self, spark):
+        import datetime as dt
+
+        ts = dt.datetime(2025, 6, 1, 12, 0, 0, tzinfo=dt.timezone.utc)
+        ts2 = dt.datetime(2025, 6, 1, 13, 0, 0, tzinfo=dt.timezone.utc)
+        rows = [
+            ("https://a.example/p/1", ts, b"<html>one</html>", "f1.warc"),
+            ("https://a.example/p/1", ts2, b"<html>one</html>", "f2.warc"),
+            ("https://b.example/p/2", ts, b"<html>two</html>", "f1.warc"),
+        ]
+        return spark.createDataFrame(
+            [
+                (u, t, h, None, None, {"warc_file": f})
+                for u, t, h, f in rows
+            ],
+            "url string, warc_ts timestamp, html binary, text string,"
+            " lang string, extras map<string,string>",
+        )
+
+    def test_fields_and_revisit(self, spark):
+        from chunksilo_spark.sources.readers import cdx_records
+
+        got = sorted(
+            tuple(r) for r in cdx_records(self._pages(spark)).collect()
+        )
+        import hashlib
+
+        d1 = hashlib.md5(b"<html>one</html>").hexdigest()
+        d2 = hashlib.md5(b"<html>two</html>").hexdigest()
+        assert got == sorted(
+            [
+                ("example,a)/p/1", "20250601120000",
+                 "https://a.example/p/1", d1, 16, "f1.warc", False),
+                ("example,a)/p/1", "20250601130000",
+                 "https://a.example/p/1", d1, 16, "f2.warc", True),
+                ("example,b)/p/2", "20250601120000",
+                 "https://b.example/p/2", d2, 16, "f1.warc", False),
+            ]
+        )
+
+    def test_sort_parts_emits_globally_sorted_ranges(self, spark):
+        import datetime as dt
+
+        from chunksilo_spark.sources.readers import cdx_records
+
+        ts = dt.datetime(2025, 6, 1, tzinfo=dt.timezone.utc)
+        pages = spark.createDataFrame(
+            [
+                (f"https://h{i % 40}.example/p/{i}", ts,
+                 f"body{i}".encode(), None, None, {"warc_file": "f"})
+                for i in range(400)
+            ],
+            "url string, warc_ts timestamp, html binary, text string,"
+            " lang string, extras map<string,string>",
+        )
+        out = cdx_records(pages, sort_parts=4)
+        parts = out.select("urlkey").rdd.glom().collect()
+        flat = [r["urlkey"] for p in parts for r in p]
+        assert flat == sorted(flat)
+        assert sum(1 for p in parts if p) >= 2
