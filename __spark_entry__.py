@@ -2179,6 +2179,25 @@ def _w_cdx_index(spark, sf):  # SURT + CDX archive index, hash-checked
     return cdx_records(warc_pages_from_blobs(blobs))
 
 
+def _g_harmonic(spark, sf):  # HyperBall harmonic centrality
+    # same halving graph; reversed balls (v's centrality as a TARGET),
+    # max_radius 2, b=8. Only harmonic_scaled is emitted: the 4dp
+    # double lands on rounding ties ~half the time (sum of 4dp-deltas
+    # over r), while h * 10^4 * lcm(1..R) is integer in exact
+    # arithmetic — nearest-integer rounding is tie-free both engines.
+    docs = _t(spark, sf, "documents").select("doc_id")
+    d = F.col("doc_id")
+    halving = docs.where(d > 0).select(
+        d.alias("src"), (d / 2).cast("long").alias("dst")
+    )
+    side = docs.where((d % 7 == 3) & (d > 0)).select(
+        d.alias("src"), (d - 1).cast("long").alias("dst")
+    )
+    return gr.hyperball_harmonic(
+        halving.union(side), max_radius=2, b=8
+    ).select("node", "harmonic_scaled")
+
+
 def _c_sitemap_ingest(spark, sf):  # sitemaps.org parse, hash-checked
     # synthesize a per-host sitemap corpus (20 urlsets + 1 sitemapindex)
     # from documents IN-PLAN — entity-escaped locs, all three lastmod
@@ -2670,6 +2689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c_crawl_budget": _c_crawl_budget,
         "c_sitemap_ingest": _c_sitemap_ingest,
         "w_cdx_index": _w_cdx_index,
+        "g_harmonic": _g_harmonic,
         # -- previously driver-green rows fill the remaining window
         #    slots, then the three-plus-rounds-green tail; every query
         #    stays covered by the full local oracle gate every pytest --
@@ -5165,6 +5185,105 @@ def _oracle_sql_body() -> dict[str, str]:
                     // greatest(last_ep - first_ep, 1))::BIGINT
                        AS priority_ppm
             FROM agg
+        """,
+        # HyperBall harmonic centrality: enumerate reversed-ball
+        # min-depths once, replay the register/estimator algebra at
+        # each radius (md <= r), then the fixed-order IEEE harmonic sum
+        # times 20000 rounded to the nearest integer — tie-free because
+        # the exact value IS an integer (the 4dp double twin is
+        # deliberately NOT emitted: it ties across engines)
+        "g_harmonic": """
+            WITH RECURSIVE ed AS (
+                SELECT DISTINCT src, dst FROM (
+                    SELECT doc_id // 2 AS src, doc_id AS dst
+                    FROM documents WHERE doc_id > 0
+                    UNION ALL
+                    SELECT doc_id - 1, doc_id
+                    FROM documents WHERE doc_id % 7 = 3 AND doc_id > 0
+                ) WHERE src <> dst
+            ), nodes AS (
+                SELECT src AS node FROM ed
+                UNION
+                SELECT dst FROM ed
+            ), reach(node, member, depth) AS (
+                SELECT node, node, 0 FROM nodes
+                UNION
+                SELECT r.node, ed.dst, r.depth + 1
+                FROM reach r JOIN ed ON ed.src = r.member
+                WHERE r.depth < 2
+            ), ball AS (
+                SELECT node, member, min(depth) AS md
+                FROM reach GROUP BY node, member
+            ), hb AS (
+                SELECT node, md,
+                       (('0x' || substr(md5(member::VARCHAR), 1, 15))
+                        ::UBIGINT)::BIGINT AS h
+                FROM ball
+            ), est0 AS (
+                SELECT node, round(CASE WHEN (4.2399330249068963e+20
+                             / sum_scaled::DOUBLE) <= 640.0 AND n_zero > 0
+                        THEN 256.0 * ln(256.0 / n_zero::DOUBLE)
+                        ELSE 4.2399330249068963e+20
+                             / sum_scaled::DOUBLE END, 4) AS e0
+                FROM (
+                    SELECT node,
+                           (256 - count(*))::BIGINT AS n_zero,
+                           (sum((1::BIGINT << (53 - r))::BIGINT)
+                            + (256 - count(*)) * (1::BIGINT << 53)
+                           )::BIGINT AS sum_scaled
+                    FROM (
+                        SELECT node, (h % 256)::BIGINT AS j,
+                               max(CASE WHEN (h // 256) = 0 THEN 53
+                                    ELSE 52 - length(bin(h // 256)) + 1
+                                   END) AS r
+                        FROM hb WHERE md <= 0 GROUP BY node, h % 256
+                    ) GROUP BY node
+                )
+            ), est1 AS (
+                SELECT node, round(CASE WHEN (4.2399330249068963e+20
+                             / sum_scaled::DOUBLE) <= 640.0 AND n_zero > 0
+                        THEN 256.0 * ln(256.0 / n_zero::DOUBLE)
+                        ELSE 4.2399330249068963e+20
+                             / sum_scaled::DOUBLE END, 4) AS e1
+                FROM (
+                    SELECT node,
+                           (256 - count(*))::BIGINT AS n_zero,
+                           (sum((1::BIGINT << (53 - r))::BIGINT)
+                            + (256 - count(*)) * (1::BIGINT << 53)
+                           )::BIGINT AS sum_scaled
+                    FROM (
+                        SELECT node, (h % 256)::BIGINT AS j,
+                               max(CASE WHEN (h // 256) = 0 THEN 53
+                                    ELSE 52 - length(bin(h // 256)) + 1
+                                   END) AS r
+                        FROM hb WHERE md <= 1 GROUP BY node, h % 256
+                    ) GROUP BY node
+                )
+            ), est2 AS (
+                SELECT node, round(CASE WHEN (4.2399330249068963e+20
+                             / sum_scaled::DOUBLE) <= 640.0 AND n_zero > 0
+                        THEN 256.0 * ln(256.0 / n_zero::DOUBLE)
+                        ELSE 4.2399330249068963e+20
+                             / sum_scaled::DOUBLE END, 4) AS e2
+                FROM (
+                    SELECT node,
+                           (256 - count(*))::BIGINT AS n_zero,
+                           (sum((1::BIGINT << (53 - r))::BIGINT)
+                            + (256 - count(*)) * (1::BIGINT << 53)
+                           )::BIGINT AS sum_scaled
+                    FROM (
+                        SELECT node, (h % 256)::BIGINT AS j,
+                               max(CASE WHEN (h // 256) = 0 THEN 53
+                                    ELSE 52 - length(bin(h // 256)) + 1
+                                   END) AS r
+                        FROM hb WHERE md <= 2 GROUP BY node, h % 256
+                    ) GROUP BY node
+                )
+            )
+            SELECT node,
+                   CAST(round((0.0 + (e1 - e0) / 1.0 + (e2 - e1) / 2.0)
+                              * 20000.0) AS BIGINT) AS harmonic_scaled
+            FROM est0 JOIN est1 USING (node) JOIN est2 USING (node)
         """,
         # CDX archive index: urlkey (SURT), digest and byte length
         # derived DIRECTLY from documents (no WARC, no parse); only the

@@ -120,6 +120,7 @@ HEADLINE = [
     "c_crawl_budget",
     "c_sitemap_ingest",
     "w_cdx_index",
+    "g_harmonic",
 ]
 
 

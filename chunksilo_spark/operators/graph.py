@@ -1019,6 +1019,113 @@ def hyperball(
     )
 
 
+def hyperball_harmonic(
+    edges: DataFrame,
+    max_radius: int,
+    b: int = 8,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    reverse: bool = True,
+    partitions: int = 32,
+) -> DataFrame:
+    """Approximate harmonic centrality via HyperBall (Boldi & Vigna,
+    "In-Core Computation of Geometric Centralities with HyperBall",
+    2013 — their headline application) -> (node, harmonic):
+    H(v) = sum over r of (|ball(v,r)| - |ball(v,r-1)|) / r, truncated
+    at ``max_radius`` — the centrality Boldi-Vigna recommend over
+    closeness for web graphs (handles disconnectedness natively: an
+    unreachable node contributes 0, not an infinite distance).
+
+    ``reverse=True`` (default) runs the recurrence on REVERSED edges,
+    so the ball around v counts nodes that can REACH v — centrality of
+    v as a *target*, the standard definition. Set False for the
+    forward (v-as-source) variant.
+
+    Pinned determinism: per-radius ball estimates are
+    :func:`hyperball`'s 4dp-rounded values; H is evaluated on those
+    rounded values in FIXED radius order with IEEE doubles — the same
+    literal op sequence both engines. TWO emissions: ``harmonic`` =
+    round(H, 4) for humans (a 4dp round of H is TIE-PRONE across
+    engines: H is a sum of (4dp-delta)/r terms, so its exact value
+    lands on a 4dp half-boundary about half the time, and Spark's
+    repr-based HALF_UP vs another engine's binary-scaled rounding can
+    split a tie — the t_domain_profile lesson), and ``harmonic_scaled``
+    = round(H * 10^4 * lcm(1..max_radius)) as bigint — in exact
+    arithmetic that product IS an integer, so the double sits within
+    fp-epsilon of it, nearest-integer rounding has no ties, and the
+    value is hash-stable by construction: THE column for oracle gates.
+    The per-radius deltas inherit HLL noise (a delta can dip slightly
+    negative across estimator-branch switches — Boldi-Vigna accept the
+    same); the value is an ESTIMATE with ~1.04/sqrt(2^b) relative
+    error per term.
+
+    100 TB shape: exactly :func:`hyperball`'s per-round cost (one
+    equi-join + one combinable max agg, <= m register rows per node),
+    plus ``max_radius`` node-keyed equi-joins of node-sized estimate
+    relations at the end."""
+    from .sketches import _hll_finalize, hll_state
+
+    if max_radius < 1:
+        raise ValueError("hyperball_harmonic needs max_radius >= 1")
+    a, z = (dst_col, src_col) if reverse else (src_col, dst_col)
+    e = (
+        edges.select(F.col(a).alias("node"), F.col(z).alias("_nbr"))
+        .where(F.col("node") != F.col("_nbr"))
+        .distinct()
+    )
+    nodes = (
+        e.select("node")
+        .union(e.select(F.col("_nbr").alias("node")))
+        .distinct()
+    )
+    state = cut_lineage(
+        hll_state(
+            nodes.withColumn("_member", F.col("node")),
+            ["node"],
+            "_member",
+            b,
+        ).repartition(partitions, "node")
+    )
+    ests = [
+        _hll_finalize(state, ["node"], b).select(
+            "node", F.col("est_distinct").alias("_e0")
+        )
+    ]
+    for r in range(1, max_radius + 1):
+        contrib = e.join(
+            state.withColumnRenamed("node", "_nbr"), "_nbr"
+        ).select("node", "j", "r")
+        state = cut_lineage(
+            state.unionByName(contrib)
+            .groupBy("node", "j")
+            .agg(F.max("r").alias("r"))
+            .repartition(partitions, "node")
+        )
+        ests.append(
+            _hll_finalize(state, ["node"], b).select(
+                "node", F.col("est_distinct").alias(f"_e{r}")
+            )
+        )
+    joined = ests[0]
+    for r in range(1, max_radius + 1):
+        joined = joined.join(ests[r], "node")
+    import math
+
+    h = F.lit(0.0)
+    lcm = 1
+    for r in range(1, max_radius + 1):
+        h = h + (F.col(f"_e{r}") - F.col(f"_e{r - 1}")) / F.lit(float(r))
+        lcm = lcm * r // math.gcd(lcm, r)
+    scale = 10000 * lcm
+    return joined.select(
+        "node",
+        F.round(h, 4).alias("harmonic"),
+        F.round(h * F.lit(float(scale)), 0)
+        .cast("long")
+        .alias("harmonic_scaled"),
+    )
+
+
 def rank_topk(ranks: DataFrame, k: int) -> DataFrame:
     """Top-k by (rounded) rank with node tiebreak — rounding BEFORE the sort
     makes the cutoff robust to last-ulp float differences between engines,

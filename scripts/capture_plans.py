@@ -342,6 +342,10 @@ CAPTURE = [
      "cluster-sized — with sort_parts it becomes repartitionByRange + "
      "sortWithinPartitions (globally-sorted file set, no single-node "
      "sort)"),
+    ("g_harmonic", "HyperBall harmonic centrality: the final plan reads "
+     "node-sized checkpointed estimate relations and equi-joins them on "
+     "node — the per-round register join/agg cost is identical to "
+     "g_hyperball and already cut from this lineage"),
 ]
 
 

@@ -2147,3 +2147,87 @@ class TestHyperball:
         df = spark.createDataFrame([(1, 2)], "src long, dst long")
         with pytest.raises(ValueError):
             G.hyperball(df, radius=-1)
+
+
+class TestHyperballHarmonic:
+    @staticmethod
+    def _round4(x):
+        # Spark's round() is HALF_UP on the shortest decimal repr
+        # (BigDecimal.valueOf); python's round() is banker's — replay
+        # Spark's exactly or ties like 2.92995 diverge in the last digit
+        from decimal import ROUND_HALF_UP, Decimal
+
+        return float(
+            Decimal(repr(x)).quantize(
+                Decimal("1e-4"), rounding=ROUND_HALF_UP
+            )
+        )
+
+    def _python(self, edges, max_radius, b, reverse=True):
+        ed = [(d, s) for s, d in edges] if reverse else list(edges)
+        out = {}
+        for v in {n for e in edges for n in e}:
+            ests = []
+            for r in range(max_radius + 1):
+                balls = TestHyperball._python(ed, r, b)
+                ests.append(balls[v][3])
+            h = 0.0
+            lcm = 1
+            for r in range(1, max_radius + 1):
+                h = h + (ests[r] - ests[r - 1]) / float(r)
+                import math
+
+                lcm = lcm * r // math.gcd(lcm, r)
+            out[v] = (
+                self._round4(h),
+                int(
+                    __import__("decimal").Decimal(
+                        repr(h * float(10000 * lcm))
+                    ).quantize(
+                        __import__("decimal").Decimal("1"),
+                        rounding=__import__("decimal").ROUND_HALF_UP,
+                    )
+                ),
+            )
+        return out
+
+    def test_matches_python_replay(self, spark):
+        edges = [(i, i // 2) for i in range(1, 40)] + [
+            (i, i - 1) for i in range(1, 40) if i % 7 == 3
+        ]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            r["node"]: (r["harmonic"], r["harmonic_scaled"])
+            for r in G.hyperball_harmonic(df, max_radius=2, b=4).collect()
+        }
+        assert got == self._python(edges, 2, 4)
+        # the scaled integer is consistent with the 4dp double
+        for h4, hs in got.values():
+            assert abs(hs / 20000.0 - h4) < 1e-4
+
+    def test_star_center_dominates_reversed(self, spark):
+        # all leaves point AT the center: with reverse=True the center
+        # is reachable from everyone at distance 1 -> highest harmonic
+        edges = [(i, 0) for i in range(1, 60)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            r["node"]: r["harmonic"]
+            for r in G.hyperball_harmonic(df, max_radius=2, b=8).collect()
+        }
+        assert got[0] == max(got.values())
+        # HLL estimate of 59 in-neighbors lands within the RSE budget
+        assert abs(got[0] - 59) / 59 < 0.26
+
+    def test_forward_variant_and_validation(self, spark):
+        edges = [(0, 1), (1, 2)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            r["node"]: (r["harmonic"], r["harmonic_scaled"])
+            for r in G.hyperball_harmonic(
+                df, max_radius=2, b=4, reverse=False
+            ).collect()
+        }
+        assert got == self._python(edges, 2, 4, reverse=False)
+        assert got[0] > got[2]
+        with pytest.raises(ValueError):
+            G.hyperball_harmonic(df, max_radius=0)
