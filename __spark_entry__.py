@@ -2179,6 +2179,32 @@ def _w_cdx_index(spark, sf):  # SURT + CDX archive index, hash-checked
     return cdx_records(warc_pages_from_blobs(blobs))
 
 
+def _t_registered_domain(spark, sf):  # PSL pay-level-domain extraction
+    # five host shapes off documents exercise every PSL branch: plain
+    # TLD rule, multi-label rule, wildcard, exception-beats-wildcard,
+    # unknown TLD (implicit *). Oracle is the closed-form CASE.
+    from chunksilo_spark.operators.curation import registered_domains
+
+    d = F.col("doc_id")
+    k = (d % 10).cast("string")
+    host = (
+        F.when(d % 5 == 0, F.concat(F.lit("www.h"), k, F.lit(".test")))
+        .when(d % 5 == 1, F.concat(F.lit("a.h"), k, F.lit(".co.test")))
+        .when(d % 5 == 2,
+              F.concat(F.lit("deep.x.h"), k, F.lit(".wild.test")))
+        .when(d % 5 == 3, F.lit("sub.ok.wild.test"))
+        .otherwise(F.concat(F.lit("h"), k, F.lit(".zz")))
+    )
+    df = _t(spark, sf, "documents").select(
+        d.alias("doc_id"), host.alias("host")
+    )
+    rules = spark.createDataFrame(
+        [("test",), ("co.test",), ("*.wild.test",), ("!ok.wild.test",)],
+        "rule string",
+    )
+    return registered_domains(df, rules)
+
+
 def _g_harmonic(spark, sf):  # HyperBall harmonic centrality
     # same halving graph; reversed balls (v's centrality as a TARGET),
     # max_radius 2, b=8. Only harmonic_scaled is emitted: the 4dp
@@ -2690,6 +2716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c_sitemap_ingest": _c_sitemap_ingest,
         "w_cdx_index": _w_cdx_index,
         "g_harmonic": _g_harmonic,
+        "t_registered_domain": _t_registered_domain,
         # -- previously driver-green rows fill the remaining window
         #    slots, then the three-plus-rounds-green tail; every query
         #    stays covered by the full local oracle gate every pytest --
@@ -5185,6 +5212,39 @@ def _oracle_sql_body() -> dict[str, str]:
                     // greatest(last_ep - first_ep, 1))::BIGINT
                        AS priority_ppm
             FROM agg
+        """,
+        # PSL registered-domain extraction: closed-form per host shape
+        "t_registered_domain": """
+            SELECT doc_id,
+                   CASE doc_id % 5
+                       WHEN 0 THEN 'www.h' || (doc_id % 10)::VARCHAR
+                           || '.test'
+                       WHEN 1 THEN 'a.h' || (doc_id % 10)::VARCHAR
+                           || '.co.test'
+                       WHEN 2 THEN 'deep.x.h' || (doc_id % 10)::VARCHAR
+                           || '.wild.test'
+                       WHEN 3 THEN 'sub.ok.wild.test'
+                       ELSE 'h' || (doc_id % 10)::VARCHAR || '.zz'
+                   END AS host,
+                   CASE doc_id % 5
+                       WHEN 0 THEN 'test'
+                       WHEN 1 THEN 'co.test'
+                       WHEN 2 THEN 'h' || (doc_id % 10)::VARCHAR
+                           || '.wild.test'
+                       WHEN 3 THEN 'wild.test'
+                       ELSE 'zz'
+                   END AS public_suffix,
+                   CASE doc_id % 5
+                       WHEN 0 THEN 'h' || (doc_id % 10)::VARCHAR
+                           || '.test'
+                       WHEN 1 THEN 'h' || (doc_id % 10)::VARCHAR
+                           || '.co.test'
+                       WHEN 2 THEN 'x.h' || (doc_id % 10)::VARCHAR
+                           || '.wild.test'
+                       WHEN 3 THEN 'ok.wild.test'
+                       ELSE 'h' || (doc_id % 10)::VARCHAR || '.zz'
+                   END AS registered_domain
+            FROM documents
         """,
         # HyperBall harmonic centrality: enumerate reversed-ball
         # min-depths once, replay the register/estimator algebra at

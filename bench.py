@@ -121,6 +121,7 @@ HEADLINE = [
     "c_sitemap_ingest",
     "w_cdx_index",
     "g_harmonic",
+    "t_registered_domain",
 ]
 
 

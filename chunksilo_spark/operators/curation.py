@@ -560,6 +560,127 @@ def url_quality_filter(
     return out
 
 
+def registered_domains(
+    df: DataFrame,
+    rules: DataFrame,
+    host_col: str = "host",
+) -> DataFrame:
+    """Annotate every row with (public_suffix, registered_domain) under
+    Public Suffix List semantics (publicsuffix.org/list) — the
+    pay-level-domain extraction every host-level curation decision
+    should key on: "one quota per example.co.uk", not per ``co.uk``
+    (a public suffix shared by millions of registrants) and not per
+    ``a.b.example.co.uk`` (one registrant's subdomain dust).
+
+    ``rules`` is a one-column relation (``rule``) of PSL entries:
+    normal (``com``, ``co.uk``), wildcard (``*.ck`` — ``*`` matches
+    exactly one label), exception (``!www.ck``). Algorithm pinned to
+    the PSL spec:
+
+      * a rule matches when its labels are a suffix of the host's
+        (wildcard consumes exactly one label; exceptions match by
+        exact suffix string);
+      * any matching exception rule prevails, and the public suffix is
+        that rule MINUS its leftmost label;
+      * else the matching rule with the MOST labels prevails;
+      * no match -> the implicit ``*`` rule (the bare TLD);
+      * registered_domain = public suffix plus one more host label, or
+        NULL when the host IS a public suffix.
+
+    100 TB shape: each DISTINCT host explodes into its <= label-count
+    suffix candidates (plus their wildcard forms), equi-joins the
+    BROADCAST rules relation (the real PSL is ~9k rules), and one
+    map-side-combinable max-agg picks the prevailing rule; results
+    join back on the host key — every relation after the distinct is
+    host-sized, never corpus-sized, and there is no LIKE/regex
+    cross-join anywhere."""
+    hosts = df.select(F.lower(F.col(host_col)).alias("_h")).distinct()
+    labels = F.split(F.col("_h"), r"\.")
+    n = F.size(labels)
+    # candidates: (string, n_labels, is_wild) for every label suffix
+    # and its *-leftmost variant
+    plain = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda k: F.struct(
+            F.array_join(
+                F.slice(labels, n - k + 1, k), "."
+            ).alias("cand"),
+            k.alias("k"),
+            F.lit(False).alias("wild"),
+        ),
+    )
+    wild = F.filter(
+        F.transform(
+            F.sequence(F.lit(2), F.greatest(n, F.lit(2))),
+            lambda k: F.struct(
+                F.concat(
+                    F.lit("*."),
+                    F.array_join(F.slice(labels, n - k + 2, k - 1), "."),
+                ).alias("cand"),
+                k.alias("k"),
+                F.lit(True).alias("wild"),
+            ),
+        ),
+        lambda s: s["k"] <= n,
+    )
+    cands = hosts.select(
+        "_h", n.alias("_n"), F.explode(F.concat(plain, wild)).alias("c")
+    ).select(
+        "_h", "_n",
+        F.col("c.cand").alias("_cand"),
+        F.col("c.k").alias("_k"),
+        F.col("c.wild").alias("_wild"),
+    )
+    r = rules.select(
+        F.when(
+            F.col("rule").startswith("!"),
+            F.expr("substring(rule, 2)"),
+        )
+        .otherwise(F.col("rule"))
+        .alias("_cand"),
+        F.col("rule").startswith("!").alias("_exc"),
+    )
+    hits = cands.join(F.broadcast(r), "_cand").where(
+        # exceptions match by exact suffix string only (no wildcard form)
+        ~(F.col("_exc") & F.col("_wild"))
+    )
+    best = hits.groupBy("_h").agg(
+        F.max(F.when(F.col("_exc"), F.col("_k") - 1)).alias("_exc_len"),
+        F.max(F.when(~F.col("_exc"), F.col("_k"))).alias("_norm_len"),
+    )
+    resolved = (
+        hosts.join(best, "_h", "left")
+        .select(
+            "_h",
+            F.coalesce(
+                "_exc_len", "_norm_len", F.lit(1).cast("int")
+            ).alias("_slen"),
+        )
+    )
+    rl = F.split(F.col("_h"), r"\.")
+    rn = F.size(rl)
+    out_cols = resolved.select(
+        "_h",
+        F.array_join(
+            F.slice(rl, rn - F.col("_slen") + 1, F.col("_slen")), "."
+        ).alias("public_suffix"),
+        F.when(
+            rn > F.col("_slen"),
+            F.array_join(
+                F.slice(
+                    rl, rn - F.col("_slen"), F.col("_slen") + 1
+                ),
+                ".",
+            ),
+        ).alias("registered_domain"),
+    )
+    return df.join(
+        out_cols.withColumnRenamed("_h", "__rd_host"),
+        F.lower(F.col(host_col)) == F.col("__rd_host"),
+        "left",
+    ).drop("__rd_host")
+
+
 def remove_boilerplate_lines(
     docs: DataFrame,
     min_docs: int = 2,

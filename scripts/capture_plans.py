@@ -346,6 +346,11 @@ CAPTURE = [
      "node-sized checkpointed estimate relations and equi-joins them on "
      "node — the per-round register join/agg cost is identical to "
      "g_hyperball and already cut from this lineage"),
+    ("t_registered_domain", "PSL extraction: DISTINCT hosts explode "
+     "into <= label-count suffix candidates, equi-join the BROADCAST "
+     "rules relation, one combinable max-agg picks the prevailing "
+     "rule; the corpus joins back on the host key — every relation "
+     "after the distinct is host-sized, no LIKE/regex cross-join"),
 ]
 
 

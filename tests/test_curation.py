@@ -764,3 +764,67 @@ class TestMixToTarget:
             mix_to_target(df, "lang", {})
         with _pytest.raises(ValueError):
             mix_to_target(df, "lang", {"en": 0.0})
+
+
+class TestRegisteredDomains:
+    RULES = [("com",), ("co.uk",), ("*.ck",), ("!www.ck",), ("uk",)]
+
+    def _run(self, spark, hosts):
+        from chunksilo_spark.operators.curation import registered_domains
+
+        rules = spark.createDataFrame(self.RULES, "rule string")
+        df = spark.createDataFrame([(h,) for h in hosts], "host string")
+        return {
+            r["host"]: (r["public_suffix"], r["registered_domain"])
+            for r in registered_domains(df, rules).collect()
+        }
+
+    def test_psl_canonical_vectors(self, spark):
+        got = self._run(spark, [
+            "example.com", "a.b.example.com", "example.co.uk",
+            "www.example.co.uk", "foo.ck", "www.ck", "a.www.ck",
+            "bar.foo.ck", "example.zz", "zz", "co.uk", "Example.COM",
+        ])
+        assert got == {
+            "example.com": ("com", "example.com"),
+            "a.b.example.com": ("com", "example.com"),
+            "example.co.uk": ("co.uk", "example.co.uk"),
+            "www.example.co.uk": ("co.uk", "example.co.uk"),
+            # wildcard *.ck: every direct child of ck is a suffix
+            "foo.ck": ("foo.ck", None),
+            # exception !www.ck beats the wildcard
+            "www.ck": ("ck", "www.ck"),
+            "a.www.ck": ("ck", "www.ck"),
+            "bar.foo.ck": ("foo.ck", "bar.foo.ck"),
+            # unknown TLD -> implicit * rule
+            "example.zz": ("zz", "example.zz"),
+            "zz": ("zz", None),
+            # a bare public suffix has no registered domain
+            "co.uk": ("co.uk", None),
+            # hosts are case-folded
+            "Example.COM": ("com", "example.com"),
+        }
+
+    def test_longest_rule_wins_and_columns_pass_through(self, spark):
+        from chunksilo_spark.operators.curation import registered_domains
+
+        rules = spark.createDataFrame(
+            [("uk",), ("co.uk",)], "rule string"
+        )
+        df = spark.createDataFrame(
+            [("x.co.uk", 7)], "host string, payload int"
+        )
+        row = registered_domains(df, rules).collect()[0]
+        assert (row["public_suffix"], row["registered_domain"]) == (
+            "co.uk", "x.co.uk"
+        )
+        assert row["payload"] == 7
+
+    def test_quota_grouping_use_case(self, spark):
+        # the operator's point: per-PLD caps group subdomain dust
+        hosts = [f"s{i}.example.co.uk" for i in range(5)] + [
+            "other.com", "deep.a.other.com"
+        ]
+        got = self._run(spark, hosts)
+        plds = {v[1] for v in got.values()}
+        assert plds == {"example.co.uk", "other.com"}
