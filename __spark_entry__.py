@@ -2179,6 +2179,48 @@ def _w_cdx_index(spark, sf):  # SURT + CDX archive index, hash-checked
     return cdx_records(warc_pages_from_blobs(blobs))
 
 
+def _c_fetch_sessions(spark, sf):  # gap-based sessionization of events
+    # one-hour gap sessions per user over the events log; oracle
+    # replays the identical lag/cumsum/rollup window algebra in SQL —
+    # all outputs exact bigints.
+    from chunksilo_spark.operators.temporal import sessionize
+
+    return sessionize(
+        _t(spark, sf, "events").select("user_id", "ts"), gap_s=3600
+    )
+
+
+def _w_charset_sniff(spark, sf):  # BOM/meta encoding sniff on binary
+    # six byte-level variants synthesized in-plan (three BOMs, two
+    # declaration spellings, one bare); oracle is the closed-form CASE.
+    from chunksilo_spark.sources.readers import sniff_charset_col
+
+    d = F.col("doc_id")
+    base = F.encode(
+        F.concat(F.lit("<html><body>"), F.col("text"),
+                 F.lit("</body></html>")),
+        "utf-8",
+    )
+    blob = (
+        F.when(d % 6 == 0, F.concat(F.unhex(F.lit("EFBBBF")), base))
+        .when(d % 6 == 1, F.concat(F.unhex(F.lit("FFFE")), base))
+        .when(d % 6 == 2, F.concat(F.unhex(F.lit("FEFF")), base))
+        .when(d % 6 == 3, F.concat(
+            F.encode(F.lit('<head><meta charset="Windows-1251">'),
+                     "utf-8"), base))
+        .when(d % 6 == 4, F.concat(
+            F.encode(F.lit("<meta http-equiv='Content-Type' "
+                           "content='text/html; charset=UTF8'>"),
+                     "utf-8"), base))
+        .otherwise(base)
+    )
+    return (
+        _t(spark, sf, "documents")
+        .select(d.alias("doc_id"), blob.alias("html"))
+        .select("doc_id", sniff_charset_col(F.col("html")).alias("charset"))
+    )
+
+
 def _t_registered_domain(spark, sf):  # PSL pay-level-domain extraction
     # five host shapes off documents exercise every PSL branch: plain
     # TLD rule, multi-label rule, wildcard, exception-beats-wildcard,
@@ -2717,6 +2759,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w_cdx_index": _w_cdx_index,
         "g_harmonic": _g_harmonic,
         "t_registered_domain": _t_registered_domain,
+        "w_charset_sniff": _w_charset_sniff,
+        "c_fetch_sessions": _c_fetch_sessions,
         # -- previously driver-green rows fill the remaining window
         #    slots, then the three-plus-rounds-green tail; every query
         #    stays covered by the full local oracle gate every pytest --
@@ -5212,6 +5256,46 @@ def _oracle_sql_body() -> dict[str, str]:
                     // greatest(last_ep - first_ep, 1))::BIGINT
                        AS priority_ppm
             FROM agg
+        """,
+        # gap sessionization: the identical lag/cumsum/rollup algebra —
+        # tie runs can't open sessions (zero gap), so the intra-tie lag
+        # order ambiguity never reaches the output
+        "c_fetch_sessions": """
+            WITH e AS (
+                SELECT user_id, floor(epoch(ts))::BIGINT AS ep
+                FROM events
+            ), m AS (
+                SELECT user_id, ep,
+                       CASE WHEN ep - lag(ep) OVER (
+                                PARTITION BY user_id ORDER BY ep
+                            ) > 3600 THEN 1 ELSE 0 END AS new_s
+                FROM e
+            ), s AS (
+                SELECT user_id, ep,
+                       (sum(new_s) OVER (
+                            PARTITION BY user_id ORDER BY ep
+                            ROWS UNBOUNDED PRECEDING) + 1)::BIGINT
+                           AS session_idx
+                FROM m
+            )
+            SELECT user_id, session_idx,
+                   count(*)::BIGINT AS n_events,
+                   min(ep) AS start_ep,
+                   max(ep) AS end_ep,
+                   (max(ep) - min(ep))::BIGINT AS duration_s
+            FROM s GROUP BY user_id, session_idx
+        """,
+        # charset sniff: closed-form expectation per byte-level variant
+        "w_charset_sniff": """
+            SELECT doc_id,
+                   CASE doc_id % 6
+                       WHEN 0 THEN 'utf-8'
+                       WHEN 1 THEN 'utf-16le'
+                       WHEN 2 THEN 'utf-16be'
+                       WHEN 3 THEN 'windows-1251'
+                       WHEN 4 THEN 'utf-8'
+                   END AS charset
+            FROM documents
         """,
         # PSL registered-domain extraction: closed-form per host shape
         "t_registered_domain": """

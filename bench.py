@@ -122,6 +122,8 @@ HEADLINE = [
     "w_cdx_index",
     "g_harmonic",
     "t_registered_domain",
+    "w_charset_sniff",
+    "c_fetch_sessions",
 ]
 
 

@@ -257,3 +257,77 @@ def snapshot_diff(
         )
         .where(F.col("change").isNotNull())
     )
+
+
+def sessionize(
+    events: DataFrame,
+    gap_s: int,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Gap-based sessionization -> per-KEY session rollup (key,
+    session_idx, n_events, start_ep, end_ep, duration_s): consecutive
+    events of one key belong to one session while the gap between them
+    is <= ``gap_s`` seconds; a longer silence starts the next session.
+    The standard carve-up of any event log — crawler fetch bursts per
+    host, user visits per cookie, API calls per client — and the batch
+    twin of Structured Streaming's session windows.
+
+    Pinned exact-integer algebra: ep = unix_timestamp(ts);
+    ``new = (ep - lag(ep) > gap_s)`` per key in ep order (first event
+    starts session 1); ``session_idx`` = running sum of ``new``;
+    rollup = count / min / max / (max - min) per (key, session_idx).
+    Equal-timestamp ties need no tiebreak: a zero gap can never open a
+    session, and every emitted stat is order-invariant within a tie
+    run — the output is deterministic even though the intra-tie lag
+    order is not.
+
+    100 TB shape: ONE key-partitioned window (per-key histories are
+    event-count-bounded; hub keys are AQE-skew territory, not a global
+    sort) feeding ONE map-side-combinable aggregation; output is
+    session-sized."""
+    if gap_s < 0:
+        raise ValueError("sessionize needs gap_s >= 0")
+    marked = (
+        events.select(
+            F.col(key_col).alias("key"),
+            F.unix_timestamp(F.col(ts_col)).cast("long").alias("_ep"),
+        )
+        .withColumn(
+            "_new",
+            F.when(
+                (F.col("_ep") - F.lag("_ep").over(
+                    Window.partitionBy("key").orderBy("_ep")
+                )) > gap_s,
+                F.lit(1),
+            )
+            .otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "session_idx",
+            (
+                F.sum("_new").over(
+                    Window.partitionBy("key")
+                    .orderBy("_ep")
+                    .rowsBetween(Window.unboundedPreceding, 0)
+                )
+                + 1
+            ).cast("long"),
+        )
+    )
+    return (
+        marked.groupBy("key", "session_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("_ep").alias("start_ep"),
+            F.max("_ep").alias("end_ep"),
+        )
+        .select(
+            F.col("key").alias(key_col),
+            "session_idx",
+            "n_events",
+            "start_ep",
+            "end_ep",
+            (F.col("end_ep") - F.col("start_ep")).alias("duration_s"),
+        )
+    )

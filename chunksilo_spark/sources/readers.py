@@ -507,3 +507,44 @@ def cdx_records(
             sort_parts, "urlkey", "cdx_ts"
         ).sortWithinPartitions("urlkey", "cdx_ts")
     return out
+
+
+def sniff_charset_col(html: "F.Column", probe_bytes: int = 1024) -> "F.Column":
+    """Declared/BOM character set of a raw html BINARY column, or NULL
+    when nothing is declared (callers treat null as utf-8, the WHATWG
+    default) — the first decision real web ingest makes, since a crawl
+    delivers bytes, not strings, and mis-decoding silently corrupts
+    every downstream token.
+
+    Pinned sniff order (a codegen subset of the WHATWG encoding sniff):
+
+      1. byte-order marks: EF BB BF -> 'utf-8', FF FE -> 'utf-16le',
+         FE FF -> 'utf-16be' (BOM beats any later declaration);
+      2. else the FIRST charset declaration in the first
+         ``probe_bytes`` bytes, decoded as latin-1 (every byte maps to
+         a codepoint, so the probe never throws): matches both
+         ``<meta charset=X>`` and the http-equiv
+         ``content="text/html; charset=X"`` spellings,
+         case-insensitive, quotes optional; the token is lowercased
+         and 'utf8' is folded to 'utf-8';
+      3. else NULL.
+
+    Pure per-row codegen (substring/decode/regexp on the binary) —
+    zero shuffles, zero Python."""
+    head = F.substring(html, 1, int(probe_bytes))
+    probe = F.lower(F.decode(head, "ISO-8859-1"))
+    decl = F.regexp_extract(
+        probe,
+        r"""charset\s*=\s*["']?\s*([a-z0-9._:\-]+)""",
+        1,
+    )
+    decl = F.when(decl == "utf8", F.lit("utf-8")).otherwise(decl)
+    bom3 = F.hex(F.substring(html, 1, 3))
+    bom2 = F.hex(F.substring(html, 1, 2))
+    return (
+        F.when(bom3 == "EFBBBF", F.lit("utf-8"))
+        .when(bom2 == "FFFE", F.lit("utf-16le"))
+        .when(bom2 == "FEFF", F.lit("utf-16be"))
+        .when(decl != "", decl)
+        .otherwise(F.lit(None).cast("string"))
+    )

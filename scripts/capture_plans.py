@@ -351,6 +351,13 @@ CAPTURE = [
      "rules relation, one combinable max-agg picks the prevailing "
      "rule; the corpus joins back on the host key — every relation "
      "after the distinct is host-sized, no LIKE/regex cross-join"),
+    ("w_charset_sniff", "charset sniff: pure per-row codegen on the "
+     "binary column (substring/hex/decode/regexp) — zero shuffles, "
+     "zero Python; the probe reads probe_bytes, never the whole blob"),
+    ("c_fetch_sessions", "sessionization: ONE key-partitioned window "
+     "(lag + running sum, per-key histories bounded) feeding ONE "
+     "map-side-combinable rollup — session-sized output, no global "
+     "sort"),
 ]
 
 

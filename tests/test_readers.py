@@ -480,3 +480,47 @@ class TestCdxRecords:
         flat = [r["urlkey"] for p in parts for r in p]
         assert flat == sorted(flat)
         assert sum(1 for p in parts if p) >= 2
+
+
+class TestSniffCharset:
+    CASES = [
+        (b"\xef\xbb\xbf<html>x</html>", "utf-8"),
+        (b"\xff\xfeh\x00i\x00", "utf-16le"),
+        (b"\xfe\xff\x00h\x00i", "utf-16be"),
+        # BOM beats a contradicting later declaration
+        (b"\xef\xbb\xbf<meta charset=latin-1>", "utf-8"),
+        (b'<html><head><meta charset="Windows-1251"></head>', "windows-1251"),
+        (b"<meta http-equiv='Content-Type'"
+         b" content='text/html; charset=UTF8'>", "utf-8"),
+        (b"<META CHARSET=iso-8859-2>", "iso-8859-2"),
+        (b"<meta charset = 'Shift_JIS' >", "shift_jis"),
+        (b"<html>no declaration</html>", None),
+        # non-ascii garbage where the token would be: no match, no crash
+        (b"<meta charset=\x80\xfful>", None),
+    ]
+
+    def test_pinned_cases(self, spark):
+        from chunksilo_spark.sources.readers import sniff_charset_col
+
+        df = spark.createDataFrame(
+            [(h,) for h, _ in self.CASES], "html binary"
+        )
+        got = [
+            r["c"]
+            for r in df.select(
+                sniff_charset_col(F.col("html")).alias("c")
+            ).collect()
+        ]
+        assert got == [want for _, want in self.CASES]
+
+    def test_declaration_outside_probe_window_is_ignored(self, spark):
+        from chunksilo_spark.sources.readers import sniff_charset_col
+
+        html = b"<html>" + b" " * 2000 + b"<meta charset=koi8-r>"
+        df = spark.createDataFrame([(html,)], "html binary")
+        assert df.select(
+            sniff_charset_col(F.col("html")).alias("c")
+        ).collect()[0]["c"] is None
+        assert df.select(
+            sniff_charset_col(F.col("html"), probe_bytes=4096).alias("c")
+        ).collect()[0]["c"] == "koi8-r"

@@ -276,3 +276,75 @@ class TestSnapshotDiff:
             for r in T.snapshot_diff(df, self.T1, self.T2).collect()
         }
         assert got == want
+
+
+class TestSessionize:
+    def _python(self, rows, gap):
+        hist = {}
+        for k, ep in rows:
+            hist.setdefault(k, []).append(ep)
+        out = {}
+        for k, eps in hist.items():
+            eps.sort()
+            idx, start, last, n = 1, eps[0], eps[0], 0
+            for ep in eps:
+                if ep - last > gap:
+                    out[(k, idx)] = (n, start, last, last - start)
+                    idx, start, n = idx + 1, ep, 0
+                n, last = n + 1, ep
+            out[(k, idx)] = (n, start, last, last - start)
+        return out
+
+    def _run(self, spark, rows, gap):
+        import datetime as dt
+
+        from chunksilo_spark.operators.temporal import sessionize
+
+        df = spark.createDataFrame(
+            [
+                (k, dt.datetime.fromtimestamp(ep, dt.timezone.utc))
+                for k, ep in rows
+            ],
+            "user_id string, ts timestamp",
+        )
+        return {
+            (r["user_id"], r["session_idx"]): (
+                r["n_events"], r["start_ep"], r["end_ep"], r["duration_s"]
+            )
+            for r in sessionize(df, gap).collect()
+        }
+
+    def test_matches_python_replay(self, spark):
+        base = 1_700_000_000
+        rows = []
+        for u in range(6):
+            for i in range(12):
+                # bursts with occasional long silences
+                rows.append(
+                    (f"u{u}", base + i * 100 + (i // 4) * 10_000 * (u + 1))
+                )
+        gap = 1000
+        assert self._run(spark, rows, gap) == self._python(rows, gap)
+
+    def test_tied_timestamps_are_order_invariant(self, spark):
+        base = 1_700_000_000
+        rows = [("u", base), ("u", base + 100), ("u", base + 100),
+                ("u", base + 100), ("u", base + 5000)]
+        got = self._run(spark, rows, 50)
+        assert got == self._python(rows, 50)
+        assert got[("u", 2)][0] == 3  # the tie run is ONE session
+
+    def test_gap_boundary_inclusive_and_validation(self, spark):
+        import pytest as _pytest
+
+        from chunksilo_spark.operators.temporal import sessionize
+
+        base = 1_700_000_000
+        # gap EXACTLY equal to threshold stays in-session
+        rows = [("u", base), ("u", base + 60), ("u", base + 121)]
+        got = self._run(spark, rows, 60)
+        assert list(got) == [("u", 1), ("u", 2)]
+        assert got[("u", 1)] == (2, base, base + 60, 60)
+        df = spark.createDataFrame([], "user_id string, ts timestamp")
+        with _pytest.raises(ValueError):
+            sessionize(df, -1)
