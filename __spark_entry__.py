@@ -2179,6 +2179,41 @@ def _w_cdx_index(spark, sf):  # SURT + CDX archive index, hash-checked
     return cdx_records(warc_pages_from_blobs(blobs))
 
 
+def _c_crawl_delay(spark, sf):  # Crawl-delay extraction per host
+    # four synthesized robots shapes: star-only delay, exact-agent
+    # decimal overriding a star 99 (truncates), malformed value (no
+    # row), exact group without a delay falling back to star. Oracle
+    # is the closed-form CASE over distinct host parities.
+    from chunksilo_spark.operators.frontier import crawl_delays
+
+    k = F.col("k")
+    txt = (
+        F.when(k % 4 == 0, F.concat(
+            F.lit("User-agent: *\nCrawl-delay: "),
+            (k + 2).cast("string"), F.lit("\nDisallow: /private/\n")))
+        .when(k % 4 == 1, F.concat(
+            F.lit("User-agent: silobot\nCrawl-delay: "),
+            k.cast("string"),
+            F.lit(".75\nAllow: /\n\nUser-agent: *\nCrawl-delay: 99\n")))
+        .when(k % 4 == 2, F.lit(
+            "User-agent: *\nCrawl-delay: soonish\n"))
+        .otherwise(F.lit(
+            "User-agent: silobot\nDisallow: /x\n\n"
+            "User-agent: *\nCrawl-delay: 4\n"))
+    )
+    robots = (
+        _t(spark, sf, "documents")
+        .select((F.col("doc_id") % 12).cast("long").alias("k"))
+        .distinct()
+        .select(
+            F.concat(F.lit("h"), k.cast("string"),
+                     F.lit(".example")).alias("host"),
+            txt.alias("robots_txt"),
+        )
+    )
+    return crawl_delays(robots, "SiloBot")
+
+
 def _c_fetch_sessions(spark, sf):  # gap-based sessionization of events
     # one-hour gap sessions per user over the events log; oracle
     # replays the identical lag/cumsum/rollup window algebra in SQL —
@@ -2761,6 +2796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_registered_domain": _t_registered_domain,
         "w_charset_sniff": _w_charset_sniff,
         "c_fetch_sessions": _c_fetch_sessions,
+        "c_crawl_delay": _c_crawl_delay,
         # -- previously driver-green rows fill the remaining window
         #    slots, then the three-plus-rounds-green tail; every query
         #    stays covered by the full local oracle gate every pytest --
@@ -5256,6 +5292,20 @@ def _oracle_sql_body() -> dict[str, str]:
                     // greatest(last_ep - first_ep, 1))::BIGINT
                        AS priority_ppm
             FROM agg
+        """,
+        # Crawl-delay: closed-form per host parity; k%4==2 (malformed)
+        # emits no row
+        "c_crawl_delay": """
+            WITH ks AS (
+                SELECT DISTINCT (doc_id % 12)::BIGINT AS k FROM documents
+            )
+            SELECT 'h' || k::VARCHAR || '.example' AS host,
+                   CASE k % 4
+                       WHEN 0 THEN k + 2
+                       WHEN 1 THEN k
+                       WHEN 3 THEN 4
+                   END::BIGINT AS delay_s
+            FROM ks WHERE k % 4 <> 2
         """,
         # gap sessionization: the identical lag/cumsum/rollup algebra —
         # tie runs can't open sessions (zero gap), so the intra-tie lag

@@ -124,6 +124,7 @@ HEADLINE = [
     "t_registered_domain",
     "w_charset_sniff",
     "c_fetch_sessions",
+    "c_crawl_delay",
 ]
 
 

@@ -30,6 +30,7 @@ from pyspark.sql.window import Window
 
 __all__ = [
     "schedule_frontier",
+    "crawl_delays",
     "parse_robots",
     "robots_filter",
     "recrawl_priority",
@@ -67,6 +68,26 @@ def parse_robots(
     below partition by host over line numbers (bounded by file
     length), and the output relation is hosts x rules-per-host, i.e.
     dictionary-sized next to the frontier it will gate."""
+    agents, rules = _robots_groups(
+        robots, host_col, text_col, ("allow", "disallow")
+    )
+    return agents.join(rules, [host_col, "_run"]).select(
+        host_col, "agent", "directive", F.col("value").alias("path")
+    )
+
+
+def _robots_groups(
+    robots: DataFrame,
+    host_col: str,
+    text_col: str,
+    directives: tuple,
+) -> tuple:
+    """Shared RFC 9309 group-model tagging: -> (agents, rules) keyed by
+    (host, _run). ``agents`` is every user-agent binding of each group
+    run; ``rules`` the non-empty-value lines of the requested
+    ``directives`` bound to their run. One definition site so
+    :func:`parse_robots` (allow/disallow) and :func:`crawl_delays`
+    (crawl-delay) parse the SAME group structure."""
     w = Window.partitionBy(host_col).orderBy("ln")
     lines = robots.select(
         host_col,
@@ -88,7 +109,7 @@ def parse_robots(
                 F.regexp_extract("_line", r"^[A-Za-z-]+\s*:(.*)$", 1)
             ).alias("value"),
         )
-        .where(F.col("directive").isin("user-agent", "allow", "disallow"))
+        .where(F.col("directive").isin("user-agent", *directives))
     )
     tagged = (
         parsed.withColumn(
@@ -108,9 +129,61 @@ def parse_robots(
     )
     rules = tagged.where(
         (F.col("_ua") == 0) & (F.length("value") > 0)
-    ).select(host_col, "_run", "directive", F.col("value").alias("path"))
-    return agents.join(rules, [host_col, "_run"]).select(
-        host_col, "agent", "directive", "path"
+    ).select(host_col, "_run", "directive", "value")
+    return agents, rules
+
+
+def crawl_delays(
+    robots: DataFrame,
+    agent: str,
+    host_col: str = "host",
+    text_col: str = "robots_txt",
+) -> DataFrame:
+    """Per-host ``Crawl-delay`` for ``agent`` -> (host, delay_s bigint):
+    the de-facto rate directive (not in RFC 9309, but honored by
+    Bing/Yandex-class crawlers and ubiquitous in real robots.txt) — the
+    missing input between :func:`robots_filter` (may I fetch?) and
+    :func:`schedule_frontier` (in what order?): HOW FAST. Compose:
+    ``fetch_after_s = (pos - 1) * delay_s`` on the scheduler output
+    spaces each host's queue by its requested delay.
+
+    Pinned semantics, same group model as :func:`parse_robots` (one
+    shared tagging pass — ``_robots_groups``):
+
+      * group selection: a parseable delay from the exact agent's
+        groups wins when one exists, else the ``*`` groups' delays
+        apply; a host with no parseable delay in either emits NO row —
+        callers supply their own default.
+      * the value must parse as a NON-NEGATIVE integer-or-decimal
+        number of seconds; decimals truncate to whole seconds (exact
+        bigint out), malformed values are dropped.
+      * several delay lines in the selected groups -> the MAX wins
+        (the conservative read, and a combinable aggregate).
+
+    100 TB shape: the same bounded per-host line windows as
+    parse_robots plus one combinable max-agg; output is host-sized."""
+    a = agent.lower()
+    agents, rules = _robots_groups(
+        robots, host_col, text_col, ("crawl-delay",)
+    )
+    bound = agents.join(rules, [host_col, "_run"]).where(
+        (F.col("agent") == F.lit(a)) | (F.col("agent") == "*")
+    )
+    num = F.regexp_extract(F.col("value"), r"^(\d+(?:\.\d+)?)$", 1)
+    cand = bound.select(
+        host_col,
+        F.when(F.col("agent") == F.lit(a), F.lit(2))
+        .otherwise(F.lit(1))
+        .alias("_pri"),
+        F.when(num != "", F.floor(num.cast("double")).cast("long"))
+        .alias("_delay"),
+    ).where(F.col("_delay").isNotNull())
+    best = cand.groupBy(host_col).agg(F.max("_pri").alias("_best"))
+    return (
+        cand.join(best, host_col)
+        .where(F.col("_pri") == F.col("_best"))
+        .groupBy(host_col)
+        .agg(F.max("_delay").alias("delay_s"))
     )
 
 

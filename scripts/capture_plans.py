@@ -358,6 +358,9 @@ CAPTURE = [
      "(lag + running sum, per-key histories bounded) feeding ONE "
      "map-side-combinable rollup — session-sized output, no global "
      "sort"),
+    ("c_crawl_delay", "Crawl-delay extraction: the same bounded "
+     "per-host line windows as parse_robots (shared _robots_groups "
+     "pass) plus one combinable max-agg — host-sized output"),
 ]
 
 

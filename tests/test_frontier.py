@@ -447,3 +447,78 @@ class TestParseSitemaps:
         got = self._run(spark, [("a.example", xml)])
         assert len(got) == 1
         assert got[0][4] == 1709596800 + 15330 + 5 * 3600 + 30 * 60
+
+
+class TestCrawlDelays:
+    ROBOTS = """# corpus-wide politeness
+User-agent: *
+Crawl-delay: 2
+Disallow: /private/
+
+User-agent: silobot
+Crawl-delay: 0.9
+Allow: /
+"""
+
+    def _run(self, spark, rows, agent):
+        from chunksilo_spark.operators.frontier import crawl_delays
+
+        df = spark.createDataFrame(rows, "host string, robots_txt string")
+        return {
+            r["host"]: r["delay_s"]
+            for r in crawl_delays(df, agent).collect()
+        }
+
+    def test_exact_agent_overrides_star_and_truncates(self, spark):
+        got = self._run(spark, [("a.example", self.ROBOTS)], "SiloBot")
+        assert got == {"a.example": 0}  # 0.9 truncates to 0 whole sec
+        got = self._run(spark, [("a.example", self.ROBOTS)], "otherbot")
+        assert got == {"a.example": 2}
+
+    def test_malformed_and_missing_emit_no_row(self, spark):
+        rows = [
+            ("bad.example", "User-agent: *\nCrawl-delay: soonish\n"),
+            ("none.example", "User-agent: *\nDisallow: /x\n"),
+            ("neg.example", "User-agent: *\nCrawl-delay: -5\n"),
+        ]
+        assert self._run(spark, rows, "silobot") == {}
+
+    def test_max_wins_within_selected_groups(self, spark):
+        txt = ("User-agent: *\nCrawl-delay: 3\n\n"
+               "User-agent: *\nCrawl-delay: 7\n")
+        assert self._run(spark, [("h", txt)], "any") == {"h": 7}
+
+    def test_exact_group_without_delay_falls_back_to_star(self, spark):
+        txt = ("User-agent: silobot\nDisallow: /x\n\n"
+               "User-agent: *\nCrawl-delay: 4\n")
+        assert self._run(spark, [("h", txt)], "silobot") == {"h": 4}
+
+    def test_spacing_composition_with_scheduler(self, spark):
+        # fetch_after_s = (pos - 1) * delay_s spaces each host's queue
+        import pyspark.sql.functions as F_
+
+        from chunksilo_spark.operators.frontier import (
+            crawl_delays,
+            schedule_frontier,
+        )
+
+        frontier = spark.createDataFrame(
+            [("h", f"u{i}", 10 - i) for i in range(4)],
+            "host string, url string, priority int",
+        )
+        delays = crawl_delays(
+            spark.createDataFrame(
+                [("h", "User-agent: *\nCrawl-delay: 5\n")],
+                "host string, robots_txt string",
+            ),
+            "silobot",
+        )
+        sched = schedule_frontier(frontier, limit=4).join(delays, "host")
+        out = {
+            r["url"]: r["fa"]
+            for r in sched.select(
+                "url",
+                ((F_.col("pos") - 1) * F_.col("delay_s")).alias("fa"),
+            ).collect()
+        }
+        assert out == {"u0": 0, "u1": 5, "u2": 10, "u3": 15}
