@@ -348,3 +348,52 @@ class TestSessionize:
         df = spark.createDataFrame([], "user_id string, ts timestamp")
         with _pytest.raises(ValueError):
             sessionize(df, -1)
+
+
+class TestSessionizeVsBuiltin:
+    def test_matches_spark_session_window(self, spark):
+        """The window-based sessionize must carve the same sessions as
+        the engine's own F.session_window aggregation. Correspondence
+        for integer-second data: sessionize keeps a gap <= g in-session
+        (inclusive), session_window merges events strictly closer than
+        its gap parameter — so g seconds inclusive == session_window of
+        g+1 seconds."""
+        import datetime as dt
+
+        import pyspark.sql.functions as F_
+
+        from chunksilo_spark.operators.temporal import sessionize
+
+        base = 1_700_000_000
+        rows = []
+        for u in range(5):
+            for i in range(15):
+                rows.append(
+                    (f"u{u}", base + i * 37 * (u + 1) + (i // 5) * 900)
+                )
+        df = spark.createDataFrame(
+            [
+                (k, dt.datetime.fromtimestamp(ep, dt.timezone.utc))
+                for k, ep in rows
+            ],
+            "user_id string, ts timestamp",
+        )
+        gap = 120
+        mine = {
+            (r["user_id"], r["start_ep"]): (r["n_events"], r["end_ep"])
+            for r in sessionize(df, gap).collect()
+        }
+        builtin = {
+            (r["user_id"], r["s"]): (r["n"], r["e"])
+            for r in df.groupBy(
+                "user_id", F_.session_window("ts", f"{gap + 1} seconds")
+            )
+            .agg(
+                F_.count(F_.lit(1)).alias("n"),
+                F_.min(F_.unix_timestamp("ts")).cast("long").alias("s"),
+                F_.max(F_.unix_timestamp("ts")).cast("long").alias("e"),
+            )
+            .select("user_id", "s", "n", "e")
+            .collect()
+        }
+        assert mine == builtin and len(mine) > 10
