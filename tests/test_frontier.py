@@ -522,3 +522,25 @@ Allow: /
             ).collect()
         }
         assert out == {"u0": 0, "u1": 5, "u2": 10, "u3": 15}
+
+
+class TestCrawlBudgetPlan:
+    def test_remainder_rank_is_banded_not_global(self, spark):
+        """The top-R-by-remainder selection must run inside remainder
+        bands: the quota-side window's exchange hash-partitions on the
+        band key (a global single-partition row_number over the host
+        relation would be the scale bug the banding exists to avoid)."""
+        import io
+        from contextlib import redirect_stdout
+
+        from chunksilo_spark.operators.frontier import crawl_budget
+
+        df = spark.createDataFrame(
+            [(f"h{i}", i % 9 + 1) for i in range(50)],
+            "host string, weight long",
+        )
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            crawl_budget(df, 1000).explain("formatted")
+        plan = buf.getvalue()
+        assert "hashpartitioning(_band" in plan
