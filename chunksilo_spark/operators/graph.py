@@ -908,16 +908,21 @@ def components_starstar(
             .distinct()
         )
 
+    n_prev = p.count()
     for _ in range(max_iter):
         new_p = cut_lineage(
             small_star(large_star(p)).repartition(partitions, "a")
         )
+        # the previous round's count is cached in n_prev: one action per
+        # round (the checkpointed relation would recount cheaply, but a
+        # count is still a full job submission per iteration at scale),
+        # plus the anti-join only when sizes tie
         n_new = new_p.count()
         changed = (
-            n_new != p.count()
+            n_new != n_prev
             or new_p.join(p, ["a", "b"], "left_anti").count() > 0
         )
-        p = new_p
+        p, n_prev = new_p, n_new
         if not changed:
             break
     else:
