@@ -2256,6 +2256,21 @@ def _w_charset_sniff(spark, sf):  # BOM/meta encoding sniff on binary
     )
 
 
+def _g_nf_curve(spark, sf):  # HyperANF neighborhood function curve
+    # forward balls on the halving graph, radius 0..3, b=8; emission is
+    # the tie-free bigint sum of per-node round(est x 10^4) — integer
+    # addition is order-independent, unlike a float sum over nodes.
+    docs = _t(spark, sf, "documents").select("doc_id")
+    d = F.col("doc_id")
+    halving = docs.where(d > 0).select(
+        d.alias("src"), (d / 2).cast("long").alias("dst")
+    )
+    side = docs.where((d % 7 == 3) & (d > 0)).select(
+        d.alias("src"), (d - 1).cast("long").alias("dst")
+    )
+    return gr.hyperball_nf(halving.union(side), max_radius=3, b=8)
+
+
 def _t_registered_domain(spark, sf):  # PSL pay-level-domain extraction
     # five host shapes off documents exercise every PSL branch: plain
     # TLD rule, multi-label rule, wildcard, exception-beats-wildcard,
@@ -2797,6 +2812,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w_charset_sniff": _w_charset_sniff,
         "c_fetch_sessions": _c_fetch_sessions,
         "c_crawl_delay": _c_crawl_delay,
+        # g_nf_curve sits just past the 50-row driver window (its
+        # register machinery is already driver-checked twice via
+        # g_hyperball + g_harmonic); the full local gate covers it
+        # every pytest like everything below
+        "g_nf_curve": _g_nf_curve,
         # -- previously driver-green rows fill the remaining window
         #    slots, then the three-plus-rounds-green tail; every query
         #    stays covered by the full local oracle gate every pytest --
@@ -5346,6 +5366,68 @@ def _oracle_sql_body() -> dict[str, str]:
                        WHEN 4 THEN 'utf-8'
                    END AS charset
             FROM documents
+        """,
+        # HyperANF NF curve: forward-ball min-depths once, the register
+        # estimator replayed per radius, then count + the tie-free
+        # bigint sum of round(est x 10^4) per radius
+        "g_nf_curve": """
+            WITH RECURSIVE ed AS (
+                SELECT DISTINCT src, dst FROM (
+                    SELECT doc_id AS src, doc_id // 2 AS dst
+                    FROM documents WHERE doc_id > 0
+                    UNION ALL
+                    SELECT doc_id, doc_id - 1
+                    FROM documents WHERE doc_id % 7 = 3 AND doc_id > 0
+                ) WHERE src <> dst
+            ), nodes AS (
+                SELECT src AS node FROM ed
+                UNION
+                SELECT dst FROM ed
+            ), reach(node, member, depth) AS (
+                SELECT node, node, 0 FROM nodes
+                UNION
+                SELECT r.node, ed.dst, r.depth + 1
+                FROM reach r JOIN ed ON ed.src = r.member
+                WHERE r.depth < 3
+            ), ball AS (
+                SELECT node, member, min(depth) AS md
+                FROM reach GROUP BY node, member
+            ), hb AS (
+                SELECT node, md,
+                       (('0x' || substr(md5(member::VARCHAR), 1, 15))
+                        ::UBIGINT)::BIGINT AS h
+                FROM ball
+            ), radii AS (
+                SELECT * FROM (VALUES (0), (1), (2), (3)) AS t(radius)
+            ), regs AS (
+                SELECT radii.radius, hb.node, (h % 256)::BIGINT AS j,
+                       max(CASE WHEN (h // 256) = 0 THEN 53
+                            ELSE 52 - length(bin(h // 256)) + 1
+                           END) AS r
+                FROM hb JOIN radii ON hb.md <= radii.radius
+                GROUP BY radii.radius, hb.node, h % 256
+            ), stats AS (
+                SELECT radius, node,
+                       (256 - count(*))::BIGINT AS n_zero,
+                       (sum((1::BIGINT << (53 - r))::BIGINT)
+                        + (256 - count(*)) * (1::BIGINT << 53)
+                       )::BIGINT AS sum_scaled
+                FROM regs GROUP BY radius, node
+            ), est AS (
+                SELECT radius, node,
+                       round(CASE WHEN (4.2399330249068963e+20
+                                 / sum_scaled::DOUBLE) <= 640.0
+                                 AND n_zero > 0
+                            THEN 256.0 * ln(256.0 / n_zero::DOUBLE)
+                            ELSE 4.2399330249068963e+20
+                                 / sum_scaled::DOUBLE END, 4) AS e
+                FROM stats
+            )
+            SELECT radius::BIGINT AS radius,
+                   count(*)::BIGINT AS n_nodes,
+                   sum(CAST(round(e * 10000.0) AS BIGINT))::BIGINT
+                       AS nf_x10000
+            FROM est GROUP BY radius
         """,
         # PSL registered-domain extraction: closed-form per host shape
         "t_registered_domain": """

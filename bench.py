@@ -125,6 +125,7 @@ HEADLINE = [
     "w_charset_sniff",
     "c_fetch_sessions",
     "c_crawl_delay",
+    "g_nf_curve",
 ]
 
 

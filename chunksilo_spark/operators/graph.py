@@ -1131,6 +1131,87 @@ def hyperball_harmonic(
     )
 
 
+def hyperball_nf(
+    edges: DataFrame,
+    max_radius: int,
+    b: int = 8,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    partitions: int = 32,
+) -> DataFrame:
+    """The approximate NEIGHBORHOOD FUNCTION via HyperBall (the
+    HyperANF quantity itself: Boldi, Rosa & Vigna, WWW 2011) ->
+    one row per radius r in [0, max_radius]:
+    (radius, n_nodes, nf_x10000) where NF(r) = sum over all nodes v of
+    |ball(v, r)| — the curve whose saturation point IS the effective
+    diameter (smallest r with NF(r) >= 0.9 * NF(max)), the classic
+    "how far apart is this web graph" audit that exact all-pairs BFS
+    cannot touch at 10^12 edges.
+
+    Pinned emission: per-node ball estimates are :func:`hyperball`'s
+    4dp values; each is scaled x10^4 and rounded to the nearest bigint
+    (tie-free: the exact product IS an integer), then SUMMED AS BIGINTS
+    — integer addition is order-independent, so the per-radius total is
+    hash-stable by construction (a float sum over nodes would be
+    partition-order-dependent; a 4dp-rounded decimal sum would tie).
+    ``nf_x10000 / 10000`` is the NF estimate.
+
+    100 TB shape: per round exactly :func:`hyperball`'s cost; per
+    radius ONE map-side-combinable (count, sum) aggregation — output is
+    max_radius + 1 rows."""
+    from .sketches import _hll_finalize, hll_state
+
+    if max_radius < 0:
+        raise ValueError("hyperball_nf needs max_radius >= 0")
+    e = (
+        edges.select(
+            F.col(src_col).alias("node"), F.col(dst_col).alias("_nbr")
+        )
+        .where(F.col("node") != F.col("_nbr"))
+        .distinct()
+    )
+    nodes = (
+        e.select("node")
+        .union(e.select(F.col("_nbr").alias("node")))
+        .distinct()
+    )
+    state = cut_lineage(
+        hll_state(
+            nodes.withColumn("_member", F.col("node")),
+            ["node"],
+            "_member",
+            b,
+        ).repartition(partitions, "node")
+    )
+
+    def nf_row(st: DataFrame, radius: int) -> DataFrame:
+        est = _hll_finalize(st, ["node"], b)
+        return est.select(
+            F.lit(radius).cast("long").alias("radius"),
+            F.col("node"),
+            F.round(F.col("est_distinct") * F.lit(10000.0), 0)
+            .cast("long")
+            .alias("_s"),
+        ).groupBy("radius").agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum("_s").cast("long").alias("nf_x10000"),
+        )
+
+    out = nf_row(state, 0)
+    for r in range(1, max_radius + 1):
+        contrib = e.join(
+            state.withColumnRenamed("node", "_nbr"), "_nbr"
+        ).select("node", "j", "r")
+        state = cut_lineage(
+            state.unionByName(contrib)
+            .groupBy("node", "j")
+            .agg(F.max("r").alias("r"))
+            .repartition(partitions, "node")
+        )
+        out = out.unionByName(nf_row(state, r))
+    return out
+
+
 def rank_topk(ranks: DataFrame, k: int) -> DataFrame:
     """Top-k by (rounded) rank with node tiebreak — rounding BEFORE the sort
     makes the cutoff robust to last-ulp float differences between engines,

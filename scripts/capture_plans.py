@@ -361,6 +361,10 @@ CAPTURE = [
     ("c_crawl_delay", "Crawl-delay extraction: the same bounded "
      "per-host line windows as parse_robots (shared _robots_groups "
      "pass) plus one combinable max-agg — host-sized output"),
+    ("g_nf_curve", "HyperANF NF curve: per radius ONE combinable "
+     "(count, bigint-sum) agg over the checkpointed node-sized "
+     "estimate relation; the per-round register join/agg is already "
+     "cut from this lineage — output is max_radius + 1 rows"),
 ]
 
 

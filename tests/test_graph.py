@@ -2231,3 +2231,59 @@ class TestHyperballHarmonic:
         assert got[0] > got[2]
         with pytest.raises(ValueError):
             G.hyperball_harmonic(df, max_radius=0)
+
+
+class TestHyperballNf:
+    def _python(self, edges, max_radius, b):
+        from decimal import ROUND_HALF_UP, Decimal
+
+        nodes = {n for e in edges for n in e}
+        out = {}
+        for r in range(max_radius + 1):
+            balls = TestHyperball._python(edges, r, b)
+            total = 0
+            for v in nodes:
+                est = balls[v][3]
+                total += int(
+                    Decimal(repr(est * 10000.0)).quantize(
+                        Decimal("1"), rounding=ROUND_HALF_UP
+                    )
+                )
+            out[r] = (len(nodes), total)
+        return out
+
+    def test_matches_python_replay_and_monotone(self, spark):
+        edges = [(i, i // 2) for i in range(1, 50)] + [
+            (i, i - 1) for i in range(1, 50) if i % 7 == 3
+        ]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            r["radius"]: (r["n_nodes"], r["nf_x10000"])
+            for r in G.hyperball_nf(df, max_radius=3, b=4).collect()
+        }
+        assert got == self._python(edges, 3, 4)
+        # NF is nondecreasing in r (register monotonicity)
+        vals = [got[r][1] for r in range(4)]
+        assert vals == sorted(vals)
+
+    def test_effective_diameter_read_on_a_path(self, spark):
+        # a directed 20-path: NF keeps growing until radius ~ diameter;
+        # on a star it saturates at radius 1
+        path = spark.createDataFrame(
+            [(i, i + 1) for i in range(20)], "src long, dst long"
+        )
+        star = spark.createDataFrame(
+            [(0, i) for i in range(1, 21)], "src long, dst long"
+        )
+        nf_path = {
+            r["radius"]: r["nf_x10000"]
+            for r in G.hyperball_nf(path, max_radius=3, b=8).collect()
+        }
+        nf_star = {
+            r["radius"]: r["nf_x10000"]
+            for r in G.hyperball_nf(star, max_radius=3, b=8).collect()
+        }
+        assert nf_path[3] > nf_path[2] > nf_path[1]  # still growing
+        assert nf_star[1] == nf_star[2] == nf_star[3]  # saturated at 1
+        with pytest.raises(ValueError):
+            G.hyperball_nf(path, max_radius=-1)
