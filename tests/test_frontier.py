@@ -544,3 +544,108 @@ class TestCrawlBudgetPlan:
             crawl_budget(df, 1000).explain("formatted")
         plan = buf.getvalue()
         assert "hashpartitioning(_band" in plan
+
+
+class TestFrontierEndToEnd:
+    """The six frontier verbs compose into one wave plan: discover
+    (sitemaps) -> comply (robots) -> budget (Hamilton quotas) ->
+    schedule (politeness order) -> pace (crawl-delay spacing), checked
+    against a straight-line python replay."""
+
+    def test_six_verb_composition(self, spark):
+        import pyspark.sql.functions as F_
+
+        from chunksilo_spark.operators.frontier import (
+            crawl_budget,
+            crawl_delays,
+            parse_robots,
+            parse_sitemaps,
+            robots_filter,
+            schedule_frontier,
+        )
+
+        hosts = [f"h{i}.example" for i in range(3)]
+        # DISCOVER: each host submits 6 urls with priorities via sitemap
+        sitemaps = spark.createDataFrame(
+            [
+                (
+                    h,
+                    "<urlset>" + "".join(
+                        f"<url><loc>https://{h}/p/{i}</loc>"
+                        f"<priority>0.{9 - i}</priority></url>"
+                        for i in range(6)
+                    ) + "</urlset>",
+                )
+                for h in hosts
+            ],
+            "host string, xml string",
+        )
+        entries = parse_sitemaps(sitemaps).where(F_.col("kind") == "url")
+        # COMPLY: h0 blocks /p/0 and /p/1 for everyone; h2 sets a delay
+        robots = spark.createDataFrame(
+            [
+                ("h0.example",
+                 "User-agent: *\nDisallow: /p/0\nDisallow: /p/1\n"),
+                ("h2.example", "User-agent: *\nCrawl-delay: 7\n"),
+            ],
+            "host string, robots_txt string",
+        )
+        rules = parse_robots(robots)
+        frontier = entries.select(
+            "host",
+            F_.regexp_replace("loc", r"^https://[^/]+", "").alias("path"),
+            F_.col("loc").alias("url"),
+            F_.col("priority_ppm").alias("priority"),
+        )
+        allowed = robots_filter(frontier, rules, "silobot").where(
+            F_.col("allowed") == 1
+        )
+        # BUDGET: 10 fetches apportioned by per-host priority mass
+        quotas = crawl_budget(
+            allowed.groupBy("host").agg(
+                F_.sum("priority").cast("long").alias("weight")
+            ),
+            10,
+        )
+        # SCHEDULE + cap each host at its quota
+        sched = schedule_frontier(
+            allowed.select("host", "url", "priority"), limit=100
+        ).join(quotas.select("host", "quota"), "host").where(
+            F_.col("pos") <= F_.col("quota")
+        )
+        # PACE
+        delays = crawl_delays(robots, "silobot")
+        wave = sched.join(delays, "host", "left").select(
+            "host", "url", "pos",
+            ((F_.col("pos") - 1) * F_.coalesce("delay_s", F_.lit(0)))
+            .alias("fetch_after_s"),
+        )
+        got = {
+            r["url"]: (r["pos"], r["fetch_after_s"])
+            for r in wave.collect()
+        }
+
+        # ---- python replay ----
+        # h0 loses p/0 (0.9) and p/1 (0.8) to robots; weights:
+        w = {
+            "h0.example": sum(900000 - i * 100000 for i in range(2, 6)),
+            "h1.example": sum(900000 - i * 100000 for i in range(6)),
+            "h2.example": sum(900000 - i * 100000 for i in range(6)),
+        }
+        W = sum(w.values())
+        fl = {h: 10 * x // W for h, x in w.items()}
+        rem = {h: 10 * x % W for h, x in w.items()}
+        seats = 10 - sum(fl.values())
+        for h, _ in sorted(rem.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :seats
+        ]:
+            fl[h] += 1
+        assert sum(fl.values()) == 10
+        want = {}
+        for h in hosts:
+            urls = list(range(6)) if h != "h0.example" else [2, 3, 4, 5]
+            # per-host priority order = ascending i (priority 0.9-i)
+            for pos, i in enumerate(urls[: fl[h]], start=1):
+                delay = 7 if h == "h2.example" else 0
+                want[f"https://{h}/p/{i}"] = (pos, (pos - 1) * delay)
+        assert got == want
