@@ -2271,6 +2271,26 @@ def _g_nf_curve(spark, sf):  # HyperANF neighborhood function curve
     return gr.hyperball_nf(halving.union(side), max_radius=3, b=8)
 
 
+def _t_kmv_compare(spark, sf):  # snapshot diff from mergeable states
+    # the same two overlapping shards as t_kmv_overlap, full comparison
+    # surface: common/only-a/only-b counts and their union-share
+    # estimates — the "what did today's crawl add/lose" question at
+    # synopsis cost. Oracle re-derives both states AND the estimator.
+    from chunksilo_spark.operators.sketches import kmv_compare, kmv_state
+
+    ev = _t(spark, sf, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    a = kmv_state(
+        ev.where(F.col("cents") % 3 != 0), ["event_type"], "cents", k=32
+    )
+    b = kmv_state(
+        ev.where(F.col("cents") % 2 == 0), ["event_type"], "cents", k=32
+    )
+    return kmv_compare(a, b, ["event_type"], k=32)
+
+
 def _t_registered_domain(spark, sf):  # PSL pay-level-domain extraction
     # five host shapes off documents exercise every PSL branch: plain
     # TLD rule, multi-label rule, wildcard, exception-beats-wildcard,
@@ -2817,6 +2837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # g_hyperball + g_harmonic); the full local gate covers it
         # every pytest like everything below
         "g_nf_curve": _g_nf_curve,
+        "t_kmv_compare": _t_kmv_compare,
         # -- previously driver-green rows fill the remaining window
         #    slots, then the three-plus-rounds-green tail; every query
         #    stays covered by the full local oracle gate every pytest --
@@ -5882,6 +5903,76 @@ def _oracle_sql_body() -> dict[str, str]:
                    round(est_union * CAST(n_common AS DOUBLE)
                          / CAST(n_union_sketch AS DOUBLE), 4)
                        AS est_intersection
+            FROM est
+        """,
+        # KMV snapshot-compare: overlap oracle extended with the
+        # difference counters and their union-share estimates
+        "t_kmv_compare": """
+            WITH dv AS (
+                SELECT DISTINCT event_type,
+                       CAST(round(value * 100) AS BIGINT) AS cents
+                FROM events
+            ), hashed AS (
+                SELECT event_type, cents,
+                       (('0x' || substr(md5(cents::VARCHAR), 1, 15))
+                        ::UBIGINT)::BIGINT AS h
+                FROM dv
+            ), sa AS (
+                SELECT event_type, h FROM (
+                    SELECT event_type, h, row_number() OVER (
+                        PARTITION BY event_type ORDER BY h ASC) AS rn
+                    FROM hashed WHERE cents % 3 <> 0
+                ) WHERE rn <= 32
+            ), sb AS (
+                SELECT event_type, h FROM (
+                    SELECT event_type, h, row_number() OVER (
+                        PARTITION BY event_type ORDER BY h ASC) AS rn
+                    FROM hashed WHERE cents % 2 = 0
+                ) WHERE rn <= 32
+            ), j AS (
+                SELECT coalesce(sa.event_type, sb.event_type)
+                           AS event_type,
+                       coalesce(sa.h, sb.h) AS h,
+                       CASE WHEN sa.h IS NULL THEN 0 ELSE 1 END AS a,
+                       CASE WHEN sb.h IS NULL THEN 0 ELSE 1 END AS b
+                FROM sa FULL JOIN sb
+                  ON sa.event_type = sb.event_type AND sa.h = sb.h
+            ), s AS (
+                SELECT * FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY event_type ORDER BY h ASC) AS rn
+                    FROM j
+                ) WHERE rn <= 32
+            ), agg AS (
+                SELECT event_type,
+                       COUNT(*) AS n_union_sketch,
+                       CAST(SUM(a * b) AS BIGINT) AS n_common,
+                       CAST(SUM(a * (1 - b)) AS BIGINT) AS n_only_a,
+                       CAST(SUM((1 - a) * b) AS BIGINT) AS n_only_b,
+                       min(CASE WHEN rn = 32 THEN h END) AS hk
+                FROM s GROUP BY event_type
+            ), est AS (
+                SELECT event_type, n_common, n_only_a, n_only_b, n_union_sketch,
+                       round(CASE WHEN n_union_sketch >= 32
+                                  THEN 31.0 * 1152921504606846976.0 / hk
+                                  ELSE CAST(n_union_sketch AS DOUBLE)
+                             END, 4) AS est_union
+                FROM agg
+            )
+            SELECT event_type, n_common, n_only_a, n_only_b,
+                   CAST(n_union_sketch AS BIGINT) AS n_union_sketch,
+                   CAST((n_common * 1000000) // n_union_sketch AS BIGINT)
+                       AS jaccard_ppm,
+                   est_union,
+                   round(est_union * CAST(n_common AS DOUBLE)
+                         / CAST(n_union_sketch AS DOUBLE), 4)
+                       AS est_intersection,
+                   round(est_union * CAST(n_only_a AS DOUBLE)
+                         / CAST(n_union_sketch AS DOUBLE), 4)
+                       AS est_only_a,
+                   round(est_union * CAST(n_only_b AS DOUBLE)
+                         / CAST(n_union_sketch AS DOUBLE), 4)
+                       AS est_only_b
             FROM est
         """,
         # the identical interleave algebra: per-host row_number by

@@ -126,6 +126,7 @@ HEADLINE = [
     "c_fetch_sessions",
     "c_crawl_delay",
     "g_nf_curve",
+    "t_kmv_compare",
 ]
 
 

@@ -705,16 +705,21 @@ def hll_merge(
     return _hll_finalize(merged, group_cols, b)
 
 
-def kmv_overlap(
+def kmv_compare(
     state_a: DataFrame,
     state_b: DataFrame,
     group_cols: list[str],
     k: int = 32,
 ) -> DataFrame:
-    """Per-group set-overlap estimate from two KMV states ->
-    (group_cols..., n_common, n_union_sketch, jaccard_ppm,
-    est_union, est_intersection): the classic KMV Jaccard estimator
-    (Beyer et al. 2007) — how much do two crawl snapshots / two hosts /
+    """Per-group set-comparison estimates from two KMV states ->
+    (group_cols..., n_common, n_only_a, n_only_b, n_union_sketch,
+    jaccard_ppm, est_union, est_intersection, est_only_a, est_only_b):
+    the classic KMV Jaccard estimator (Beyer et al. 2007) extended with
+    the DIFFERENCE shares — est_only_a/b estimate |A \\ B| and
+    |B \\ A| by the same merged-sketch share rule (est_union x
+    n_only_x / n_union_sketch, one multiply-divide-round each), which
+    is the crawl-snapshot diff question ("how many urls did today add
+    / lose vs yesterday") answered at synopsis cost — how much do two crawl snapshots / two hosts /
     two dedup shards share, WITHOUT touching either corpus again.
 
     Algebra (both engines, bit-for-bit): S = bottom-k of (A ∪ B) hashes;
@@ -753,6 +758,12 @@ def kmv_overlap(
         F.sum(
             (F.col("_a") * F.col("_b")).cast("long")
         ).alias("n_common"),
+        F.sum(
+            (F.col("_a") * (1 - F.col("_b"))).cast("long")
+        ).alias("n_only_a"),
+        F.sum(
+            ((1 - F.col("_a")) * F.col("_b")).cast("long")
+        ).alias("n_only_b"),
         F.min(F.when(F.col("_rn") == k, F.col("h"))).alias("_hk"),
     )
     full = F.col("n_union_sketch") >= k
@@ -762,18 +773,41 @@ def kmv_overlap(
         ).otherwise(F.col("n_union_sketch").cast("double")),
         4,
     )
+
+    def _share(col: str) -> Column:
+        return F.round(
+            est_union
+            * F.col(col).cast("double")
+            / F.col("n_union_sketch").cast("double"),
+            4,
+        )
+
     return agg.select(
         *group_cols,
         "n_common",
+        "n_only_a",
+        "n_only_b",
         "n_union_sketch",
         F.expr(
             "(n_common * 1000000L) div n_union_sketch"
         ).alias("jaccard_ppm"),
         est_union.alias("est_union"),
-        F.round(
-            est_union
-            * F.col("n_common").cast("double")
-            / F.col("n_union_sketch").cast("double"),
-            4,
-        ).alias("est_intersection"),
+        _share("n_common").alias("est_intersection"),
+        _share("n_only_a").alias("est_only_a"),
+        _share("n_only_b").alias("est_only_b"),
+    )
+
+
+def kmv_overlap(
+    state_a: DataFrame,
+    state_b: DataFrame,
+    group_cols: list[str],
+    k: int = 32,
+) -> DataFrame:
+    """Per-group set-overlap estimate from two KMV states — the
+    overlap-only projection of :func:`kmv_compare` (ONE estimator
+    definition; this keeps the original column contract). See
+    kmv_compare for the algebra."""
+    return kmv_compare(state_a, state_b, group_cols, k).drop(
+        "n_only_a", "n_only_b", "est_only_a", "est_only_b"
     )

@@ -689,3 +689,101 @@ class TestKmvOverlap:
         b = [v for v in range(3000) if v % 2 == 0]
         _, _, ppm, _, _ = self._run(spark, a, b, 256)
         assert abs(ppm / 1e6 - 0.4) < 0.08
+
+
+class TestKmvCompare:
+    @staticmethod
+    def _python_compare(vals_a, vals_b, k):
+        ha = sorted({_h60(v) for v in vals_a})[:k]
+        hb = sorted({_h60(v) for v in vals_b})[:k]
+        sa, sb = set(ha), set(hb)
+        union = sorted(sa | sb)[:k]
+        n_u = len(union)
+        n_c = sum(1 for h in union if h in sa and h in sb)
+        n_a = sum(1 for h in union if h in sa and h not in sb)
+        n_b = sum(1 for h in union if h not in sa and h in sb)
+        if n_u >= k:
+            est_union = round((k - 1) * SPACE / union[k - 1], 4)
+        else:
+            est_union = round(float(n_u), 4)
+        return (
+            n_c, n_a, n_b, n_u,
+            (n_c * 1000000) // n_u,
+            est_union,
+            round(est_union * n_c / n_u, 4),
+            round(est_union * n_a / n_u, 4),
+            round(est_union * n_b / n_u, 4),
+        )
+
+    def _run(self, spark, vals_a, vals_b, k):
+        from chunksilo_spark.operators.sketches import kmv_compare, kmv_state
+
+        da = spark.createDataFrame(
+            [("g", v) for v in vals_a], "grp string, v long"
+        )
+        db = spark.createDataFrame(
+            [("g", v) for v in vals_b], "grp string, v long"
+        )
+        sa = kmv_state(da, ["grp"], "v", k=k)
+        sb = kmv_state(db, ["grp"], "v", k=k)
+        (r,) = kmv_compare(sa, sb, ["grp"], k=k).collect()
+        return (
+            r["n_common"], r["n_only_a"], r["n_only_b"],
+            r["n_union_sketch"], r["jaccard_ppm"], r["est_union"],
+            r["est_intersection"], r["est_only_a"], r["est_only_b"],
+        )
+
+    def test_matches_python_formula(self, spark):
+        a = [v for v in range(500) if v % 3 != 0]
+        b = [v for v in range(500) if v % 2 == 0]
+        for k in (8, 32, 64):
+            assert self._run(spark, a, b, k) == self._python_compare(
+                a, b, k
+            ), k
+
+    def test_snapshot_diff_reads(self, spark):
+        # yesterday = 0..399, today = 100..499: the difference shares
+        # estimate ~100 gone / ~100 new within KMV error at k=64
+        y = list(range(400))
+        t = list(range(100, 500))
+        got = self._run(spark, y, t, 64)
+        n_c, n_a, n_b, n_u, _, est_u, est_i, est_a, est_b = got
+        assert got == self._python_compare(y, t, 64)
+        # the SHARES are what the estimator pins (the union magnitude
+        # carries its own ~1/sqrt(k) error on any one draw): true
+        # shares are 300/500, 100/500, 100/500
+        for n, share in ((n_c, 0.6), (n_a, 0.2), (n_b, 0.2)):
+            assert abs(n / n_u - share) < 0.15
+        # share identity: the three shares partition the union estimate
+        assert abs((est_i + est_a + est_b) - est_u) < 2e-3
+
+    def test_disjoint_and_identical(self, spark):
+        a = list(range(100))
+        got = self._run(spark, a, a, 32)
+        assert got[0] == got[3] and got[1] == got[2] == 0
+        assert got[7] == got[8] == 0.0
+        got = self._run(spark, a, [v + 1000 for v in a], 32)
+        assert got[0] == 0 and got[6] == 0.0
+        assert got[1] + got[2] == got[3]
+
+    def test_overlap_is_the_projection(self, spark):
+        from chunksilo_spark.operators.sketches import (
+            kmv_compare,
+            kmv_overlap,
+            kmv_state,
+        )
+
+        da = spark.createDataFrame(
+            [("g", v) for v in range(300) if v % 3], "grp string, v long"
+        )
+        db = spark.createDataFrame(
+            [("g", v) for v in range(300) if v % 2 == 0],
+            "grp string, v long",
+        )
+        sa, sb = (
+            kmv_state(da, ["grp"], "v", k=32),
+            kmv_state(db, ["grp"], "v", k=32),
+        )
+        o = kmv_overlap(sa, sb, ["grp"], k=32).collect()[0].asDict()
+        c = kmv_compare(sa, sb, ["grp"], k=32).collect()[0].asDict()
+        assert o == {k: v for k, v in c.items() if k in o}
