@@ -365,6 +365,10 @@ CAPTURE = [
      "(count, bigint-sum) agg over the checkpointed node-sized "
      "estimate relation; the per-round register join/agg is already "
      "cut from this lineage — output is max_radius + 1 rows"),
+    ("t_kmv_compare", "KMV snapshot compare: every relation after the "
+     "two bounded states is sketch-sized (<= 2k rows per group) — the "
+     "full-outer hash join, the bottom-k window, and the share "
+     "arithmetic all run on synopsis state, never the corpus"),
 ]
 
 
