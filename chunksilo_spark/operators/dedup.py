@@ -659,52 +659,100 @@ def semdedup(
             F.col(vec_col).cast("array<double>").alias("_v"),
             F.col(cluster_col).alias("cluster_id"),
         )
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(
-            F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v
-        )
+    # Pairwise pass: ONE applyInPandas over the cluster-grouped corpus
+    # (replacing the former self-join + min-groupBy + left-join — the same
+    # bytes shuffle once instead of twice and the plan drops 3 exchanges).
+    # The per-pair arithmetic runs vectorized in numpy with the EXACT
+    # numbers the former JVM fold produced: ``np.cumsum`` accumulates
+    # strictly left-to-right, so dot products and norms match the
+    # sequential ``aggregate(zip_with(...))`` folds bit-for-bit (verified
+    # property; the driver's DuckDB oracle re-derives the same sequential
+    # algebra). The threshold still compares the UNROUNDED cosine — both
+    # engines disagree only within ~1 ulp of the threshold.
+    #
+    # Pinned semantics mirrored from the join formulation:
+    #   * dup_of(j) = min id i with id_i < id_j, same cluster, same vector
+    #     LENGTH (mixed-length pairs had a null zip_with dot -> excluded),
+    #     cosine >= threshold (NaN cosine counts as >= — Spark orders NaN
+    #     above every value);
+    #   * rows with a NULL cluster_id never pair (inner join on a null
+    #     key matched nothing) but stay in the output as survivors;
+    #   * rows with a null vector or null ELEMENTS never pair (null
+    #     poisons the fold).
+    #
+    # 100 TB shape: the pairwise pass stays an equi-shuffle on cluster_id —
+    # never corpus-all-pairs — and the paper's premise is that the
+    # clustering bounds cluster size (k scales with the corpus: 50k
+    # clusters for LAION-440M), so one cluster per Arrow group is the
+    # bounded unit of work, exactly like the former join's per-key fanout.
+    import numpy as np
+
+    schema_by_name = {f.name: f.dataType.simpleString() for f in clustered.schema.fields}
+    out_schema = (
+        f"{id_col} {schema_by_name[id_col]}, "
+        f"cluster_id {schema_by_name['cluster_id']}, "
+        f"dup_of {schema_by_name[id_col]}, keep boolean"
     )
-    # norms precomputed per ROW, not per pair: the interpreted fold runs
-    # n times instead of 3x per pair (the fold value is identical either
-    # way, so the cosine — and the oracle — is bit-for-bit unchanged;
-    # measured 12.2 -> 5.1 s warm on the k=4 kmeans clustering at sf0.1,
-    # of which ~2.3 s is the Lloyd's fit itself)
-    clustered = clustered.withColumn("_n", norm(F.col("_v")))
-    a = clustered.select(
-        F.col(id_col).alias("_ida"),
-        F.col("_v").alias("_va"),
-        F.col("_n").alias("_na"),
-        F.col("cluster_id"),
-    )
-    b = clustered.select(
-        F.col(id_col).alias("_idb"),
-        F.col("_v").alias("_vb"),
-        F.col("_n").alias("_nb"),
-        F.col("cluster_id"),
-    )
-    dot = F.aggregate(
-        F.zip_with("_va", "_vb", lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    # threshold compares the UNROUNDED cosine: both engines do sequential
-    # double folds, so they disagree only within ~1 ulp of the threshold —
-    # rounding first would widen that flip window to every value near a
-    # rounding boundary
-    cos = dot / F.greatest(F.col("_na") * F.col("_nb"), F.lit(1e-12))
-    dups = (
-        a.join(b, "cluster_id")
-        .where(F.col("_ida") < F.col("_idb"))
-        .where(cos >= threshold)
-        .groupBy(F.col("_idb").alias(id_col))
-        .agg(F.min("_ida").alias("dup_of"))
-    )
-    return (
-        clustered.join(dups, id_col, "left")
-        .select(
-            id_col,
-            "cluster_id",
-            "dup_of",
-            F.col("dup_of").isNull().alias("keep"),
-        )
+
+    def pair_scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        n = len(pdf)
+        dup_of = [None] * n
+        cl_null = pdf["cluster_id"].isna().all()
+        if not cl_null and n > 1:
+            vecs = pdf["_v"].tolist()
+            # rows eligible to pair: non-null vector, no null elements
+            elig = []
+            for i, v in enumerate(vecs):
+                if v is None or (not hasattr(v, "__len__")):
+                    continue
+                if len(v) and pd.isna(np.asarray(v)).any():
+                    # Arrow gives null elements as NaN; a null element
+                    # poisoned the JVM fold, so the row never pairs.
+                    # (Genuine-NaN embeddings are indistinguishable here
+                    # and are treated the same — a corner the corpus
+                    # contract excludes.)
+                    continue
+                elig.append((i, np.asarray(v, dtype=np.float64)))
+            # mixed-length pairs never matched (null-padded fold): pair
+            # within same-length groups only
+            by_len: dict[int, list] = {}
+            for i, arr in elig:
+                by_len.setdefault(arr.shape[0], []).append(i)
+            ids_all = pdf[id_col].to_numpy()
+            for d, idxs in by_len.items():
+                if len(idxs) < 2:
+                    continue
+                V = np.stack([np.asarray(vecs[i], dtype=np.float64) for i in idxs])
+                if d == 0:
+                    norms = np.zeros(len(idxs))
+                else:
+                    # strict left-to-right accumulation == the JVM fold
+                    norms = np.sqrt(np.cumsum(V * V, axis=1)[:, -1])
+                ids = ids_all[idxs]
+                for j in range(1, len(idxs)):
+                    # candidates: strictly smaller ids (ties excluded)
+                    lo = int(np.searchsorted(ids, ids[j], side="left"))
+                    if lo == 0:
+                        continue
+                    if d == 0:
+                        dots = np.zeros(lo)
+                    else:
+                        dots = np.cumsum(V[:lo] * V[j], axis=1)[:, -1]
+                    denom = np.maximum(norms[:lo] * norms[j], 1e-12)
+                    cos = dots / denom
+                    hits = np.flatnonzero((cos >= threshold) | np.isnan(cos))
+                    if hits.size:
+                        prev = dup_of[idxs[j]]
+                        cand = ids[hits[0]]
+                        dup_of[idxs[j]] = (
+                            cand if prev is None or cand < prev else prev
+                        )
+        out = pdf[[id_col, "cluster_id"]].copy()
+        out["dup_of"] = pd.Series(dup_of, dtype="object")
+        out["keep"] = [d is None for d in dup_of]
+        return out
+
+    return clustered.groupBy("cluster_id").applyInPandas(
+        pair_scan, schema=out_schema
     )

@@ -230,14 +230,25 @@ def cm_build(
     ``c`` of matching (salt, b) rows), which is what lets per-shard /
     per-micro-batch sketches roll up into a corpus sketch without
     touching the corpus again (see streaming.sketches)."""
+    # pre-aggregate to (value, cnt) BEFORE the salt explode and the md5
+    # bucketing: bucket counts are sums of per-value counts, so hashing
+    # each distinct value ``depth`` times instead of each ROW ``depth``
+    # times yields the identical (integer) counter table while the md5 /
+    # explode work drops from depth x N to depth x |distinct| and the
+    # exchange moves map-side-combined partials either way (guide §2.3
+    # "aggregate before you shuffle")
+    per_value = df.groupBy(
+        F.col(value_col).cast("string").alias("_v")
+    ).agg(F.count(F.lit(1)).alias("_cnt"))
     salts = F.array(*[F.lit(f"cm{i}:") for i in range(depth)])
-    pairs = df.select(
-        F.col(value_col).cast("string").alias("_v"),
-        F.explode(salts).alias("salt"),
+    pairs = per_value.select(
+        "_v", "_cnt", F.explode(salts).alias("salt")
     ).select(
-        "salt", _cm_bucket(F.concat(F.col("salt"), F.col("_v")), width).alias("b")
+        "salt",
+        _cm_bucket(F.concat(F.col("salt"), F.col("_v")), width).alias("b"),
+        "_cnt",
     )
-    return pairs.groupBy("salt", "b").agg(F.count(F.lit(1)).alias("c"))
+    return pairs.groupBy("salt", "b").agg(F.sum("_cnt").alias("c"))
 
 
 def cm_estimate(
