@@ -35,6 +35,16 @@ FUSED_SCHEMA = (
     "char_pos long, subj_norm string, obj_norm string"
 )
 
+# Per-worker surface->linked cache (optimization guide §4.5: this module
+# is importable on executors, so the global survives across tasks under
+# spark.python.worker.reuse). Linking a surface is a pure function of
+# (alias matrix, embedder, threshold) — the cache key — and the surface
+# universe is dictionary-sized while the corpus is not, so after the
+# first few batches every batch's embed + matmul collapses to lookups.
+# Bounded so an adversarial surface stream cannot grow it unboundedly.
+_LINK_CACHE: dict = {}
+_LINK_CACHE_MAX = 2_000_000
+
 
 def fused_linked_triples(
     pages: DataFrame,
@@ -42,14 +52,25 @@ def fused_linked_triples(
     threshold: float = LINK_THRESHOLD,
     embedder: ModelSpec | None = None,
 ) -> DataFrame:
-    """pages (url, html, lang) -> linked surface triples, one Arrow pass."""
+    """pages (url, html, lang) -> linked surface triples, one Arrow pass.
+
+    Non-English pages are dropped JVM-side before the Arrow boundary (the
+    kernel's own lang guard stays as a second line) — their html bytes
+    never cross to Python (guide §4.1: pass only what the function
+    needs)."""
     spec = embedder or DEFAULT_EMBEDDER
+    pages = pages.where(F.col("lang") == F.lit("en"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         _aid, _astr, _eid, mat = alias_bc.value
         if mat.shape[0] == 0:  # empty dictionary: zero links, not a crash
             return
         model = spec.resolve()  # one construction per worker process
+        cache_key = (id(mat), float(threshold), type(model).__name__)
+        cache = _LINK_CACHE.setdefault(cache_key, {})
+        if len(_LINK_CACHE) > 8:  # stale broadcasts from finished jobs
+            _LINK_CACHE.clear()
+            cache = _LINK_CACHE.setdefault(cache_key, {})
         for pdf in batches:
             rows = {k: [] for k in (
                 "url", "subj_surface", "pred", "obj_surface", "char_pos",
@@ -73,9 +94,23 @@ def fused_linked_triples(
                 rows["subj_surface"] + rows["obj_surface"], dtype=object
             )
             uniq, inv = np.unique(surf, return_inverse=True)
-            q = normalize_rows(model.embed(list(uniq)))
-            _idx, scores = cosine_topk(q, mat, k=1)
-            linked_u = scores[:, 0] >= threshold
+            linked_u = np.empty(len(uniq), dtype=bool)
+            miss_pos = []
+            for i, s in enumerate(uniq):
+                dec = cache.get(s)
+                if dec is None:
+                    miss_pos.append(i)
+                else:
+                    linked_u[i] = dec
+            if miss_pos:
+                miss = [uniq[i] for i in miss_pos]
+                q = normalize_rows(model.embed(miss))
+                _idx, scores = cosine_topk(q, mat, k=1)
+                decided = scores[:, 0] >= threshold
+                for p, s, dec in zip(miss_pos, miss, decided):
+                    linked_u[p] = dec
+                    if len(cache) < _LINK_CACHE_MAX:
+                        cache[s] = bool(dec)
             linked = linked_u[inv]
             n = len(rows["url"])
             keep = linked[:n] & linked[n:]

@@ -174,7 +174,7 @@ def pagerank(
     damping: float = 0.85,
     src_col: str = "src",
     dst_col: str = "dst",
-    checkpoint_every: int = 2,
+    checkpoint_every: int = 1,
     init_ranks: DataFrame | None = None,
     weight_col: str | None = None,
 ) -> DataFrame:
@@ -209,9 +209,21 @@ def pagerank(
     The edge relation is pre-joined with out-degrees ONCE and checkpointed;
     each iteration shuffles only (node, rank) pairs. dangling_t stays IN
     THE PLAN as a 1-row aggregate broadcast-cross-joined onto the rank
-    update (no per-iteration driver collect), so a dangling graph costs
-    ONE job per iteration — the eager lineage cut — instead of two; with
-    no dangling nodes the subtree is omitted entirely.
+    update (no per-iteration driver collect); with no dangling nodes the
+    subtree is omitted entirely.
+
+    Per-iteration plan shape (optimization round 6): the old
+    ``nodes LEFT JOIN contrib`` zero-fill is replaced by unioning a
+    static (node, 0.0) relation into the contribution aggregation — the
+    same sum (adding 0.0 is exact in IEEE), one exchange less per
+    iteration. The dangling flag rides ALONG in the rank relation (every
+    node's flag re-enters through the zero rows), so the dangling-mass
+    aggregate is a filter+agg on the rank relation instead of a per-
+    iteration semi-join. Rank relations are cached (lazy) between
+    lineage cuts so the two consumers of ``ranks`` (contribution join,
+    dangling aggregate) share one computation without forcing an eager
+    checkpoint job every iteration; cuts happen every
+    ``checkpoint_every`` rounds to bound plan depth.
     """
     # materialize the edge relation ONCE: nodes, degrees and the contribution
     # join all derive from it, and a live upstream plan (e.g. the outlink
@@ -228,14 +240,6 @@ def pagerank(
                 F.col(weight_col).cast("double").alias("_w"),
             ).where(F.col("_w") > 0)
         )
-    nodes = cut_lineage(
-        edges.select(F.col("src").alias("node"))
-        .union(edges.select(F.col("dst").alias("node")))
-        .distinct()
-    )
-    n = nodes.count()
-    if n == 0:
-        return nodes.withColumn("rank", F.lit(0.0))
     # unweighted: count (exact integers, bit-compatible with the pinned
     # oracle); weighted: sum of weights — inv_deg = w_uv / W_u either way
     if weight_col is None:
@@ -246,22 +250,44 @@ def pagerank(
     else:
         out_deg = edges.groupBy("src").agg(F.sum("_w").alias("out_deg"))
         inv = F.col("_w") / F.col("out_deg")
-    # contribution edges: (src, dst, w/W), built once, lineage cut
+    # contribution edges: (src, dst, w/W), built once, lineage cut; the
+    # SMJ build leaves it hash-partitioned AND sorted on src, which
+    # LogicalRDD preserves — so the per-iteration contribution join only
+    # exchanges/sorts the (node, rank) side
     ed = cut_lineage(edges.join(out_deg, "src").select(
         "src", "dst", inv.alias("inv_deg")
     ))
-    dangling_nodes = cut_lineage(nodes.join(
-        ed.select("src").distinct(),
-        nodes["node"] == F.col("src"),
-        "left_anti",
-    ))
-    has_dangling = dangling_nodes.limit(1).count() > 0
+    # node set with its static dangling flag in ONE relation
+    nodes_fl = cut_lineage(
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .join(
+            ed.select(F.col("src").alias("node"))
+            .distinct()
+            .withColumn("_has_out", F.lit(True)),
+            "node",
+            "left",
+        )
+        .select(
+            "node", (~F.coalesce(F.col("_has_out"), F.lit(False))).alias("_dg")
+        )
+    )
+    n = nodes_fl.count()
+    if n == 0:
+        return nodes_fl.select("node", F.lit(0.0).alias("rank"))
+    has_dangling = nodes_fl.where(F.col("_dg")).limit(1).count() > 0
+    # static zero rows: every node contributes 0.0 (exact no-op in the
+    # sum) and re-injects its dangling flag each round
+    zeros = nodes_fl.select(
+        "node", F.lit(0.0).alias("_c"), F.col("_dg")
+    )
 
     if init_ranks is None:
-        ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+        ranks = nodes_fl.select("node", F.lit(1.0 / n).alias("rank"), "_dg")
     else:
         ranks = cut_lineage(
-            nodes.join(
+            nodes_fl.join(
                 init_ranks.select(
                     F.col("node"), F.col("rank").alias("_init")
                 ),
@@ -270,45 +296,65 @@ def pagerank(
             ).select(
                 "node",
                 F.coalesce(F.col("_init"), F.lit(1.0 / n)).alias("rank"),
+                "_dg",
             )
         )
+    cached: list[DataFrame] = []
     for i in range(iters):
-        contrib = (
-            ed.join(ranks, ed["src"] == ranks["node"])
-            .groupBy("dst")
-            .agg(F.sum(F.col("rank") * F.col("inv_deg")).alias("c"))
+        contrib = ed.join(ranks, ed["src"] == ranks["node"]).select(
+            F.col("dst").alias("node"),
+            (F.col("rank") * F.col("inv_deg")).alias("_c"),
+            F.lit(None).cast("boolean").alias("_dg"),
         )
-        new = nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+        # zero-fill via union into the SAME aggregation (one exchange):
+        # sum over {contributions} ∪ {0.0} == coalesce(sum, 0.0) exactly;
+        # max(_dg) recovers each node's flag from its zero row (contrib
+        # rows carry null, which max ignores)
+        agg = (
+            contrib.unionByName(zeros)
+            .groupBy("node")
+            .agg(F.sum("_c").alias("_c"), F.max("_dg").alias("_dg"))
+        )
         if has_dangling:
-            # 1-row dangling-mass aggregate, broadcast-cross-joined so it
-            # stays in the plan (the old per-iteration .collect() cost a
-            # whole extra job). Float op ORDER mirrors the python/SQL
-            # oracles exactly: (1-d)/n precomputed, then (d * dang) / n.
+            # 1-row dangling-mass aggregate over the flagged rank
+            # relation (no semi-join), broadcast-cross-joined so it stays
+            # in the plan. Float op ORDER mirrors the python/SQL oracles
+            # exactly: (1-d)/n precomputed, then (d * dang) / n.
             dang = (
-                ranks.join(dangling_nodes, "node", "left_semi")
+                ranks.where(F.col("_dg"))
                 .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dang"))
             )
-            new = new.crossJoin(F.broadcast(dang))
+            agg = agg.crossJoin(F.broadcast(dang))
             base_col = F.lit((1.0 - damping) / n) + (
                 F.lit(damping) * F.col("_dang")
             ) / F.lit(float(n))
         else:
             base_col = F.lit((1.0 - damping) / n)
-        ranks = new.select(
+        ranks = agg.select(
             "node",
-            (
-                base_col
-                + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))
-            ).alias("rank"),
+            (base_col + F.lit(damping) * F.col("_c")).alias("rank"),
+            "_dg",
         )
-        # lineage cut: every iteration for dangling graphs (the dang and
-        # contrib subtrees both read `ranks`, so an uncut plan would
-        # evaluate the previous iteration twice), else every
-        # ``checkpoint_every`` rounds — plans stay <= checkpoint_every
-        # joins deep and each eager cut is the iteration's ONE job
-        if has_dangling or (i + 1) % checkpoint_every == 0 or i == iters - 1:
+        # lineage cut every ``checkpoint_every`` rounds; the default is 1
+        # (one eager job per iteration): with a dangling graph the 1-row
+        # mass aggregate is a broadcast-subquery stage, and against a
+        # merely lazy-cached previous iteration that stage races the
+        # contribution join into DUPLICATE computation (measured 2x
+        # slower at checkpoint_every=2 on the bench link graph. An
+        # eagerly materialized previous iteration is read, not raced.)
+        # Between cuts (checkpoint_every > 1) a lazy persist still keeps
+        # the two consumers from recomputing the full lineage.
+        if (i + 1) % checkpoint_every == 0 or i == iters - 1:
             ranks = cut_lineage(ranks)
-    return ranks
+            for c in cached:
+                c.unpersist()
+            cached.clear()
+        else:
+            from pyspark import StorageLevel
+
+            ranks = ranks.persist(StorageLevel.MEMORY_AND_DISK)
+            cached.append(ranks)
+    return ranks.select("node", "rank")
 
 
 def personalized_pagerank(
@@ -877,7 +923,6 @@ def components_starstar(
             F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
         )
         .distinct()
-        .repartition(partitions, "a")
     )
 
     def large_star(pairs: DataFrame) -> DataFrame:
@@ -908,15 +953,27 @@ def components_starstar(
             .distinct()
         )
 
+    # TWO star rounds per materialization + convergence check: every
+    # cut/count/anti-join is a full job submission, and at O(log n) total
+    # rounds those fixed costs are ~half the wall at bench scale (and the
+    # per-round driver round-trip at cluster scale). Correct because the
+    # star fixpoint is ABSORBING (the Kiveris et al. potential strictly
+    # decreases until the fixpoint, so no period-2 cycles exist): if
+    # convergence lands on the odd intermediate round, the extra round is
+    # a no-op and the two-rounds-apart comparison still detects it.
     n_prev = p.count()
-    for _ in range(max_iter):
-        new_p = cut_lineage(
-            small_star(large_star(p)).repartition(partitions, "a")
-        )
-        # the previous round's count is cached in n_prev: one action per
-        # round (the checkpointed relation would recount cheaply, but a
-        # count is still a full job submission per iteration at scale),
-        # plus the anti-join only when sizes tie
+    rounds = 0
+    converged = False
+    while rounds < max_iter:
+        stepped = small_star(large_star(p))
+        if rounds + 2 <= max_iter:
+            stepped = small_star(large_star(stepped))
+            rounds += 2
+        else:
+            rounds += 1
+        new_p = cut_lineage(stepped)
+        # one count action per check (the checkpointed relation recounts
+        # cheaply), plus the anti-join only when sizes tie
         n_new = new_p.count()
         changed = (
             n_new != n_prev
@@ -924,13 +981,13 @@ def components_starstar(
         )
         p, n_prev = new_p, n_new
         if not changed:
+            converged = True
             break
-    else:
-        if strict:
-            raise RuntimeError(
-                f"components_starstar did not converge in {max_iter} "
-                "rounds — raise max_iter (expected O(log n) rounds)"
-            )
+    if not converged and strict:
+        raise RuntimeError(
+            f"components_starstar did not converge in {max_iter} "
+            "rounds — raise max_iter (expected O(log n) rounds)"
+        )
     labels = p.select(F.col("a").alias("node"), F.col("b").alias("component"))
     return (
         vertices.join(labels, "node", "left")
@@ -987,12 +1044,18 @@ def hyperball(
 
     if radius < 0:
         raise ValueError("hyperball needs radius >= 0")
-    e = (
+    # the edge relation is cut ONCE, hash-partitioned and sorted on the
+    # join key: every round's contribution join then reuses it with no
+    # exchange and no re-sort (and the distinct is not recomputed per
+    # round, which the live plan would have done)
+    e = cut_lineage(
         edges.select(
             F.col(src_col).alias("node"), F.col(dst_col).alias("_nbr")
         )
         .where(F.col("node") != F.col("_nbr"))
         .distinct()
+        .repartition(partitions, "_nbr")
+        .sortWithinPartitions("_nbr")
     )
     nodes = (
         e.select("node")
@@ -1013,11 +1076,16 @@ def hyperball(
                 state.withColumnRenamed("node", "_nbr"), "_nbr"
             ).select("node", "j", "r")
         )
+        # ONE exchange per round: repartition by node BEFORE the register
+        # max — hash(node) clusters (node, j) (partitioning on a subset of
+        # the grouping key satisfies the aggregation's distribution), so
+        # the groupBy adds no exchange and the output stays node-
+        # partitioned for the next round's join
         state = cut_lineage(
             state.unionByName(contrib)
+            .repartition(partitions, "node")
             .groupBy("node", "j")
             .agg(F.max("r").alias("r"))
-            .repartition(partitions, "node")
         )
     return _hll_finalize(state, ["node"], b).withColumnRenamed(
         "est_distinct", "est_ball"
@@ -1073,10 +1141,15 @@ def hyperball_harmonic(
     if max_radius < 1:
         raise ValueError("hyperball_harmonic needs max_radius >= 1")
     a, z = (dst_col, src_col) if reverse else (src_col, dst_col)
-    e = (
+    # same per-round plan discipline as :func:`hyperball`: edge relation
+    # cut + pre-partitioned/sorted on the join key once; one exchange per
+    # round (repartition-by-node feeding the register max)
+    e = cut_lineage(
         edges.select(F.col(a).alias("node"), F.col(z).alias("_nbr"))
         .where(F.col("node") != F.col("_nbr"))
         .distinct()
+        .repartition(partitions, "_nbr")
+        .sortWithinPartitions("_nbr")
     )
     nodes = (
         e.select("node")
@@ -1102,9 +1175,9 @@ def hyperball_harmonic(
         ).select("node", "j", "r")
         state = cut_lineage(
             state.unionByName(contrib)
+            .repartition(partitions, "node")
             .groupBy("node", "j")
             .agg(F.max("r").alias("r"))
-            .repartition(partitions, "node")
         )
         ests.append(
             _hll_finalize(state, ["node"], b).select(
@@ -1163,12 +1236,15 @@ def hyperball_nf(
 
     if max_radius < 0:
         raise ValueError("hyperball_nf needs max_radius >= 0")
-    e = (
+    # same per-round plan discipline as :func:`hyperball`
+    e = cut_lineage(
         edges.select(
             F.col(src_col).alias("node"), F.col(dst_col).alias("_nbr")
         )
         .where(F.col("node") != F.col("_nbr"))
         .distinct()
+        .repartition(partitions, "_nbr")
+        .sortWithinPartitions("_nbr")
     )
     nodes = (
         e.select("node")
@@ -1204,9 +1280,9 @@ def hyperball_nf(
         ).select("node", "j", "r")
         state = cut_lineage(
             state.unionByName(contrib)
+            .repartition(partitions, "node")
             .groupBy("node", "j")
             .agg(F.max("r").alias("r"))
-            .repartition(partitions, "node")
         )
         out = out.unionByName(nf_row(state, r))
     return out
@@ -1433,6 +1509,15 @@ def hits(
         )
     hubs = nodes.select("node", F.lit(1.0 / n).alias("hub"))
     auths = nodes.select("node", F.lit(0.0).alias("auth"))
+    # static zero rows: adding 0.0 into a sum is exact, so unioning them
+    # into the per-direction aggregation replaces the nodes LEFT JOIN
+    # with a second pass through the SAME exchange — one join less per
+    # half-step, identical values (the pagerank zero-fill move). The
+    # half-step relations keep their EAGER cuts: they feed both the
+    # 1-row total (a broadcast-subquery stage) and the rejoin, and a
+    # lazy cache would let those two stages race into duplicate
+    # computation (measured slower).
+    zeros = nodes.select("node", F.lit(0.0).alias("raw"))
     for _ in range(iters):
         a_raw = cut_lineage(  # read twice: the total agg + the rejoin
             edges.join(hubs, edges["src"] == hubs["node"])
@@ -1441,13 +1526,12 @@ def hits(
         )
         a_tot = a_raw.agg(F.sum("raw").alias("_tot"))
         auths = (
-            nodes.join(a_raw, nodes["node"] == a_raw["dst"], "left")
+            a_raw.select(F.col("dst").alias("node"), "raw")
+            .unionByName(zeros)
+            .groupBy("node")
+            .agg(F.sum("raw").alias("raw"))
             .crossJoin(F.broadcast(a_tot))
-            .select(
-                "node",
-                (F.coalesce(F.col("raw"), F.lit(0.0)) / F.col("_tot"))
-                .alias("auth"),
-            )
+            .select("node", (F.col("raw") / F.col("_tot")).alias("auth"))
         )
         h_raw = cut_lineage(
             edges.join(auths, edges["dst"] == auths["node"])
@@ -1456,13 +1540,12 @@ def hits(
         )
         h_tot = h_raw.agg(F.sum("raw").alias("_tot"))
         hubs = (
-            nodes.join(h_raw, nodes["node"] == h_raw["src"], "left")
+            h_raw.select(F.col("src").alias("node"), "raw")
+            .unionByName(zeros)
+            .groupBy("node")
+            .agg(F.sum("raw").alias("raw"))
             .crossJoin(F.broadcast(h_tot))
-            .select(
-                "node",
-                (F.coalesce(F.col("raw"), F.lit(0.0)) / F.col("_tot"))
-                .alias("hub"),
-            )
+            .select("node", (F.col("raw") / F.col("_tot")).alias("hub"))
         )
     return auths.join(hubs, "node").select("node", "hub", "auth")
 

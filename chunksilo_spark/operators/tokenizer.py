@@ -146,9 +146,16 @@ def bpe_train(
         )
     )
     merges: list[tuple[int, str, str, int]] = []
+    # the per-round replace stays a GROWING PROJECTION over the one
+    # checkpointed word-freq relation instead of a per-round lineage cut:
+    # Catalyst collapses the nested projects into a single replace chain
+    # (bpe_segment_words' shape), so each round costs exactly ONE job
+    # (the top-1 collect) and re-running k replaces over the vocab-sized
+    # relation is far cheaper than materializing it k times
+    seq = F.col("seq")
     for rank in range(1, n_merges + 1):
         best = (
-            _pair_counts(wf)
+            _pair_counts(wf.select("c", seq.alias("seq")))
             .orderBy(F.desc("cnt"), F.asc("left"), F.asc("right"))
             .limit(1)
             .collect()
@@ -159,9 +166,7 @@ def bpe_train(
         merges.append((rank, left, right, cnt))
         pat = _O + left + _C + _O + right + _C
         rep = _O + left + right + _C
-        wf = cut_lineage(
-            wf.select("c", F.replace("seq", F.lit(pat), F.lit(rep)).alias("seq"))
-        )
+        seq = F.replace(seq, F.lit(pat), F.lit(rep))
     return spark.createDataFrame(
         merges, schema="merge_rank int, left string, right string, pair_count long"
     )
