@@ -41,10 +41,17 @@ def bm25_scores(
         # as (element, index)
         return F.size(F.filter(F.col("_toks"), lambda x: x == F.lit(term)))
 
-    d = df.select(F.col(id_col), tokens.alias("_toks")).select(
-        id_col,
-        F.size("_toks").alias("_dl"),
-        *[_tf(t).alias(f"_tf{i}") for i, t in enumerate(terms)],
+    from ..checkpointing import cut_lineage
+
+    # d feeds the corpus-stats aggregate (a broadcast subquery) AND the
+    # scoring cross-join: without a cut the tokenize + per-term filter
+    # pipeline (interpreted higher-order exprs) evaluates twice per doc
+    d = cut_lineage(
+        df.select(F.col(id_col), tokens.alias("_toks")).select(
+            id_col,
+            F.size("_toks").alias("_dl"),
+            *[_tf(t).alias(f"_tf{i}") for i, t in enumerate(terms)],
+        )
     )
     stats = d.agg(
         F.count(F.lit(1)).alias("_n"),
