@@ -174,10 +174,14 @@ def connected_components(
         # are stars (diameter <= 3), so this halves the action count while
         # localCheckpoint still truncates lineage every round
         new_labels = cut_lineage(step(step(labels)))
+        # existence of ONE improved label decides the round — limit(1)
+        # lets the probe job stop at the first hit instead of counting
+        # every improvement
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "nid")
             .where(F.col("n.component") < F.col("o.component"))
+            .limit(1)
             .count()
         )
         labels = new_labels

@@ -973,11 +973,13 @@ def components_starstar(
             rounds += 1
         new_p = cut_lineage(stepped)
         # one count action per check (the checkpointed relation recounts
-        # cheaply), plus the anti-join only when sizes tie
+        # cheaply), plus the anti-join only when sizes tie; the anti-join
+        # needs only EXISTENCE of a changed pair, so limit(1) lets the
+        # job stop at the first hit instead of counting all of them
         n_new = new_p.count()
         changed = (
             n_new != n_prev
-            or new_p.join(p, ["a", "b"], "left_anti").count() > 0
+            or new_p.join(p, ["a", "b"], "left_anti").limit(1).count() > 0
         )
         p, n_prev = new_p, n_new
         if not changed:
