@@ -44,6 +44,26 @@ FUSED_SCHEMA = (
 # Bounded so an adversarial surface stream cannot grow it unboundedly.
 _LINK_CACHE: dict = {}
 _LINK_CACHE_MAX = 2_000_000
+# matrix identity must be CONTENT-based: a worker can outlive a job, and
+# id(mat) alone could be recycled by a different alias matrix allocated
+# at the same address after the old broadcast is GC'd — stale links with
+# no error. The digest memo holds a strong reference to the matrix it
+# hashed, so a live memo entry's id cannot be reused by another object
+# and the `is` check makes the id lookup exact.
+_MAT_DIGESTS: dict = {}
+
+
+def _mat_digest(mat) -> str:
+    entry = _MAT_DIGESTS.get(id(mat))
+    if entry is not None and entry[0] is mat:
+        return entry[1]
+    import hashlib
+
+    d = hashlib.md5(mat.tobytes()).hexdigest()
+    if len(_MAT_DIGESTS) > 16:
+        _MAT_DIGESTS.clear()
+    _MAT_DIGESTS[id(mat)] = (mat, d)
+    return d
 
 
 def fused_linked_triples(
@@ -66,7 +86,7 @@ def fused_linked_triples(
         if mat.shape[0] == 0:  # empty dictionary: zero links, not a crash
             return
         model = spec.resolve()  # one construction per worker process
-        cache_key = (id(mat), float(threshold), type(model).__name__)
+        cache_key = (_mat_digest(mat), float(threshold), spec.key)
         cache = _LINK_CACHE.setdefault(cache_key, {})
         if len(_LINK_CACHE) > 8:  # stale broadcasts from finished jobs
             _LINK_CACHE.clear()

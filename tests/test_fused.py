@@ -53,3 +53,26 @@ def test_fused_equals_staged(spark):
     b = sorted(map(key, fused.collect()))
     assert len(a) > 100
     assert a == b
+
+
+def test_link_cache_is_dictionary_scoped(spark):
+    """The per-worker surface->linked cache must key on the alias
+    dictionary's CONTENT: running the fused pass with a different (here:
+    empty) dictionary right after a populated one must not reuse stale
+    link decisions from the first run."""
+    pages = pages_df(spark, 60, partitions=2)
+    full_bc = s2.build_alias_broadcast(spark, aliases_df(spark))
+    # a 3-alias dictionary links far fewer surfaces; same shape, same
+    # threshold, same embedder — only the matrix CONTENT differs, which
+    # is exactly what the cache key must see
+    tiny_bc = s2.build_alias_broadcast(
+        spark, aliases_df(spark).where(F.col("entity_id") < 1)
+    )
+    n_full = fz.fused_linked_triples(pages, full_bc).count()
+    n_tiny = fz.fused_linked_triples(pages, tiny_bc).count()
+    n_full_again = fz.fused_linked_triples(pages, full_bc).count()
+    assert n_full > 0
+    # stale full-dictionary decisions leaking into the tiny run would
+    # inflate n_tiny up to n_full
+    assert n_tiny < n_full
+    assert n_full_again == n_full
