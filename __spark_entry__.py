@@ -1070,6 +1070,10 @@ def _kg_bgp_match(spark, sf):  # conjunctive triple-pattern query (SPARQL BGP)
         select=["a", "b", "v"],
         filters=[F.col("a") < F.col("b")],
         distinct=True,
+        # claims is .distinct()'d and select keeps every variable, so the
+        # trailing distinct is provably a no-op (bgp.py docstring) — its
+        # elision removes the full-output 2.5M-row exchange+aggregate
+        input_distinct=True,
     )
 
 
@@ -1106,6 +1110,7 @@ def _kg_bgp_optional(spark, sf):  # OPTIONAL left-join + MINUS anti-join
         minus=[("?a", "error", "?v")],
         select=["a", "v", "b"],
         distinct=True,
+        input_distinct=True,  # claims distinct'd; select covers all vars
     )
 
 
@@ -2764,6 +2769,7 @@ def _kg_bgp_filter(spark, sf):  # SPARQL VALUES + FILTER over the BGP core
         filters=[F.col("v") != F.col("w")],
         values=(["?v"], [(0,), (1,), (2,)]),
         distinct=True,
+        input_distinct=True,  # claims distinct'd; select covers all vars
     )
 
 

@@ -97,6 +97,7 @@ def bgp_match(
     subj_col: str = "subj",
     pred_col: str = "pred",
     obj_col: str = "obj",
+    input_distinct: bool = False,
 ) -> DataFrame:
     """Match a conjunction of triple patterns -> one column per variable.
 
@@ -134,6 +135,28 @@ def bgp_match(
     Bag semantics by default (each distinct derivation is a row, the
     SPARQL default); ``distinct=True`` for set semantics (applied after
     optional/minus).
+
+    ``input_distinct=True`` is the caller's assertion that ``triples``
+    is duplicate-free over (subj, pred, obj). Under that assertion, when
+    ``select`` keeps EVERY bound variable (no projection, no repeats),
+    the solution relation is already a set and the trailing
+    ``distinct()`` is elided — redundant-DISTINCT elimination, a pure
+    plan optimization (one full-output exchange + aggregate removed; on
+    the wide-output band queries that exchange dominates the whole job).
+    Why the result is provably a set: each triple pattern over a
+    duplicate-free relation is a projection in which the dropped
+    positions are determined (constants, or a repeated variable equal to
+    a kept column), so every pattern relation is distinct over its
+    variables; an inner equi-join of relations that are each distinct
+    over their full column sets, joined on their shared columns, is
+    distinct over the union of the columns (the output tuple determines
+    both input tuples); the VALUES inline table is distinct'd over
+    exactly its join columns, so it matches each row at most once;
+    OPTIONAL left-joins extend a row either by k >= 1 distinct bindings
+    (distinct over the new columns) or by exactly one null row, never
+    both; MINUS and FILTER only remove rows. If ``select`` drops or
+    repeats a variable the elision is disabled and ``distinct()`` runs
+    as declared (projections of a set are a bag).
     """
     patterns = list(patterns)
     if not patterns:
@@ -210,4 +233,12 @@ def bgp_match(
     if unknown:
         raise ValueError(f"select names unbound variables: {unknown!r}")
     acc = acc.select(*out_cols)
-    return acc.distinct() if distinct else acc
+    if distinct:
+        provably_set = (
+            input_distinct
+            and len(set(out_cols)) == len(out_cols)
+            and set(out_cols) == bound
+        )
+        if not provably_set:
+            acc = acc.distinct()
+    return acc

@@ -303,3 +303,70 @@ class TestValues:
             (r["x"], r["p"], r["m"]) for r in got.collect()
         )
         assert rows == [(1, 10, 100), (2, 10, 100), (2, 11, 100)]
+
+
+class TestRedundantDistinctElision:
+    """input_distinct=True + full-variable select elides the trailing
+    distinct as provably redundant (bgp.py docstring proof)."""
+
+    PATS = [("?a", "bought", "?v"), ("?b", "bought", "?v")]
+
+    def test_elided_plan_drops_the_aggregate(self, triples):
+        kept = bgp_match(triples, self.PATS, distinct=True)
+        elided = bgp_match(
+            triples, self.PATS, distinct=True, input_distinct=True
+        )
+        plan = lambda df: df._jdf.queryExecution().optimizedPlan().toString()
+        assert "Aggregate" in plan(kept)
+        assert "Aggregate" not in plan(elided)
+
+    def test_elided_equals_distinct_with_all_clauses(self, triples):
+        kwargs = dict(
+            patterns=self.PATS,
+            select=["a", "b", "v"],
+            filters=[F.col("a") < F.col("b")],
+            optional=[("?v", "madeby", "?m")],
+            minus=[("?a", "knows", "?b")],
+            values=(["?v"], [(10,), (11,)]),
+            distinct=True,
+        )
+        want = _run(bgp_match(triples, **kwargs))
+        got_df = bgp_match(triples, input_distinct=True, **kwargs)
+        # optional adds ?m to the bound set, so select=[a,b,v] no longer
+        # covers every variable: the elision must NOT fire here
+        assert "Aggregate" in (
+            got_df._jdf.queryExecution().optimizedPlan().toString()
+        )
+        assert _run(got_df) == want
+        kwargs["select"] = ["a", "b", "v", "m"]
+        want_all = _run(bgp_match(triples, **kwargs))
+        got_all = bgp_match(triples, input_distinct=True, **kwargs)
+        assert _run(got_all) == want_all
+
+    def test_projection_still_deduplicates(self, triples):
+        # select drops ?v -> projections of a set are a bag, so the
+        # declared distinct must still run despite input_distinct=True
+        got = _run(
+            bgp_match(
+                triples,
+                [("?x", "bought", "?y")],
+                select=["x"],
+                distinct=True,
+                input_distinct=True,
+            )
+        )
+        assert got == [(1,), (2,), (3,)]
+
+    def test_repeated_select_column_still_deduplicates(self, triples):
+        got = bgp_match(
+            triples,
+            [("?x", "bought", "?y")],
+            select=["x", "x"],
+            distinct=True,
+            input_distinct=True,
+        )
+        assert sorted(tuple(r) for r in got.collect()) == [
+            (1, 1),
+            (2, 2),
+            (3, 3),
+        ]
