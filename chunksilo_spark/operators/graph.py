@@ -1409,6 +1409,15 @@ def link_prediction_topk(
     the driver oracle runs uncapped). Everything else is equi-joins and
     one map-side-combinable groupBy; the final top-k is
     TakeOrderedAndProject, never a global sort.
+
+    Wedge-path cost trims (all output-identical): centers with a single
+    neighbor are dropped before the pair join (a wedge needs two); the
+    Adamic-Adar term ``1.0 / ln(deg(c))`` is computed once per CENTER
+    row and summed, not recomputed per wedge (identical doubles, so the
+    sum draws the exact same addends); and because the top-k ORDER is
+    (aa, a, b) alone — jaccard never enters the sort — the two degree
+    joins and the jaccard arithmetic run on the k survivors, not on the
+    full candidate-pair stream.
     """
     und = cut_lineage(  # canonical a<b edge set: degrees + adjacency anti-join
         edges.select(
@@ -1428,29 +1437,45 @@ def link_prediction_topk(
     )
     if max_center_degree is not None:
         centers = centers.where(F.col("dc") <= F.lit(max_center_degree))
-    centers = cut_lineage(centers)  # consumed by both wedge sides
+    centers = cut_lineage(  # consumed by both wedge sides
+        # dc == 1 centers yield no wedge (pa < pb needs two neighbors) —
+        # prune them here, which also keeps ln(dc) away from ln(1) = 0;
+        # w is the per-center AA addend, the exact double every wedge row
+        # of this center previously recomputed
+        centers.where(F.col("dc") >= 2).withColumn(
+            "w", F.lit(1.0) / F.log(F.col("dc").cast("double"))
+        ).drop("dc")
+    )
     pairs = (
-        centers.select(F.col("x").alias("pa"), "c", "dc")
+        centers.select(F.col("x").alias("pa"), "c", "w")
         .join(centers.select(F.col("x").alias("pb"), "c"), "c")
         .where(F.col("pa") < F.col("pb"))
     )
     scored = pairs.groupBy("pa", "pb").agg(
         F.count(F.lit(1)).alias("cn"),
-        F.sum(F.lit(1.0) / F.log(F.col("dc").cast("double"))).alias("aa"),
+        F.sum("w").alias("aa"),
     )
     fresh = scored.join(
         und,
         (scored["pa"] == und["a"]) & (scored["pb"] == und["b"]),
         "left_anti",
     )
+    # the ranking never reads jaccard: cut to the k survivors first, then
+    # join degrees and compute jaccard on k rows instead of the full
+    # candidate-pair stream (round(aa) BEFORE the sort, as declared)
+    topk = (
+        fresh.select("pa", "pb", "cn", F.round("aa", 6).alias("aa"))
+        .orderBy(F.col("aa").desc(), F.col("pa").asc(), F.col("pb").asc())
+        .limit(k)
+    )
     out = (
-        fresh.join(deg.select(F.col("node").alias("pa"), F.col("d").alias("da")), "pa")
+        topk.join(deg.select(F.col("node").alias("pa"), F.col("d").alias("da")), "pa")
         .join(deg.select(F.col("node").alias("pb"), F.col("d").alias("db")), "pb")
         .select(
             F.col("pa").alias("a"),
             F.col("pb").alias("b"),
             F.col("cn"),
-            F.round("aa", 6).alias("aa"),
+            F.col("aa"),
             F.round(
                 F.col("cn").cast("double") / (F.col("da") + F.col("db") - F.col("cn")),
                 6,
